@@ -107,10 +107,12 @@ class BitVector:
 
     # -- device pytree ------------------------------------------------------
     def device_arrays(self) -> dict:
+        from ..pytree import meta
+
         return {
             "words": self.words,
             "blocks": self.blocks,
-            "n_bits": np.int64(self.n_bits),
+            "meta": meta(n_bits=self.n_bits, n_ones=self.n_ones),
         }
 
 

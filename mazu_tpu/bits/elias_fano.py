@@ -69,16 +69,18 @@ class EFVector:
         return 64 * 3 + self.high_bits.num_bits() + self.low_bits.num_bits()
 
     def device_arrays(self) -> dict:
+        from ..pytree import meta
+
         return {
             "high": self.high_bits.device_arrays(),
             "low": self.low_bits.device_arrays(),
-            "l": np.int64(self.l),
+            "meta": meta(l=self.l, length=len(self)),
         }
 
 
-def ef_get(ef: dict, i, xp, l: int):
-    """Device EF get(i); ``l`` (low bit width) is a static constant."""
+def ef_get(ef: dict, i, xp):
+    """Device EF get(i); low bit width is static via meta."""
     i = xp.asarray(i)
     high = bv_select(ef["high"], i, xp) - i
-    low = iv_get(ef["low"], i, xp, l)
-    return (high.astype(xp.uint64) << U64(l)) | low
+    low = iv_get(ef["low"], i, xp)
+    return (high.astype(xp.uint64) << U64(ef["meta"].l)) | low

@@ -68,18 +68,18 @@ class IntVector:
         return 64 * len(self.words)
 
     def device_arrays(self) -> dict:
+        from ..pytree import meta
+
         return {
             "words": self.words,
-            "length": np.int64(self.length),
-            "width": np.int64(self.width),
+            "meta": meta(width=self.width, length=self.length),
         }
 
 
-def iv_get(iv: dict, i, xp, width: int):
-    """Device get: element(s) ``i`` of a packed IntVector pytree.
-
-    ``width`` must be passed statically (trace-time constant) so the mask
-    and shifts are compile-time literals.
-    """
+def iv_get(iv: dict, i, xp):
+    """Device get: element(s) ``i`` of a packed IntVector pytree. The bit
+    width comes from the static meta node, so masks/shifts are compile-time
+    literals."""
     i = xp.asarray(i)
+    width = iv["meta"].width
     return _read_window(iv["words"], i * width, width, xp)

@@ -64,7 +64,9 @@ class SeqVector:
         return 64 * len(self.words)
 
     def device_arrays(self) -> dict:
-        return {"words": self.words, "length": np.int64(self.length)}
+        from ..pytree import meta
+
+        return {"words": self.words, "meta": meta(length=self.length)}
 
 
 def sv_get_kmer(sv: dict, pos, xp, k: int):

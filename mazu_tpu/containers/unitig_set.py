@@ -1,0 +1,143 @@
+"""UnitigSet: compact container of concatenated 2-bit unitigs.
+
+Re-design of reference src/unitig_set.rs as flat arrays:
+- ``useq``: the 2-bit concatenated unitig sequence (SeqVector)
+- ``bv``: boundary bitvector, 1 marks the LAST base of each unitig,
+  rank-enabled -> ``pos_to_id(pos) = bv.rank(pos)``
+- ``accum``: int64[n_unitigs+1] prefix of unitig lengths (the reference
+  stores this Elias-Fano; we keep a plain device array on the query path —
+  accum is tiny next to useq — and expose ``ef_accum_lens()`` for the
+  compressed form / size accounting parity).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..bits.bitvector import BitVector, bv_rank, bv_read_window
+from ..bits.elias_fano import EFVector
+from ..bits.seqvector import SeqVector, sv_get_kmer
+from ..kmer import canonicalize
+from ..pytree import meta
+
+
+class UnitigSet:
+    def __init__(self, k: int, useq: SeqVector, accum: np.ndarray, bv: BitVector | None = None):
+        self.k = int(k)
+        self.useq = useq
+        self.accum = np.asarray(accum, dtype=np.int64)
+        if bv is None:
+            bv = BitVector.from_set_positions(self.accum[1:] - 1, int(self.accum[-1]))
+        self.bv = bv
+
+    # ------------------------------------------------------------- builders
+    @classmethod
+    def from_seqs(cls, seqs: list[str], k: int) -> "UnitigSet":
+        """Parity: reference src/unitig_set.rs:74-106."""
+        lens = np.array([len(s) for s in seqs], dtype=np.int64)
+        accum = np.concatenate([[0], np.cumsum(lens)])
+        useq = SeqVector.from_str("".join(seqs))
+        return cls(k, useq, accum)
+
+    @classmethod
+    def from_cf(cls, cf_files) -> tuple["UnitigSet", dict]:
+        """Build from cuttlefish reduced-GFA output; returns the set and the
+        cuttlefish-id -> dense-id map (reference src/unitig_set.rs:119-165)."""
+        from ..io.cuttlefish import CfInfo, iter_segs
+
+        info = CfInfo.from_path(cf_files.json)
+        seqs = []
+        cfid2uid = {}
+        for i, (cfid, seq) in enumerate(iter_segs(cf_files)):
+            cfid2uid[cfid] = i
+            seqs.append(seq)
+        return cls.from_seqs(seqs, info.k), cfid2uid
+
+    # ------------------------------------------------------------ accessors
+    @property
+    def n_unitigs(self) -> int:
+        return len(self.accum) - 1
+
+    @property
+    def total_len(self) -> int:
+        return int(self.accum[-1])
+
+    @property
+    def n_kmers(self) -> int:
+        return self.total_len - self.k * self.n_unitigs + self.n_unitigs
+
+    def unitig_len(self, i) -> np.ndarray:
+        i = np.asarray(i)
+        return self.accum[i + 1] - self.accum[i]
+
+    def pos_to_id(self, pos) -> np.ndarray:
+        return self.bv.rank(pos)
+
+    def unitig_seq_str(self, i: int) -> str:
+        return self.useq.to_str(int(self.accum[i]), int(self.accum[i + 1]))
+
+    def get_kmer_u64(self, pos) -> np.ndarray:
+        return self.useq.get_kmer_u64(pos, self.k)
+
+    def is_valid_useq_pos(self, pos) -> np.ndarray:
+        """No unitig boundary inside the k-mer window (reference
+        src/unitig_set.rs:235-245)."""
+        pos = np.asarray(pos, dtype=np.int64)
+        in_range = pos <= self.total_len - self.k
+        w = self.bv.read_window(np.clip(pos, 0, self.total_len - self.k), self.k - 1)
+        return in_range & (w == 0)
+
+    def kmer_start_positions(self) -> np.ndarray:
+        """Global useq positions of all valid k-mers, in unitig order."""
+        starts = self.accum[:-1]
+        ends = self.accum[1:] - self.k + 1
+        counts = ends - starts
+        total = int(counts.sum())
+        uid = np.repeat(np.arange(self.n_unitigs), counts)
+        within = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+        return starts[uid] + within
+
+    def all_canonical_kmers(self) -> np.ndarray:
+        """Canonical u64 word of every k-mer (for MPHF construction)."""
+        pos = self.kmer_start_positions()
+        fw = self.useq.get_kmer_u64(pos, self.k)
+        canon, _, _ = canonicalize(fw, self.k)
+        return canon
+
+    def ef_accum_lens(self) -> EFVector:
+        return EFVector.from_array(self.accum.astype(np.uint64))
+
+    def num_bits(self) -> int:
+        return 64 + self.useq.num_bits() + self.ef_accum_lens().num_bits() + self.bv.num_bits()
+
+    # --------------------------------------------------------------- device
+    def device_arrays(self) -> dict:
+        return {
+            "useq": self.useq.device_arrays(),
+            "bv": self.bv.device_arrays(),
+            "accum": self.accum,
+            "meta": meta(
+                k=self.k, n_unitigs=self.n_unitigs, total_len=self.total_len
+            ),
+        }
+
+
+# ---------------------------------------------------------------------------
+# Device kernels
+# ---------------------------------------------------------------------------
+
+
+def us_get_kmer(us: dict, pos, xp):
+    return sv_get_kmer(us["useq"], pos, xp, us["meta"].k)
+
+
+def us_pos_to_id(us: dict, pos, xp):
+    return bv_rank(us["bv"], pos, xp)
+
+
+def us_is_valid_pos(us: dict, pos, xp):
+    m = us["meta"]
+    pos = xp.asarray(pos)
+    in_range = (pos >= 0) & (pos <= m.total_len - m.k)
+    w = bv_read_window(us["bv"], xp.clip(pos, 0, max(0, m.total_len - m.k)), m.k - 1, xp)
+    return in_range & (w == 0)

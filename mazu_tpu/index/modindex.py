@@ -1,0 +1,156 @@
+"""ModIndex: the modular K2U x U2Pos index and its batched query engine.
+
+Re-design of reference src/index.rs (ModIndex, GetRefPos, projection math
+at src/index.rs:193-216) arrays-first: one device pytree, one fused batched
+query pipeline:
+
+    k-mer words [N] -> k2u (dictionary probe) -> occurrence ranges
+    -> padded occurrence decode -> projection -> MappedRefPos [N, max_occs]
+
+Everything is static-shape and jit-compatible; ``max_occs`` pads the ragged
+per-unitig occurrence lists (CSR-style streaming over huge occurrence lists
+is provided by project_hits_csr for skewed references).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import MATCH_IDENTITY
+from ..pytree import meta
+from .unitig_table import decode_occs
+
+
+def k2u_batch(d: dict, fw_words, xp):
+    """Dispatch on the (static) k2u kind."""
+    kind = d["k2u"]["meta"].kind
+    if kind == "pfhash":
+        from ..kphf.pfhash import pfhash_k2u
+
+        return pfhash_k2u(d["k2u"], fw_words, xp)
+    if kind == "sshash":
+        from ..kphf.sshash import sshash_k2u
+
+        return sshash_k2u(d["k2u"], fw_words, xp)
+    if kind == "sampled":
+        from ..kphf.sampled import sampled_k2u
+
+        return sampled_k2u(d["k2u"], fw_words, xp)
+    raise ValueError(kind)
+
+
+def get_ref_pos_padded(d: dict, fw_words, xp, max_occs: int):
+    """Batched get_ref_pos with padded occurrence lists.
+
+    Returns dict with
+      k2u fields: unitig_id, unitig_len, pos, mt       [N]
+      ref_id, ref_pos [N, max_occs] int64; orient [N, max_occs] int32
+      (1=fw, 0=rc); valid [N, max_occs] bool; n_occs [N]
+
+    Projection parity: reference src/index.rs:193-216.
+    """
+    r = k2u_batch(d, fw_words, xp)
+    u2 = d["u2pos"]
+    hit = r["mt"] > 0
+    uid = xp.where(hit, r["unitig_id"], xp.zeros_like(r["unitig_id"]))
+    start = u2["offsets"][uid]
+    cnt = u2["offsets"][uid + 1] - start
+    cnt = xp.where(hit, cnt, xp.zeros_like(cnt))
+
+    j = xp.arange(max_occs, dtype=start.dtype)
+    occ_idx = start[:, None] + j[None, :]
+    valid = j[None, :] < cnt[:, None]
+    occ_idx = xp.clip(occ_idx, 0, max(u2["meta"].n_occs - 1, 0))
+    ref_id, occ_pos, occ_o = decode_occs(u2, occ_idx, xp)
+
+    k = d["meta"].k
+    kpos = r["pos"][:, None]
+    ulen = r["unitig_len"][:, None]
+    fw_proj = kpos + occ_pos
+    bw_proj = occ_pos + (ulen - kpos) - k
+    ref_pos = xp.where(occ_o == 1, fw_proj, bw_proj)
+
+    o_of_match = (r["mt"] == MATCH_IDENTITY).astype(xp.int32)[:, None]
+    orient = xp.where(occ_o == 1, o_of_match, 1 - o_of_match)
+
+    return {
+        **r,
+        "n_occs": cnt,
+        "ref_id": ref_id,
+        "ref_pos": ref_pos,
+        "orient": orient,
+        "valid": valid,
+    }
+
+
+class ModIndex:
+    """Host-side modular index: K2U + U2Pos + refs + provenance."""
+
+    def __init__(self, k2u, u2pos, refs, index_type: str = "Custom", metadata: dict | None = None):
+        self.k2u = k2u
+        self.u2pos = u2pos
+        self.refs = refs
+        self.index_type = index_type
+        self.metadata = metadata or {}
+
+    @property
+    def k(self) -> int:
+        return self.k2u.k
+
+    @property
+    def n_kmers(self) -> int:
+        return self.k2u.n_kmers
+
+    @property
+    def n_unitigs(self) -> int:
+        return self.k2u.unitigs.n_unitigs
+
+    @property
+    def n_refs(self) -> int:
+        return self.refs.n_refs
+
+    def max_occs(self) -> int:
+        return self.u2pos.max_occs()
+
+    def device_arrays(self) -> dict:
+        return {
+            "k2u": self.k2u.device_arrays(),
+            "u2pos": self.u2pos.device_arrays(),
+            "refs": self.refs.device_arrays(),
+            "meta": meta(k=self.k, index_type=self.index_type),
+        }
+
+    def make_query_fn(self, max_occs: int | None = None, device=None):
+        """Return (arrays, jitted fn kms[N] -> padded MappedRefPos dict)."""
+        import jax
+        import jax.numpy as jnp
+
+        if max_occs is None:
+            max_occs = max(1, self.max_occs())
+        arrays = jax.device_put(self.device_arrays(), device)
+
+        @jax.jit
+        def query(kms):
+            return get_ref_pos_padded(arrays, kms, jnp, max_occs)
+
+        return arrays, query
+
+    # ------------------------------------------------------ host-side query
+    def get_ref_pos_eager(self, kms) -> list:
+        """NumPy reference path: list (one per query) of lists of
+        (ref_id, pos, orient) — mirrors reference get_ref_pos_eager output
+        for tests and debugging."""
+        kms = np.asarray(kms, dtype=np.uint64)
+        out = get_ref_pos_padded(self.device_arrays(), kms, np, max(1, self.max_occs()))
+        res = []
+        for i in range(len(kms)):
+            if out["mt"][i] == 0:
+                res.append(None)
+                continue
+            hits = []
+            for j in range(int(out["n_occs"][i])):
+                hits.append(
+                    (int(out["ref_id"][i, j]), int(out["ref_pos"][i, j]), int(out["orient"][i, j]))
+                )
+            res.append(hits)
+        return res

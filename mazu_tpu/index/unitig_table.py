@@ -1,0 +1,151 @@
+"""U2Pos occurrence tables (L3b): unitig id -> encoded reference occurrences.
+
+Two encodings (reference parity):
+- pf1 64-bit word: |1b orientation|31b pos|32b ref_id|
+  (reference src/index.rs:315-346)
+- piscem packed word: ref_id << ref_shift | pos << 1 | is_fw, minimal
+  widths (reference src/spt_compact.rs:83-112)
+
+Both tables are an inverted list: ``ctable`` (flat encoded occurrences,
+grouped by unitig) + ``offsets`` (int64[n_unitigs+1] prefix).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..bits.intvector import IntVector, iv_get
+from ..pytree import meta
+
+U64 = np.uint64
+
+
+def encode_pf1(ref_id, pos, o) -> np.ndarray:
+    word = np.asarray(pos, dtype=np.uint64)
+    word = word | (np.asarray(o, dtype=np.uint64) << U64(31))
+    return (word << U64(32)) | np.asarray(ref_id, dtype=np.uint64)
+
+
+def decode_pf1(word, xp):
+    ref_id = (word & U64(0xFFFFFFFF)).astype(xp.int64)
+    posw = word >> U64(32)
+    pos = (posw & U64(0x7FFFFFFF)).astype(xp.int64)
+    o = ((posw >> U64(31)) & U64(1)).astype(xp.int32)
+    return ref_id, pos, o
+
+
+def required_num_bits(longest_ref: int, num_refs: int) -> tuple[int, int, int]:
+    """(pos_bits, ref_bits, total) for piscem packing
+    (reference src/spt_compact.rs:221-242)."""
+    pos_bits = max(1, int(longest_ref).bit_length())
+    ref_bits = max(1, int(num_refs).bit_length())
+    total = pos_bits + ref_bits + 1
+    assert total <= 58, "piscem occ does not fit packed word"
+    return pos_bits, ref_bits, total
+
+
+def encode_piscem(ref_id, pos, o, ref_shift: int) -> np.ndarray:
+    e = np.asarray(ref_id, dtype=np.uint64) << U64(ref_shift)
+    e = e | (np.asarray(pos, dtype=np.uint64) << U64(1))
+    return e | np.asarray(o, dtype=np.uint64)
+
+
+def decode_piscem(word, ref_shift: int, pos_mask: int, xp):
+    ref_id = (word >> U64(ref_shift)).astype(xp.int64)
+    pos = ((word >> U64(1)) & U64(pos_mask)).astype(xp.int64)
+    o = (word & U64(1)).astype(xp.int32)
+    return ref_id, pos, o
+
+
+class DenseUnitigTable:
+    """u64-word table (pf1 encoding). Reference src/index/dense_unitig_table.rs:12-76."""
+
+    def __init__(self, ctable: np.ndarray, offsets: np.ndarray, ref_names=None, ref_exts=None):
+        self.ctable = np.asarray(ctable, dtype=np.uint64)
+        self.offsets = np.asarray(offsets, dtype=np.int64)
+        self.ref_names = ref_names or []
+        self.ref_exts = ref_exts
+
+    @property
+    def n_unitigs(self) -> int:
+        return len(self.offsets) - 1
+
+    @property
+    def n_total_occs(self) -> int:
+        return len(self.ctable)
+
+    def occs(self, uid: int):
+        """Decoded occurrences of one unitig (host): (ref_id, pos, o) arrays."""
+        s, e = self.offsets[uid], self.offsets[uid + 1]
+        return decode_pf1(self.ctable[s:e], np)
+
+    def max_occs(self) -> int:
+        return int(np.max(self.offsets[1:] - self.offsets[:-1])) if self.n_unitigs else 0
+
+    def device_arrays(self) -> dict:
+        return {
+            "ctable": self.ctable,
+            "offsets": self.offsets,
+            "meta": meta(enc="pf1", n_occs=len(self.ctable)),
+        }
+
+
+class PiscemUnitigTable:
+    """Packed minimal-width table (piscem encoding).
+    Reference src/index/dense_unitig_table.rs:109-153."""
+
+    def __init__(
+        self,
+        ctable: IntVector,
+        offsets: np.ndarray,
+        ref_shift: int,
+        pos_mask: int,
+        ref_names=None,
+        ref_exts=None,
+    ):
+        self.ctable = ctable
+        self.offsets = np.asarray(offsets, dtype=np.int64)
+        self.ref_shift = int(ref_shift)
+        self.pos_mask = int(pos_mask)
+        self.ref_names = ref_names or []
+        self.ref_exts = ref_exts
+
+    @property
+    def n_unitigs(self) -> int:
+        return len(self.offsets) - 1
+
+    @property
+    def n_total_occs(self) -> int:
+        return len(self.ctable)
+
+    def occs(self, uid: int):
+        s, e = int(self.offsets[uid]), int(self.offsets[uid + 1])
+        words = self.ctable.get(np.arange(s, e))
+        return decode_piscem(words, self.ref_shift, self.pos_mask, np)
+
+    def max_occs(self) -> int:
+        return int(np.max(self.offsets[1:] - self.offsets[:-1])) if self.n_unitigs else 0
+
+    def device_arrays(self) -> dict:
+        return {
+            "ctable": self.ctable.device_arrays(),
+            "offsets": self.offsets,
+            "meta": meta(
+                enc="piscem",
+                ref_shift=self.ref_shift,
+                pos_mask=self.pos_mask,
+                n_occs=len(self.ctable),
+            ),
+        }
+
+
+def decode_occs(u2pos: dict, occ_idx, xp):
+    """Decode occurrences at flat ctable indices (device; encoding static)."""
+    m = u2pos["meta"]
+    if m.enc == "pf1":
+        words = u2pos["ctable"][occ_idx]
+        return decode_pf1(words, xp)
+    elif m.enc == "piscem":
+        words = iv_get(u2pos["ctable"], occ_idx, xp)
+        return decode_piscem(words, m.ref_shift, m.pos_mask, xp)
+    raise ValueError(m.enc)

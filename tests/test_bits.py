@@ -82,7 +82,7 @@ class TestIntVector:
         np.testing.assert_array_equal(iv.to_array(), vals)
         d = iv.device_arrays()
         np.testing.assert_array_equal(
-            np.asarray(iv_get(d, jnp.arange(n), jnp, width)), vals
+            np.asarray(iv_get(d, jnp.arange(n), jnp)), vals
         )
 
     def test_minimal_width(self):
@@ -98,7 +98,7 @@ class TestEliasFano:
         np.testing.assert_array_equal(ef.to_array(), xs)
         d = ef.device_arrays()
         np.testing.assert_array_equal(
-            np.asarray(ef_get(d, jnp.arange(5), jnp, ef.l)), xs
+            np.asarray(ef_get(d, jnp.arange(5), jnp)), xs
         )
 
     def test_not_monotone(self):
@@ -112,7 +112,7 @@ class TestEliasFano:
         np.testing.assert_array_equal(ef.to_array(), xs)
         d = ef.device_arrays()
         np.testing.assert_array_equal(
-            np.asarray(ef_get(d, jnp.arange(n), jnp, ef.l)), xs
+            np.asarray(ef_get(d, jnp.arange(n), jnp)), xs
         )
 
 
