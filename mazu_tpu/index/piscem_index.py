@@ -1,0 +1,27 @@
+"""Piscem index assembly: SSHash + packed occurrence table + lengths-only
+refs (reference src/index/piscem_index.rs, src/index/defaults.rs)."""
+
+from __future__ import annotations
+
+from ..io.cuttlefish import CfFiles
+from ..kphf.pfhash import PFHash
+from ..kphf.sshash import SSHash
+from .modindex import ModIndex
+from .spt import SPT
+
+
+def piscem_index_from_spt(spt: SPT, w: int, skew_param: int | None, seed: int = 0) -> ModIndex:
+    sshash = SSHash.from_unitig_set(spt.unitigs, w, skew_param=skew_param, seed=seed)
+    return ModIndex(sshash, spt.piscem_table(), spt.ref_seq_collection(), index_type="Piscem")
+
+
+def piscem_index_from_cf_prefix(prefix: str, w: int, skew_param: int | None = 64, seed: int = 0) -> ModIndex:
+    spt = SPT.from_cf(CfFiles(prefix))
+    return piscem_index_from_spt(spt, w, skew_param, seed)
+
+
+def pufferfish_dense_index_from_cf_prefix(prefix: str) -> ModIndex:
+    """PufferfishDenseIndexDefault (reference src/index/defaults.rs:16-51)."""
+    spt = SPT.from_cf(CfFiles(prefix))
+    k2u = PFHash.from_unitig_set(spt.unitigs)
+    return ModIndex(k2u, spt.dense_table(), spt.ref_seq_collection(), index_type="PufferfishDense")

@@ -11,5 +11,14 @@ functions and k-mer -> (unitig, pos, orientation) lookups.
 """
 
 from .boophf import BooPHF, boophf_lookup
+from .pfhash import PFHash, pfhash_k2u
+from .sshash import SSHash, sshash_k2u
 
-__all__ = ["BooPHF", "boophf_lookup"]
+__all__ = [
+    "BooPHF",
+    "boophf_lookup",
+    "PFHash",
+    "pfhash_k2u",
+    "SSHash",
+    "sshash_k2u",
+]

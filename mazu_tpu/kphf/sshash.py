@@ -1,0 +1,340 @@
+"""SSHash: minimizer-bucketed k-mer dictionary (the flagship K2U).
+
+Re-design of reference src/kphf/sshash.rs for batched TPU querying. Same
+scheme, carried over deviations included (reference src/kphf/sshash.rs:32-37):
+
+- minimizer of the canonical k-mer: ``mini(g*) = mini(min(g, g'))``
+- offset-based candidate positioning (probe ``mm_pos - offset`` and
+  ``mm_pos - (k - offset - w)`` directly, no super-k-mer scans)
+- flat single-level skew index mapping heavy-bucket k-mers directly to
+  positions via a second MPHF.
+
+Build is host-side vectorized NumPy (replacing rayon sort/scatter with
+argsort + permutation scatter); the query is one fused batched pipeline:
+minimizer -> MPHF -> bucket bounds (Elias-Fano select or flat gather) ->
+bounded candidate probe loop (predicated, unrolled) -> unitig mapping,
+with heavy buckets diverted to the skew MPHF. All O(1) gathers per probe.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..bits.bitvector import bv_rank
+from ..bits.elias_fano import EFVector, ef_get
+from ..bits.intvector import IntVector, iv_get
+from ..containers.unitig_set import UnitigSet, us_get_kmer
+from ..kmer import canonical_minimizer_batch, revcomp, word_equivalency
+from ..pytree import meta
+from .boophf import BooPHF, boophf_lookup
+
+U64 = np.uint64
+
+
+def _dedup_stream(mm, pos, mask):
+    """Keep stream elements (selected by mask, in order) that differ from
+    their predecessor in (mm, pos) — consecutive-duplicate dedup (parity:
+    reference src/kphf/sshash.rs:109-117)."""
+    idx = np.flatnonzero(mask)
+    if len(idx) == 0:
+        return idx
+    m, p = mm[idx], pos[idx]
+    keep = np.ones(len(idx), dtype=bool)
+    keep[1:] = (m[1:] != m[:-1]) | (p[1:] != p[:-1])
+    return idx[keep]
+
+
+class SSHash:
+    def __init__(
+        self,
+        unitigs: UnitigSet,
+        w: int,
+        mphf: BooPHF,
+        occs_prefix_sum: np.ndarray,
+        pos: IntVector,
+        skew_param: int | None,
+        skew_mphf: BooPHF | None,
+        skew_pos: IntVector | None,
+        seed: int = 0,
+    ):
+        self.unitigs = unitigs
+        self.w = int(w)
+        self.mphf = mphf
+        self.occs_prefix_sum = np.asarray(occs_prefix_sum, dtype=np.int64)
+        self.pos = pos
+        self.skew_param = skew_param  # None == no skew index (usize::MAX)
+        self.skew_mphf = skew_mphf
+        self.skew_pos = skew_pos
+        self.seed = int(seed)
+
+    # ----------------------------------------------------------------- build
+    @classmethod
+    def from_unitig_set(
+        cls,
+        unitigs: UnitigSet,
+        w: int,
+        skew_param: int | None = 64,
+        seed: int = 0,
+        gamma: float = 1.7,
+        chunk: int = 1 << 20,
+    ) -> "SSHash":
+        """Host-side build (reference src/kphf/sshash.rs:86-330, vectorized)."""
+        k = unitigs.k
+        assert w <= k
+
+        # 1. canonical minimizer occurrence per k-mer (chunked over all k-mers)
+        kpos = unitigs.kmer_start_positions()
+        mm_all = np.empty(len(kpos), dtype=np.uint64)
+        occ_pos_all = np.empty(len(kpos), dtype=np.int64)
+        isfw_all = np.empty(len(kpos), dtype=bool)
+        for s in range(0, len(kpos), chunk):
+            sl = slice(s, s + chunk)
+            words = unitigs.get_kmer_u64(kpos[sl])
+            mm, off, is_fw, _ = canonical_minimizer_batch(np, words, k, w, seed)
+            mm_all[sl] = mm
+            occ_pos_all[sl] = kpos[sl] + off.astype(np.int64)
+            isfw_all[sl] = is_fw
+
+        # 2. dedup consecutive occurrences in the fw- and rc-canonical
+        # streams separately, then pool
+        keep_fw = _dedup_stream(mm_all, occ_pos_all, isfw_all)
+        keep_rc = _dedup_stream(mm_all, occ_pos_all, ~isfw_all)
+        sel = np.concatenate([keep_fw, keep_rc])
+        mms = mm_all[sel]
+        mps = occ_pos_all[sel]
+
+        # 3. sort by minimizer value; unique values + per-value ranges
+        order = np.argsort(mms, kind="stable")
+        mms = mms[order]
+        mps = mps[order]
+        mm_set, ranges_start, mm_occs = np.unique(mms, return_index=True, return_counts=True)
+
+        # 4. MPHF over the minimizer set
+        mphf = BooPHF.build(mm_set, gamma=gamma)
+
+        # 5. occs prefix sum in hash order + position scatter
+        h = mphf.lookup(mm_set)
+        assert (h >= 0).all()
+        n_occs_by_h = np.zeros(len(mm_set), dtype=np.int64)
+        n_occs_by_h[h] = mm_occs
+        prefix = np.concatenate([[0], np.cumsum(n_occs_by_h)]).astype(np.int64)
+        dest_start = np.repeat(prefix[h], mm_occs)
+        within = np.arange(len(mms)) - np.repeat(ranges_start, mm_occs)
+        posv = np.zeros(len(mms), dtype=np.uint64)
+        posv[dest_start + within] = mps.astype(np.uint64)
+        pos_iv = IntVector.from_array(posv)
+
+        # 6. skew index over heavy buckets
+        skew_mphf = skew_pos_iv = None
+        if skew_param is not None:
+            heavy = np.flatnonzero(mm_occs > skew_param)
+            if len(heavy):
+                # all valid k-mer positions overlapping each heavy occurrence
+                occ_sel = np.concatenate(
+                    [np.arange(ranges_start[i], ranges_start[i] + mm_occs[i]) for i in heavy]
+                )
+                mm_positions = mps[occ_sel]
+                span = k - w + 1
+                starts = np.maximum(mm_positions - (k - w), 0)
+                cand = (starts[:, None] + np.arange(span)[None, :]).reshape(-1)
+                cand = cand[unitigs.is_valid_useq_pos(cand)]
+                words = unitigs.get_kmer_u64(cand)
+                cwords = np.minimum(words, revcomp(words, k))
+                # dedup by canonical word, keep one (any) position per word
+                cw_sorted, first_idx = np.unique(cwords, return_index=True)
+                kept_pos = cand[first_idx]
+                skew_mphf = BooPHF.build(cw_sorted, gamma=gamma)
+                h2 = skew_mphf.lookup(cw_sorted)
+                sp = np.zeros(len(cw_sorted), dtype=np.uint64)
+                sp[h2] = kept_pos.astype(np.uint64)
+                skew_pos_iv = IntVector.from_array(sp)
+            else:
+                skew_mphf = BooPHF.build(np.array([0], dtype=np.uint64), gamma=gamma)
+                skew_pos_iv = IntVector.from_array(np.array([0], dtype=np.uint64))
+
+        return cls(unitigs, w, mphf, prefix, pos_iv, skew_param, skew_mphf, skew_pos_iv, seed)
+
+    @classmethod
+    def from_unitig_set_no_skew_index(cls, unitigs, w, seed=0, gamma=1.7) -> "SSHash":
+        return cls.from_unitig_set(unitigs, w, skew_param=None, seed=seed, gamma=gamma)
+
+    # ------------------------------------------------------------- accessors
+    @property
+    def k(self) -> int:
+        return self.unitigs.k
+
+    @property
+    def n_kmers(self) -> int:
+        return self.unitigs.n_kmers
+
+    @property
+    def n_minimizers(self) -> int:
+        return len(self.occs_prefix_sum) - 1
+
+    @property
+    def n_minimizer_occs(self) -> int:
+        return len(self.pos)
+
+    @property
+    def n_kmers_in_skew_index(self) -> int:
+        return len(self.skew_pos) if self.skew_pos is not None else 0
+
+    def max_bucket(self) -> int:
+        d = self.occs_prefix_sum
+        return int((d[1:] - d[:-1]).max()) if len(d) > 1 else 0
+
+    def probe_bound(self) -> int:
+        """Static bound of the candidate probe loop."""
+        if self.skew_param is None:
+            return self.max_bucket()
+        return min(self.skew_param, self.max_bucket())
+
+    def ef_occs_prefix_sum(self) -> EFVector:
+        return EFVector.from_array(self.occs_prefix_sum.astype(np.uint64))
+
+    def num_bits(self) -> int:
+        nb = (
+            64
+            + self.unitigs.num_bits()
+            + self.ef_occs_prefix_sum().num_bits()
+            + self.pos.num_bits()
+            + self.mphf.num_bits()
+        )
+        if self.skew_mphf is not None:
+            nb += self.skew_mphf.num_bits() + self.skew_pos.num_bits()
+        return nb
+
+    def print_stats(self, log=print):
+        nk = self.n_kmers
+        log(f"kmers: {nk}")
+        log(f"n minimizers: {self.n_minimizers}")
+        log(f"n minimizer occs: {self.n_minimizer_occs}")
+        log(f"positions encoded in {self.pos.width} bit words")
+        log(f"unitigs: {self.unitigs.n_unitigs}")
+        log(f"bits / kmer: {self.num_bits() / nk:.3f}")
+
+    # --------------------------------------------------------------- device
+    def device_arrays(self, prefix_kind: str = "ef") -> dict:
+        """``prefix_kind``: "ef" stores bucket bounds Elias-Fano compressed
+        (reference parity, select-based get); "flat" stores them as a plain
+        int64 array (1-gather fast path)."""
+        d = {
+            "us": self.unitigs.device_arrays(),
+            "mphf": self.mphf.device_arrays(),
+            "pos": self.pos.device_arrays(),
+            "meta": meta(
+                kind="sshash",
+                k=self.k,
+                w=self.w,
+                seed=self.seed,
+                skew_param=-1 if self.skew_param is None else self.skew_param,
+                probe_bound=max(1, self.probe_bound()),
+                prefix_kind=prefix_kind,
+            ),
+        }
+        if prefix_kind == "ef":
+            d["prefix"] = self.ef_occs_prefix_sum().device_arrays()
+        else:
+            d["prefix"] = {"flat": self.occs_prefix_sum}
+        if self.skew_mphf is not None:
+            d["skew_mphf"] = self.skew_mphf.device_arrays()
+            d["skew_pos"] = self.skew_pos.device_arrays()
+        return d
+
+
+# ---------------------------------------------------------------------------
+# Batched device query
+# ---------------------------------------------------------------------------
+
+
+def _prefix_get(d: dict, i, xp):
+    if d["meta"].prefix_kind == "ef":
+        return ef_get(d["prefix"], i, xp).astype(xp.int64)
+    return d["prefix"]["flat"][i]
+
+
+def _map_hit(d: dict, km_pos, xp):
+    """useq position -> (unitig_id, unitig_len, upos, end_ok)."""
+    us = d["us"]
+    uid = bv_rank(us["bv"], km_pos, xp)
+    start = us["accum"][uid]
+    end = us["accum"][uid + 1]
+    upos = km_pos - start
+    end_ok = km_pos + d["meta"].k <= end
+    return uid, end - start, upos, end_ok
+
+
+def sshash_k2u(d: dict, fw_words, xp):
+    """Batched SSHash k2u (parity: reference src/kphf/sshash.rs:471-554).
+
+    Returns dict(unitig_id, unitig_len, pos, mt) with mt==0 for misses.
+    """
+    m = d["meta"]
+    k, w = m.k, m.w
+    fw = xp.asarray(fw_words)
+    rc = revcomp(fw, k)
+
+    mm, offset, _is_fw, _canon = canonical_minimizer_batch(xp, fw, k, w, m.seed)
+    canon = xp.minimum(fw, rc)
+    offset = offset.astype(xp.int64)
+
+    h = boophf_lookup(d["mphf"], mm, xp)
+    hc = xp.clip(h, 0, None)
+    ps = _prefix_get(d, hc, xp)
+    pe = _prefix_get(d, hc + 1, xp)
+    n_occs = xp.where(h < 0, xp.zeros_like(pe), pe - ps)
+
+    use_skew = (
+        (n_occs > m.skew_param) if m.skew_param >= 0 else xp.zeros_like(n_occs, dtype=bool)
+    )
+
+    last_km_start = d["us"]["meta"].total_len - k
+    rc_offset = k - offset - w
+
+    zero = xp.zeros_like(ps)
+    found = xp.zeros(xp.shape(fw), dtype=bool)
+    out_uid = zero
+    out_ulen = zero
+    out_pos = zero
+    out_mt = xp.zeros(xp.shape(fw), dtype=xp.uint8)
+
+    n_pos = d["pos"]["meta"].length
+    for j in range(m.probe_bound):
+        active = (~found) & (j < n_occs) & (~use_skew)
+        mm_pos = iv_get(d["pos"], xp.clip(ps + j, 0, n_pos - 1), xp).astype(xp.int64)
+        for cand_off in (offset, rc_offset):
+            km_pos = mm_pos - cand_off
+            in_range = (mm_pos >= cand_off) & (km_pos <= last_km_start)
+            km_pos_c = xp.clip(km_pos, 0, max(last_km_start, 0))
+            kw = us_get_kmer(d["us"], km_pos_c, xp)
+            mt = word_equivalency(fw, rc, kw, k)
+            uid, ulen, upos, end_ok = _map_hit(d, km_pos_c, xp)
+            hit = active & in_range & (mt > 0) & end_ok
+            out_uid = xp.where(hit, uid, out_uid)
+            out_ulen = xp.where(hit, ulen, out_ulen)
+            out_pos = xp.where(hit, upos, out_pos)
+            out_mt = xp.where(hit, mt, out_mt)
+            found = found | hit
+            active = active & (~hit)
+
+    # skew path (reference src/kphf/sshash.rs:415-433)
+    if "skew_mphf" in d:
+        h2 = boophf_lookup(d["skew_mphf"], canon, xp)
+        n_skew = d["skew_pos"]["meta"].length
+        sp = iv_get(d["skew_pos"], xp.clip(h2, 0, n_skew - 1), xp).astype(xp.int64)
+        sp = xp.clip(sp, 0, max(last_km_start, 0))
+        kw = us_get_kmer(d["us"], sp, xp)
+        mt = word_equivalency(fw, rc, kw, k)
+        uid, ulen, upos, end_ok = _map_hit(d, sp, xp)
+        hit = use_skew & (h2 >= 0) & (mt > 0) & end_ok
+        out_uid = xp.where(hit, uid, out_uid)
+        out_ulen = xp.where(hit, ulen, out_ulen)
+        out_pos = xp.where(hit, upos, out_pos)
+        out_mt = xp.where(hit, mt, out_mt)
+
+    return {
+        "unitig_id": out_uid,
+        "unitig_len": out_ulen,
+        "pos": out_pos,
+        "mt": out_mt,
+    }

@@ -1,0 +1,119 @@
+"""SSHash tests mirroring the reference suite (src/kphf/sshash.rs:627-885):
+tiny k2u goldens across window sizes, self-validation with/without skew
+index, skew-all equivalence, shared-minimizer edge case, and the piscem
+index end-to-end on yeast chr7."""
+
+import os
+
+import numpy as np
+import pytest
+
+from mazu_tpu import MATCH_TWIN
+from mazu_tpu.containers.unitig_set import UnitigSet
+from mazu_tpu.index.piscem_index import piscem_index_from_cf_prefix
+from mazu_tpu.index.validate import validate_fasta, validate_k2u_self
+from mazu_tpu.io.cuttlefish import CfFiles
+from mazu_tpu.kmer import kmer_from_str, revcomp
+from mazu_tpu.kphf.sshash import SSHash, sshash_k2u
+
+from conftest import TEST_DATA
+
+TINY = os.path.join(TEST_DATA, "cf", "tiny", "tiny")
+YEAST = os.path.join(TEST_DATA, "cf", "yeast_chr7", "yeast_chr7")
+
+
+@pytest.fixture(scope="module")
+def tiny_unitigs():
+    if not os.path.exists(TINY + ".cf_seg"):
+        pytest.skip("tiny cf fixture missing")
+    us, _ = UnitigSet.from_cf(CfFiles(TINY))
+    return us
+
+
+GOLDENS = [
+    ("CACACAC", (0, 10, 0)),
+    ("ACACACC", (0, 10, 1)),
+    ("ACACCAC", (0, 10, 3)),
+    ("CCTCAAT", (1, 10, 0)),
+    ("CAATACG", (1, 10, 3)),
+]
+
+
+@pytest.mark.parametrize("w", [3, 5])
+def test_tiny_goldens(tiny_unitigs, w):
+    ss = SSHash.from_unitig_set_no_skew_index(tiny_unitigs, w)
+    d = ss.device_arrays()
+    for s, (uid, ulen, pos) in GOLDENS:
+        km = np.array([kmer_from_str(s)], dtype=np.uint64)
+        r = sshash_k2u(d, km, np)
+        assert (
+            int(r["unitig_id"][0]),
+            int(r["unitig_len"][0]),
+            int(r["pos"][0]),
+            int(r["mt"][0]),
+        ) == (uid, ulen, pos, 1), s
+        r = sshash_k2u(d, revcomp(km, 7), np)
+        assert (int(r["unitig_id"][0]), int(r["pos"][0]), int(r["mt"][0])) == (
+            uid,
+            pos,
+            MATCH_TWIN,
+        ), s
+    r = sshash_k2u(d, np.array([kmer_from_str("AAAAAAA")], dtype=np.uint64), np)
+    assert int(r["mt"][0]) == 0
+
+
+@pytest.mark.parametrize("w", [1, 3, 7])
+@pytest.mark.parametrize("skew", [None, 0, 2])
+def test_tiny_validate_self(tiny_unitigs, w, skew):
+    ss = SSHash.from_unitig_set(tiny_unitigs, w, skew_param=skew)
+    validate_k2u_self(ss)
+
+
+def test_skew_all(tiny_unitigs):
+    ss = SSHash.from_unitig_set(tiny_unitigs, 3, skew_param=0)
+    assert ss.n_kmers_in_skew_index == ss.n_kmers
+    no_skew = SSHash.from_unitig_set_no_skew_index(tiny_unitigs, 3)
+    assert ss.num_bits() > no_skew.num_bits()
+
+
+def test_unitigs_share_mmer():
+    seqs = [
+        "ACAACTTACCCTCCATTACCCTACCTCCCCA",
+        "CAACTTACCCTCCATTACCCTACCTCCCCAC",
+    ]
+    us = UnitigSet.from_seqs(seqs, 31)
+    ss = SSHash.from_unitig_set_no_skew_index(us, 15)
+    validate_k2u_self(ss)
+
+
+def test_ef_and_flat_prefix_agree(tiny_unitigs):
+    ss = SSHash.from_unitig_set(tiny_unitigs, 3, skew_param=2)
+    km = np.array([kmer_from_str(s) for s, _ in GOLDENS], dtype=np.uint64)
+    r_ef = sshash_k2u(ss.device_arrays(prefix_kind="ef"), km, np)
+    r_flat = sshash_k2u(ss.device_arrays(prefix_kind="flat"), km, np)
+    for key in r_ef:
+        np.testing.assert_array_equal(r_ef[key], r_flat[key])
+
+
+def test_jnp_matches_np(tiny_unitigs):
+    import jax.numpy as jnp
+
+    ss = SSHash.from_unitig_set(tiny_unitigs, 5, skew_param=2)
+    d = ss.device_arrays()
+    pos = tiny_unitigs.kmer_start_positions()
+    kms = tiny_unitigs.get_kmer_u64(pos)
+    r_np = sshash_k2u(d, kms, np)
+    r_j = sshash_k2u(d, jnp.asarray(kms), jnp)
+    for key in r_np:
+        np.testing.assert_array_equal(np.asarray(r_j[key]), r_np[key])
+
+
+@pytest.mark.slow
+def test_yeast_piscem_validate_fasta():
+    if not os.path.exists(YEAST + ".cf_seg"):
+        pytest.skip("yeast cf fixture missing")
+    idx = piscem_index_from_cf_prefix(YEAST, w=15, skew_param=32)
+    ss = idx.k2u
+    assert ss.n_minimizers < idx.n_kmers
+    assert ss.n_kmers_in_skew_index > 0
+    validate_fasta(idx, YEAST + ".fa")
