@@ -1,0 +1,124 @@
+"""Benchmark: k-mer queries/s/chip on the yeast chr01 index (SSHash k2u +
+occurrence projection), with exact-parity check vs the NumPy host path.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "queries/s", "vs_baseline": N/1e9}
+
+Baseline target (BASELINE.json): >= 1e9 k-mer queries/s per chip.
+Runs on whatever backend the ambient JAX platform provides (the driver
+runs it on one real TPU chip).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_index():
+    from mazu_tpu.kphf.sshash import SSHash
+
+    ref_dir = os.environ.get("MAZU_REFERENCE_DIR", "/root/reference")
+    pf1 = os.path.join(ref_dir, "test_data", "pf1", "yeast_chr01_index")
+    if os.path.isdir(pf1):
+        from mazu_tpu.io.pf1_index import load_dense_index
+
+        base = load_dense_index(pf1)
+        unitigs = base.k2u.unitigs
+        refs = base.refs
+        u2pos = base.u2pos
+        log(f"yeast chr01: {unitigs.n_kmers} kmers, {unitigs.n_unitigs} unitigs")
+    else:  # self-contained fallback
+        import __graft_entry__ as g
+
+        idx = g._toy_index(n_seqs=256, seq_len=500)
+        unitigs, refs, u2pos = idx.k2u.unitigs, idx.refs, idx.u2pos
+        log("fallback toy index")
+    sshash = SSHash.from_unitig_set(unitigs, w=15, skew_param=32)
+    from mazu_tpu.index.modindex import ModIndex
+
+    return ModIndex(sshash, u2pos, refs, index_type="Piscem-bench")
+
+
+def main():
+    t0 = time.time()
+    index = build_index()
+    k = index.k
+
+    # workload: every k-mer of the reference, fw/rc mixed, tiled to the batch
+    from mazu_tpu.kmer import revcomp
+
+    kms_parts = [index.refs.ref_kmers(ri, k) for ri in range(index.n_refs)]
+    kms = np.concatenate(kms_parts)
+    rng = np.random.default_rng(0)
+    flip = rng.random(len(kms)) < 0.5
+    kms[flip] = revcomp(kms[flip], k)
+
+    batch = int(os.environ.get("MAZU_BENCH_BATCH", 1 << 20))
+    reps = -(-batch // len(kms))
+    work = np.tile(kms, reps)[:batch]
+    rng.shuffle(work)  # defeat streaming locality; this is the cold path
+
+    import jax
+    import jax.numpy as jnp
+
+    from mazu_tpu.index.modindex import get_ref_pos_padded
+    from mazu_tpu.kphf.sshash import sshash_k2u
+
+    arrays = jax.device_put(index.device_arrays())
+    max_occs = max(1, index.max_occs())
+
+    @jax.jit
+    def query(kms):
+        out = get_ref_pos_padded(arrays, kms, jnp, max_occs)
+        # reduce outputs to a checksum to keep the bench transfer-free
+        s = out["ref_pos"].sum() + out["ref_id"].sum()
+        return s + out["unitig_id"].sum() + out["pos"].sum(), out["mt"]
+
+    d_work = jax.device_put(jnp.asarray(work))
+    log(f"setup {time.time()-t0:.1f}s; compiling...")
+    t0 = time.time()
+    chk, mt = query(d_work)
+    chk.block_until_ready()
+    log(f"compile+first run {time.time()-t0:.1f}s")
+
+    # parity vs host NumPy on a sample
+    sample = work[:4096]
+    host = get_ref_pos_padded(index.device_arrays(), sample, np, max_occs)
+    dev = {kk: np.asarray(v) for kk, v in jax.jit(
+        lambda w: get_ref_pos_padded(arrays, w, jnp, max_occs)
+    )(jnp.asarray(sample)).items()}
+    for key in ("unitig_id", "pos", "mt", "ref_id", "ref_pos", "orient", "valid"):
+        np.testing.assert_array_equal(dev[key], host[key], err_msg=key)
+    assert (np.asarray(mt)[: len(kms)] > 0).all(), "indexed k-mer missed"
+    log("parity OK")
+
+    iters = int(os.environ.get("MAZU_BENCH_ITERS", 10))
+    t0 = time.time()
+    for _ in range(iters):
+        chk, _ = query(d_work)
+    chk.block_until_ready()
+    dt = time.time() - t0
+    qps = batch * iters / dt
+    log(f"{iters} iters x {batch} queries in {dt:.3f}s")
+
+    print(
+        json.dumps(
+            {
+                "metric": "kmer_queries_per_sec_per_chip_yeast_chr01",
+                "value": qps,
+                "unit": "queries/s",
+                "vs_baseline": qps / 1e9,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

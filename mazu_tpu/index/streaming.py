@@ -1,0 +1,244 @@
+"""Streaming queries: the k-mer cache, batched.
+
+Reference semantics (src/index/caching.rs): consecutive k-mers of a read
+usually continue on the same unitig; a warm query checks position+1 on the
+previous unitig (one fetch + equivalency) before falling back to a cold
+full dictionary probe. Results are IDENTICAL to cold queries — the cache is
+purely a work-saving device.
+
+TPU reformulation: reads are lanes. A scan over k-mer index j runs a cheap
+vectorized warm kernel on all R lanes; lanes that miss are compacted on the
+host and re-queried through the full k2u kernel in padded buckets (padded
+to powers of two to bound recompiles). Warm-hit rate on L-k-mer reads is
+~(L-1)/L, so the expensive probe runs on a tiny fraction of k-mers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..containers.unitig_set import us_get_kmer
+from ..kmer import revcomp, word_equivalency
+from .modindex import ModIndex, k2u_batch
+
+
+def _warm_kernel(arrays, carry, fw, xp):
+    """Check whether each lane's k-mer continues on the previous unitig.
+
+    The reference warm check probes only pos+1 (src/index/caching.rs:73-97),
+    which goes cold for reads traversing a unitig in the reverse
+    orientation. We probe pos+1 and pos-1 — results are identical (the
+    cold path would find the same hit), but reverse-strand reads stay warm,
+    roughly halving cold probes on mixed-orientation workloads."""
+    us = arrays["k2u"]["us"]
+    k = arrays["meta"].k
+    rc = revcomp(fw, k)
+    out = None
+    for step in (1, -1):
+        next_pos = carry["pos"] + step
+        ok_next = (
+            carry["valid"] & (next_pos >= 0) & (next_pos <= carry["unitig_len"] - k)
+        )
+        gpos = us["accum"][carry["unitig_id"]] + next_pos
+        gpos = xp.clip(gpos, 0, max(us["meta"].total_len - k, 0))
+        kw = us_get_kmer(us, gpos, xp)
+        mt = word_equivalency(fw, rc, kw, k)
+        warm = ok_next & (mt > 0)
+        if out is None:
+            out = {
+                "warm": warm,
+                "unitig_id": carry["unitig_id"],
+                "unitig_len": carry["unitig_len"],
+                "pos": next_pos,
+                "mt": mt,
+            }
+        else:
+            take = warm & (~out["warm"])
+            out["pos"] = xp.where(take, next_pos, out["pos"])
+            out["mt"] = xp.where(take, mt, out["mt"])
+            out["warm"] = out["warm"] | warm
+    return out
+
+
+def _bucket_size(n: int) -> int:
+    b = 1
+    while b < n:
+        b <<= 1
+    return b
+
+
+class StreamingIndex:
+    """Batched streaming wrapper around a ModIndex (lanes = reads)."""
+
+    def __init__(self, index: ModIndex, use_jit: bool = True):
+        self.index = index
+        self.k = index.k
+        self._np_arrays = index.device_arrays()
+        self.use_jit = use_jit
+        if use_jit:
+            import jax
+            import jax.numpy as jnp
+
+            self._arrays = jax.device_put(self._np_arrays)
+
+            @jax.jit
+            def warm(carry, fw):
+                return _warm_kernel(self._arrays, carry, fw, jnp)
+
+            @jax.jit
+            def cold(fw):
+                return k2u_batch(self._arrays, fw, jnp)
+
+            self._warm = lambda c, f: {
+                kk: np.asarray(v) for kk, v in warm(c, jnp.asarray(f)).items()
+            }
+            self._cold = lambda f: {
+                kk: np.asarray(v) for kk, v in cold(jnp.asarray(f)).items()
+            }
+        else:
+            self._warm = lambda c, f: _warm_kernel(self._np_arrays, c, f, np)
+            self._cold = lambda f: k2u_batch(self._np_arrays, f, np)
+
+    def k2u_reads(self, kmer_matrix: np.ndarray, valid: np.ndarray):
+        """Streaming k2u over a lane-major k-mer matrix.
+
+        kmer_matrix: uint64[R, L] (fw-orientation words), valid: bool[R, L]
+        (False entries are skipped and reported as misses). Returns dict of
+        [R, L] arrays (unitig_id, unitig_len, pos, mt) — identical to the
+        cold batched k2u, computed with ~1 cold probe per unitig run.
+        """
+        R, L = kmer_matrix.shape
+        carry = {
+            "unitig_id": np.zeros(R, dtype=np.int64),
+            "unitig_len": np.zeros(R, dtype=np.int64),
+            "pos": np.zeros(R, dtype=np.int64),
+            "valid": np.zeros(R, dtype=bool),
+        }
+        out = {
+            "unitig_id": np.zeros((R, L), dtype=np.int64),
+            "unitig_len": np.zeros((R, L), dtype=np.int64),
+            "pos": np.zeros((R, L), dtype=np.int64),
+            "mt": np.zeros((R, L), dtype=np.uint8),
+        }
+        n_cold = 0
+        for j in range(L):
+            fw = kmer_matrix[:, j]
+            w = self._warm(carry, fw)
+            warm = np.asarray(w["warm"]) & valid[:, j]
+            cold_lanes = np.flatnonzero(~warm & valid[:, j])
+            res = {
+                "unitig_id": np.where(warm, w["unitig_id"], 0),
+                "unitig_len": np.where(warm, w["unitig_len"], 0),
+                "pos": np.where(warm, w["pos"], 0),
+                "mt": np.where(warm, w["mt"], 0).astype(np.uint8),
+            }
+            if len(cold_lanes):
+                n_cold += len(cold_lanes)
+                b = _bucket_size(len(cold_lanes))
+                padded = np.zeros(b, dtype=np.uint64)
+                padded[: len(cold_lanes)] = fw[cold_lanes]
+                c = self._cold(padded)
+                for key in ("unitig_id", "unitig_len", "pos"):
+                    res[key][cold_lanes] = np.asarray(c[key][: len(cold_lanes)])
+                res["mt"][cold_lanes] = np.asarray(c["mt"][: len(cold_lanes)])
+            for key in out:
+                out[key][:, j] = res[key]
+            carry = {
+                "unitig_id": res["unitig_id"],
+                "unitig_len": res["unitig_len"],
+                "pos": res["pos"],
+                "valid": res["mt"] > 0,
+            }
+        self.last_cold_fraction = n_cold / max(1, int(valid.sum()))
+        return out
+
+    def get_ref_pos_reads(self, kmer_matrix, valid, max_occs: int | None = None):
+        """Streaming get_ref_pos: k2u_reads + occurrence projection."""
+        from .. import MATCH_IDENTITY
+        from .unitig_table import decode_occs
+
+        r = self.k2u_reads(kmer_matrix, valid)
+        u2 = self._np_arrays["u2pos"]
+        if max_occs is None:
+            max_occs = max(1, self.index.max_occs())
+        R, L = kmer_matrix.shape
+        flat = {kk: v.reshape(R * L) for kk, v in r.items()}
+        hit = flat["mt"] > 0
+        uid = np.where(hit, flat["unitig_id"], 0)
+        start = u2["offsets"][uid]
+        cnt = np.where(hit, u2["offsets"][uid + 1] - start, 0)
+        j = np.arange(max_occs)
+        occ_idx = np.clip(start[:, None] + j[None, :], 0, max(u2["meta"].n_occs - 1, 0))
+        valid_occ = j[None, :] < cnt[:, None]
+        ref_id, occ_pos, occ_o = decode_occs(u2, occ_idx, np)
+        k = self.k
+        kpos = flat["pos"][:, None]
+        ulen = flat["unitig_len"][:, None]
+        ref_pos = np.where(occ_o == 1, kpos + occ_pos, occ_pos + (ulen - kpos) - k)
+        o_match = (flat["mt"] == MATCH_IDENTITY).astype(np.int32)[:, None]
+        orient = np.where(occ_o == 1, o_match, 1 - o_match)
+        return {
+            **{kk: v.reshape(R, L) for kk, v in flat.items()},
+            "n_occs": cnt.reshape(R, L),
+            "ref_id": ref_id.reshape(R, L, max_occs),
+            "ref_pos": ref_pos.reshape(R, L, max_occs),
+            "orient": orient.reshape(R, L, max_occs),
+            "valid": valid_occ.reshape(R, L, max_occs),
+        }
+
+
+def kmerize_reads(reads: list[str], k: int):
+    """Host k-merization of variable-length reads into a padded lane-major
+    matrix: (kmers uint64[R, L], valid bool[R, L], positions int64[R, L])."""
+    from .validate import valid_kmer_windows
+
+    R = len(reads)
+    L = max((len(r) - k + 1 for r in reads), default=0)
+    L = max(L, 1)
+    kms = np.zeros((R, L), dtype=np.uint64)
+    valid = np.zeros((R, L), dtype=bool)
+    positions = np.zeros((R, L), dtype=np.int64)
+    for i, read in enumerate(reads):
+        pos, words = valid_kmer_windows(read, k)
+        kms[i, : len(words)] = words
+        valid[i, : len(words)] = True
+        positions[i, : len(words)] = pos
+    return kms, valid, positions
+
+
+def validate_fasta_streaming(
+    index: ModIndex, path: str, lanes: int = 256, window: int = 2048
+):
+    """Streaming-path oracle: results must match the cold path on a FASTA
+    (reference src/index/caching.rs:204-218).
+
+    Long records are chopped into overlapping ``window``-sized lanes (the
+    streaming cache is exact regardless of lane boundaries — boundary
+    k-mers simply take a cold probe)."""
+    from ..io.fasta import read_fasta
+
+    si = StreamingIndex(index)
+    pieces = []  # (ref_id, window_start, subseq)
+    for ri, (_name, seq) in enumerate(read_fasta(path)):
+        k = index.k
+        step = window - (k - 1)
+        for s in range(0, max(len(seq) - k + 1, 1), step):
+            pieces.append((ri, s, seq[s : s + window]))
+
+    for s in range(0, len(pieces), lanes):
+        chunk = pieces[s : s + lanes]
+        kms, valid, positions = kmerize_reads([p[2] for p in chunk], index.k)
+        out = si.get_ref_pos_reads(kms, valid)
+        for i, (ri, wstart, _) in enumerate(chunk):
+            nv = int(valid[i].sum())
+            want_pos = positions[i, :nv] + wstart
+            ok = (
+                (out["valid"][i, :nv])
+                & (out["ref_id"][i, :nv] == ri)
+                & (out["ref_pos"][i, :nv] == want_pos[:, None])
+            ).any(axis=1)
+            if not ok.all():
+                bad = int(np.flatnonzero(~ok)[0])
+                raise AssertionError(
+                    f"streaming: no matching MRP in ref {ri} @ pos {want_pos[bad]}"
+                )

@@ -42,6 +42,36 @@ def _load_refs(files: PF1FilePaths, ref_names) -> RefSeqCollection:
     return RefSeqCollection(seq, prefix_sum, ref_names)
 
 
+def load_sparse_index(dirname: str) -> ModIndex:
+    """Pufferfish sparse (sampled) index (reference src/pf1/sparse_index.rs:32-110)."""
+    from ..kphf.sampled import SampledPFHash
+
+    files = PF1FilePaths(dirname)
+    info = load_info_json(files.info_json)
+    assert info["sampling_type"] in ("sparse", "Sparse")
+
+    unitigs = _load_unitig_set(files, info["k"])
+    mphf = BooPHF.from_pf1(files.mphf)
+    k2u = SampledPFHash(
+        unitigs,
+        mphf,
+        sampled_pos=read_compact_int_vector(files.sample_pos),
+        sampled_vec=read_compact_bit_vector(files.presence),
+        canonical_vec=read_compact_bit_vector(files.canonical),
+        direction_vec=read_compact_bit_vector(files.direction),
+        ext_sizes=read_compact_int_vector(files.extension_lengths),
+        ext_bases=read_compact_int_vector(files.extension_bases),
+        sample_size=info["sample_size"],
+        extension_size=info["extension_size"],
+    )
+
+    ref_names, ref_exts, ctable = read_ctable(files.ctable)
+    offsets = read_compact_int_vector(files.ctg_offsets).to_array().astype(np.int64)
+    u2pos = DenseUnitigTable(ctable, offsets, ref_names, ref_exts)
+    refs = _load_refs(files, ref_names)
+    return ModIndex(k2u, u2pos, refs, index_type="PF1Sparse", metadata=info)
+
+
 def load_dense_index(dirname: str) -> ModIndex:
     files = PF1FilePaths(dirname)
     info = load_info_json(files.info_json)

@@ -271,6 +271,12 @@ def sshash_k2u(d: dict, fw_words, xp):
     """
     m = d["meta"]
     k, w = m.k, m.w
+    if xp is not np:
+        # the probe fori_loop gathers with traced indices: all index arrays
+        # must be device arrays (no-op if already transferred)
+        import jax
+
+        d = jax.tree_util.tree_map(xp.asarray, d)
     fw = xp.asarray(fw_words)
     rc = revcomp(fw, k)
 
@@ -292,14 +298,18 @@ def sshash_k2u(d: dict, fw_words, xp):
     rc_offset = k - offset - w
 
     zero = xp.zeros_like(ps)
-    found = xp.zeros(xp.shape(fw), dtype=bool)
-    out_uid = zero
-    out_ulen = zero
-    out_pos = zero
-    out_mt = xp.zeros(xp.shape(fw), dtype=xp.uint8)
+    state = (
+        xp.zeros(xp.shape(fw), dtype=bool),  # found
+        zero,  # uid
+        zero,  # ulen
+        zero,  # pos
+        xp.zeros(xp.shape(fw), dtype=xp.uint8),  # mt
+    )
 
     n_pos = d["pos"]["meta"].length
-    for j in range(m.probe_bound):
+
+    def probe_body(j, state):
+        found, out_uid, out_ulen, out_pos, out_mt = state
         active = (~found) & (j < n_occs) & (~use_skew)
         mm_pos = iv_get(d["pos"], xp.clip(ps + j, 0, n_pos - 1), xp).astype(xp.int64)
         for cand_off in (offset, rc_offset):
@@ -316,6 +326,24 @@ def sshash_k2u(d: dict, fw_words, xp):
             out_mt = xp.where(hit, mt, out_mt)
             found = found | hit
             active = active & (~hit)
+        return found, out_uid, out_ulen, out_pos, out_mt
+
+    if xp is np:
+        for j in range(m.probe_bound):
+            state = probe_body(j, state)
+    else:
+        import jax.lax as lax
+
+        # dynamic bound: the largest non-skew bucket in this batch (traced),
+        # capped by the static probe bound — lowers to a while_loop with a
+        # single trace of the body instead of a probe_bound-times-unrolled HLO
+        dyn_bound = xp.minimum(
+            xp.max(xp.where(use_skew, xp.zeros_like(n_occs), n_occs)),
+            m.probe_bound,
+        ).astype(xp.int32)
+        state = lax.fori_loop(0, dyn_bound, probe_body, state)
+
+    found, out_uid, out_ulen, out_pos, out_mt = state
 
     # skew path (reference src/kphf/sshash.rs:415-433)
     if "skew_mphf" in d:

@@ -1,0 +1,211 @@
+"""Multi-chip sharding of index queries.
+
+The reference is a single-process rayon library (SURVEY.md §2 note); the
+TPU build's distribution model comes from BASELINE.json:
+
+1. **Replicated index, data-parallel queries** (small references): the
+   index pytree is replicated on every chip; the query batch is sharded on
+   the leading axis over the ``data`` mesh axis. No collectives in the hot
+   path.
+
+2. **Minimizer-bucket-sharded index** (large references): the MPHF hash
+   space of minimizers is split into contiguous ranges; each ``bucket``
+   shard owns its slice of the bucket-bounds prefix and position arrays.
+   Queries are visible to all bucket shards (broadcast along ``bucket``);
+   each shard resolves only the queries whose minimizer hash it owns and
+   the per-query one-hot results combine with a single ``psum`` over the
+   ``bucket`` axis. The unitig set and MPHF are replicated (they are the
+   query-verification path); the heavy per-occurrence arrays are sharded.
+
+Both are expressed with ``jax.sharding`` + ``shard_map`` so XLA inserts
+the collectives and they ride ICI on a real pod slice.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def make_data_parallel_query(index_arrays, query_pipeline, mesh, axis: str = "data"):
+    """Replicated-index DP: returns jitted fn kms[N] -> padded results.
+
+    ``query_pipeline(arrays, kms, jnp)`` is any batched query function
+    (e.g. get_ref_pos_padded via functools.partial).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(axis))
+    arrays = jax.device_put(index_arrays, repl)
+
+    @jax.jit
+    def query(kms):
+        kms = jax.lax.with_sharding_constraint(kms, shard)
+        return query_pipeline(arrays, kms, jnp)
+
+    return arrays, query
+
+
+def shard_sshash_buckets(ss, n_shards: int):
+    """Host-side partition of an SSHash into ``n_shards`` bucket shards.
+
+    Returns (shared, stacked) where ``shared`` is the replicated part
+    (unitigs, mphf, skew) and ``stacked`` has leading axis ``n_shards``:
+    per-shard flat prefix slices and position slices (padded).
+    """
+    prefix = ss.occs_prefix_sum
+    n_min = len(prefix) - 1
+    bounds = np.linspace(0, n_min, n_shards + 1).astype(np.int64)
+    loc_prefix, loc_pos = [], []
+    pos_all = ss.pos.to_array()
+    max_prefix_len = 0
+    max_pos_len = 0
+    for s in range(n_shards):
+        lo, hi = bounds[s], bounds[s + 1]
+        p = prefix[lo : hi + 1] - prefix[lo]
+        loc_prefix.append(p)
+        loc_pos.append(pos_all[prefix[lo] : prefix[hi]])
+        max_prefix_len = max(max_prefix_len, len(p))
+        max_pos_len = max(max_pos_len, len(loc_pos[-1]))
+
+    def pad(a, n):
+        out = np.zeros(n, dtype=a.dtype)
+        out[: len(a)] = a
+        return out
+
+    stacked = {
+        "prefix": np.stack([pad(p, max_prefix_len) for p in loc_prefix]),
+        "pos": np.stack([pad(p, max_pos_len) for p in loc_pos]).astype(np.int64),
+        "lo": bounds[:-1][:, None],
+        "hi": bounds[1:][:, None],
+    }
+    base = ss.device_arrays(prefix_kind="flat")
+    shared = {k: v for k, v in base.items() if k not in ("prefix", "pos")}
+    shared["meta"] = base["meta"]
+    return shared, stacked
+
+
+def make_bucket_sharded_query(ss, mesh, data_axis: str = "data", bucket_axis: str = "bucket"):
+    """Minimizer-bucket-sharded SSHash k2u over a 2D (data, bucket) mesh.
+
+    Queries are sharded over ``data`` and broadcast along ``bucket``; each
+    bucket shard probes only its owned hash range; results merge with one
+    psum over ``bucket``. Returns a jitted fn kms[N] -> k2u dict.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    shard_map = jax.shard_map
+
+    from ..containers.unitig_set import us_get_kmer
+    from ..kmer import canonical_minimizer_batch, revcomp, word_equivalency
+    from ..kphf.boophf import boophf_lookup
+    from ..kphf.sshash import _map_hit
+
+    n_shards = mesh.shape[bucket_axis]
+    shared, stacked = shard_sshash_buckets(ss, n_shards)
+    m = shared["meta"]
+    k, w = m.k, m.w
+    probe_bound = m.probe_bound
+
+    shared = jax.device_put(shared, NamedSharding(mesh, P()))
+    stacked = jax.device_put(
+        stacked, NamedSharding(mesh, P(bucket_axis))
+    )  # leading axis = shard
+
+    def shard_fn(shared, stk, kms):
+        # stk leaves have leading dim 1 (this shard's slice)
+        prefix = stk["prefix"][0]
+        posarr = stk["pos"][0]
+        lo = stk["lo"][0, 0]
+        hi = stk["hi"][0, 0]
+
+        fw = kms
+        rc = revcomp(fw, k)
+        mm, offset, _isfw, _canon = canonical_minimizer_batch(jnp, fw, k, w, m.seed)
+        offset = offset.astype(jnp.int64)
+        h = boophf_lookup(shared["mphf"], mm, jnp)
+        mine = (h >= lo) & (h < hi)
+        hl = jnp.clip(h - lo, 0, prefix.shape[0] - 2)
+        ps = prefix[hl]
+        pe = prefix[hl + 1]
+        n_occs = jnp.where(mine, pe - ps, 0)
+        skew_param = m.skew_param
+        use_skew = (n_occs > skew_param) if skew_param >= 0 else jnp.zeros_like(mine)
+
+        last_km_start = shared["us"]["meta"].total_len - k
+        rc_offset = k - offset - w
+        # carry init must vary over the manual mesh axes like the outputs do
+        zero = ps * 0
+        state = (mine != mine, zero, zero, zero, zero.astype(jnp.uint8))
+
+        def probe_body(j, state):
+            found, o_uid, o_ulen, o_pos, o_mt = state
+            active = (~found) & (j < n_occs) & (~use_skew)
+            mm_pos = posarr[jnp.clip(ps + j, 0, posarr.shape[0] - 1)]
+            for cand_off in (offset, rc_offset):
+                km_pos = mm_pos - cand_off
+                in_range = (mm_pos >= cand_off) & (km_pos <= last_km_start)
+                km_pos_c = jnp.clip(km_pos, 0, max(last_km_start, 0))
+                kw = us_get_kmer(shared["us"], km_pos_c, jnp)
+                mt = word_equivalency(fw, rc, kw, k)
+                uid, ulen, upos, end_ok = _map_hit(
+                    {"us": shared["us"], "meta": m}, km_pos_c, jnp
+                )
+                hit = active & in_range & (mt > 0) & end_ok
+                o_uid = jnp.where(hit, uid, o_uid)
+                o_ulen = jnp.where(hit, ulen, o_ulen)
+                o_pos = jnp.where(hit, upos, o_pos)
+                o_mt = jnp.where(hit, mt, o_mt)
+                found = found | hit
+                active = active & (~hit)
+            return found, o_uid, o_ulen, o_pos, o_mt
+
+        dyn_bound = jnp.minimum(
+            jnp.max(jnp.where(use_skew, jnp.zeros_like(n_occs), n_occs)), probe_bound
+        ).astype(jnp.int32)
+        state = jax.lax.fori_loop(0, dyn_bound, probe_body, state)
+        _found, o_uid, o_ulen, o_pos, o_mt = state
+        out = dict(unitig_id=o_uid, unitig_len=o_ulen, pos=o_pos, mt=o_mt)
+
+        # skew path: resolved by the owner shard too (skew arrays replicated)
+        if "skew_mphf" in shared:
+            canon = jnp.minimum(fw, rc)
+            h2 = boophf_lookup(shared["skew_mphf"], canon, jnp)
+            from ..bits.intvector import iv_get
+
+            n_skew = shared["skew_pos"]["meta"].length
+            sp = iv_get(shared["skew_pos"], jnp.clip(h2, 0, n_skew - 1), jnp).astype(jnp.int64)
+            sp = jnp.clip(sp, 0, max(last_km_start, 0))
+            kw = us_get_kmer(shared["us"], sp, jnp)
+            mt = word_equivalency(fw, rc, kw, k)
+            uid, ulen, upos, end_ok = _map_hit({"us": shared["us"], "meta": m}, sp, jnp)
+            hit = mine & use_skew & (h2 >= 0) & (mt > 0) & end_ok
+            out["unitig_id"] = jnp.where(hit, uid, out["unitig_id"])
+            out["unitig_len"] = jnp.where(hit, ulen, out["unitig_len"])
+            out["pos"] = jnp.where(hit, upos, out["pos"])
+            out["mt"] = jnp.where(hit, mt, out["mt"])
+
+        # exactly one shard owns each query's bucket -> one-hot psum merge
+        merged = {
+            kk: jax.lax.psum(v.astype(jnp.int64) if v.dtype == jnp.uint8 else v, bucket_axis)
+            for kk, v in out.items()
+        }
+        merged["mt"] = merged["mt"].astype(jnp.uint8)
+        return merged
+
+    smapped = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(bucket_axis), P(data_axis)),
+        out_specs=P(data_axis),
+    )
+
+    @jax.jit
+    def query(kms):
+        return smapped(shared, stacked, kms)
+
+    return query

@@ -1,0 +1,74 @@
+"""Streaming (k-mer cache) tests: exact equality with the cold path and
+warm-rate sanity (reference src/index/caching.rs semantics, batched)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from mazu_tpu.index.modindex import k2u_batch
+from mazu_tpu.index.piscem_index import piscem_index_from_cf_prefix
+from mazu_tpu.index.streaming import (
+    StreamingIndex,
+    kmerize_reads,
+    validate_fasta_streaming,
+)
+from mazu_tpu.io.fasta import read_fasta
+
+from conftest import TEST_DATA
+
+TINY = os.path.join(TEST_DATA, "cf", "tiny", "tiny")
+YEAST = os.path.join(TEST_DATA, "cf", "yeast_chr7", "yeast_chr7")
+
+COMP = str.maketrans("ACGT", "TGCA")
+
+
+@pytest.fixture(scope="module")
+def tiny_index():
+    if not os.path.exists(TINY + ".cf_seg"):
+        pytest.skip("tiny cf fixture missing")
+    return piscem_index_from_cf_prefix(TINY, w=3, skew_param=2)
+
+
+def test_tiny_streaming_validate(tiny_index):
+    validate_fasta_streaming(tiny_index, TINY + ".fa")
+
+
+def test_streaming_equals_cold_mixed_strands(tiny_index):
+    idx = tiny_index
+    refs = [seq for _, seq in read_fasta(TINY + ".fa")]
+    reads = []
+    for seq in refs:
+        reads.append(seq)
+        reads.append(seq.translate(COMP)[::-1])
+    si = StreamingIndex(idx, use_jit=False)
+    kms, valid, _ = kmerize_reads(reads, idx.k)
+    out = si.k2u_reads(kms, valid)
+    cold = k2u_batch(idx.device_arrays(), kms.reshape(-1), np)
+    v = valid.reshape(-1)
+    for key in ("unitig_id", "unitig_len", "pos", "mt"):
+        np.testing.assert_array_equal(
+            out[key].reshape(-1)[v], np.asarray(cold[key]).reshape(-1)[v], err_msg=key
+        )
+
+
+@pytest.mark.slow
+def test_yeast_streaming_reads():
+    if not os.path.exists(YEAST + ".cf_seg"):
+        pytest.skip("yeast cf fixture missing")
+    idx = piscem_index_from_cf_prefix(YEAST, w=15, skew_param=32)
+    rng = np.random.default_rng(0)
+    seq = next(read_fasta(YEAST + ".fa"))[1]
+    reads = [seq[s : s + 150] for s in rng.integers(0, len(seq) - 150, 256)]
+    reads = [r if i % 2 else r.translate(COMP)[::-1] for i, r in enumerate(reads)]
+    si = StreamingIndex(idx)
+    kms, valid, _ = kmerize_reads(reads, idx.k)
+    out = si.k2u_reads(kms, valid)
+    cold = k2u_batch(idx.device_arrays(), kms.reshape(-1), np)
+    v = valid.reshape(-1)
+    for key in ("unitig_id", "unitig_len", "pos", "mt"):
+        np.testing.assert_array_equal(
+            out[key].reshape(-1)[v], np.asarray(cold[key]).reshape(-1)[v], err_msg=key
+        )
+    # bidirectional warm check keeps mixed-strand reads warm
+    assert si.last_cold_fraction < 0.05
