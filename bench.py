@@ -40,7 +40,12 @@ def build_index():
         idx = g._toy_index(n_seqs=256, seq_len=500)
         unitigs, refs, u2pos = idx.k2u.unitigs, idx.refs, idx.u2pos
         log("fallback toy index")
-    sshash = SSHash.from_unitig_set(unitigs, w=15, skew_param=32)
+    skew = int(os.environ.get("MAZU_BENCH_SKEW", 4))
+    sshash = SSHash.from_unitig_set(unitigs, w=15, skew_param=skew)
+    log(
+        f"sshash: skew={skew} probe_bound={sshash.probe_bound()} "
+        f"skew_kmers={sshash.n_kmers_in_skew_index} bits/kmer={sshash.num_bits()/sshash.n_kmers:.2f}"
+    )
     from mazu_tpu.index.modindex import ModIndex
 
     return ModIndex(sshash, u2pos, refs, index_type="Piscem-bench")
@@ -50,6 +55,8 @@ def main():
     t0 = time.time()
     index = build_index()
     k = index.k
+    mode = os.environ.get("MAZU_BENCH_MODE", "full")  # full | k2u | mphf
+    prefix_kind = os.environ.get("MAZU_BENCH_PREFIX", "flat")  # flat | ef
 
     # workload: every k-mer of the reference, fw/rc mixed, tiled to the batch
     from mazu_tpu.kmer import revcomp
@@ -69,13 +76,27 @@ def main():
     import jax.numpy as jnp
 
     from mazu_tpu.index.modindex import get_ref_pos_padded
+    from mazu_tpu.kphf.boophf import boophf_lookup
     from mazu_tpu.kphf.sshash import sshash_k2u
 
-    arrays = jax.device_put(index.device_arrays())
+    host_arrays = {
+        "k2u": index.k2u.device_arrays(prefix_kind=prefix_kind),
+        "u2pos": index.u2pos.device_arrays(),
+        "refs": index.refs.device_arrays(),
+        "meta": index.device_arrays()["meta"],
+    }
+    arrays = jax.device_put(host_arrays)
     max_occs = max(1, index.max_occs())
 
     @jax.jit
     def query(kms):
+        if mode == "mphf":
+            h = boophf_lookup(arrays["k2u"]["mphf"], kms, jnp)
+            return h.sum(), h
+        if mode == "k2u":
+            out = sshash_k2u(arrays["k2u"], kms, jnp)
+            s = out["unitig_id"].sum() + out["pos"].sum() + out["unitig_len"].sum()
+            return s, out["mt"]
         out = get_ref_pos_padded(arrays, kms, jnp, max_occs)
         # reduce outputs to a checksum to keep the bench transfer-free
         s = out["ref_pos"].sum() + out["ref_id"].sum()
@@ -89,15 +110,16 @@ def main():
     log(f"compile+first run {time.time()-t0:.1f}s")
 
     # parity vs host NumPy on a sample
-    sample = work[:4096]
-    host = get_ref_pos_padded(index.device_arrays(), sample, np, max_occs)
-    dev = {kk: np.asarray(v) for kk, v in jax.jit(
-        lambda w: get_ref_pos_padded(arrays, w, jnp, max_occs)
-    )(jnp.asarray(sample)).items()}
-    for key in ("unitig_id", "pos", "mt", "ref_id", "ref_pos", "orient", "valid"):
-        np.testing.assert_array_equal(dev[key], host[key], err_msg=key)
-    assert (np.asarray(mt)[: len(kms)] > 0).all(), "indexed k-mer missed"
-    log("parity OK")
+    if mode == "full":
+        sample = work[:4096]
+        host = get_ref_pos_padded(host_arrays, sample, np, max_occs)
+        dev = {kk: np.asarray(v) for kk, v in jax.jit(
+            lambda w: get_ref_pos_padded(arrays, w, jnp, max_occs)
+        )(jnp.asarray(sample)).items()}
+        for key in ("unitig_id", "pos", "mt", "ref_id", "ref_pos", "orient", "valid"):
+            np.testing.assert_array_equal(dev[key], host[key], err_msg=key)
+        assert (np.asarray(mt)[: len(kms)] > 0).all(), "indexed k-mer missed"
+        log("parity OK")
 
     iters = int(os.environ.get("MAZU_BENCH_ITERS", 10))
     t0 = time.time()

@@ -1,0 +1,168 @@
+"""Command-line interface (reference parity: src/bin/index/main.rs and
+src/bin/kphf/main.rs).
+
+  mazu-tpu index build piscem     -p <cf_prefix> -o out.piscem.npz [-m W] [-s SKEW]
+  mazu-tpu index build pufferfish -p <cf_prefix> -o out.pf_dense.npz
+  mazu-tpu index validate-fasta   -i out.npz -f refs.fa [--streaming]
+  mazu-tpu kphf build  (sshash|pfhash) -p <cf_prefix> -o out.npz [-m W] [-s SKEW] [--validate]
+  mazu-tpu kphf validate -i kphf.npz
+  mazu-tpu kphf stats    -i kphf.npz
+  mazu-tpu kphf bench    -i kphf.npz -f queries.fa [--streaming]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+
+import numpy as np
+
+log = logging.getLogger("mazu_tpu")
+
+DEFAULT_SKEW = 64  # reference src/bin/index/main.rs:9
+DEFAULT_W = 15
+
+
+def _build_parser():
+    p = argparse.ArgumentParser(prog="mazu-tpu")
+    p.add_argument("-v", "--verbose", action="store_true")
+    sub = p.add_subparsers(dest="tool", required=True)
+
+    # ---- index tool
+    idx = sub.add_parser("index").add_subparsers(dest="cmd", required=True)
+    b = idx.add_parser("build")
+    bsub = b.add_subparsers(dest="flavor", required=True)
+    for flavor in ("piscem", "pufferfish"):
+        f = bsub.add_parser(flavor)
+        f.add_argument("-p", "--cf-prefix", required=True)
+        f.add_argument("-o", "--output", required=True)
+        if flavor == "piscem":
+            f.add_argument("-m", "--minimizer-size", type=int, default=DEFAULT_W)
+            f.add_argument("-s", "--skew-param", type=int, default=DEFAULT_SKEW)
+    v = idx.add_parser("validate-fasta")
+    v.add_argument("-i", "--index", required=True)
+    v.add_argument("-f", "--fasta", required=True)
+    v.add_argument("--streaming", action="store_true")
+
+    # ---- kphf tool
+    kp = sub.add_parser("kphf").add_subparsers(dest="cmd", required=True)
+    b = kp.add_parser("build")
+    bsub = b.add_subparsers(dest="flavor", required=True)
+    for flavor in ("sshash", "pfhash"):
+        f = bsub.add_parser(flavor)
+        f.add_argument("-p", "--cf-prefix", required=True)
+        f.add_argument("-o", "--output", required=True)
+        f.add_argument("--validate", action="store_true")
+        if flavor == "sshash":
+            f.add_argument("-m", "--minimizer-size", type=int, default=DEFAULT_W)
+            f.add_argument("-s", "--skew-param", type=int, default=DEFAULT_SKEW)
+    for cmd in ("validate", "stats"):
+        c = kp.add_parser(cmd)
+        c.add_argument("-i", "--input", required=True)
+    c = kp.add_parser("bench")
+    c.add_argument("-i", "--input", required=True)
+    c.add_argument("-f", "--fasta", required=True)
+    c.add_argument("--streaming", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = _build_parser().parse_args(argv)
+    logging.basicConfig(
+        level=logging.INFO if args.verbose else logging.WARNING,
+        format="%(levelname)s %(name)s: %(message)s",
+    )
+    from .containers.unitig_set import UnitigSet
+    from .io.checkpoint import load_index, load_k2u, save_index, save_k2u
+    from .io.cuttlefish import CfFiles
+
+    if args.tool == "index":
+        if args.cmd == "build":
+            from .index.piscem_index import (
+                piscem_index_from_cf_prefix,
+                pufferfish_dense_index_from_cf_prefix,
+            )
+
+            t = time.time()
+            if args.flavor == "piscem":
+                sp = None if args.skew_param <= 0 else args.skew_param
+                idx = piscem_index_from_cf_prefix(
+                    args.cf_prefix, w=args.minimizer_size, skew_param=sp
+                )
+            else:
+                idx = pufferfish_dense_index_from_cf_prefix(args.cf_prefix)
+            log.info("built in %.1fs", time.time() - t)
+            save_index(idx, args.output)
+            print(f"wrote {args.output}")
+        elif args.cmd == "validate-fasta":
+            idx = load_index(args.index)
+            if args.streaming:
+                from .index.streaming import validate_fasta_streaming
+
+                validate_fasta_streaming(idx, args.fasta)
+            else:
+                from .index.validate import validate_fasta
+
+                validate_fasta(idx, args.fasta)
+            print("valid")
+    elif args.tool == "kphf":
+        if args.cmd == "build":
+            us, _ = UnitigSet.from_cf(CfFiles(args.cf_prefix))
+            t = time.time()
+            if args.flavor == "sshash":
+                from .kphf.sshash import SSHash
+
+                sp = None if args.skew_param <= 0 else args.skew_param
+                k2u = SSHash.from_unitig_set(us, args.minimizer_size, skew_param=sp)
+            else:
+                from .kphf.pfhash import PFHash
+
+                k2u = PFHash.from_unitig_set(us)
+            log.info("built in %.1fs", time.time() - t)
+            if args.validate:
+                from .index.validate import validate_k2u_self
+
+                t = time.time()
+                validate_k2u_self(k2u)
+                dt = time.time() - t
+                n = 2 * k2u.n_kmers
+                print(f"validated {n} queries in {dt:.2f}s ({dt / n * 1e9:.1f} ns/kmer)")
+            save_k2u(k2u, args.output)
+            print(f"wrote {args.output}")
+        elif args.cmd == "validate":
+            k2u = load_k2u(args.input)
+            from .index.validate import validate_k2u_self
+
+            validate_k2u_self(k2u)
+            print("valid")
+        elif args.cmd == "stats":
+            k2u = load_k2u(args.input)
+            print(f"n_kmers: {k2u.n_kmers}")
+            print(f"k: {k2u.k}")
+            print(f"n_unitigs: {k2u.unitigs.n_unitigs}")
+            if hasattr(k2u, "print_stats"):
+                k2u.print_stats()
+        elif args.cmd == "bench":
+            k2u = load_k2u(args.input)
+            from .index.validate import valid_kmer_windows
+            from .io.fasta import read_fasta
+            from .index.modindex import k2u_batch
+
+            d = {"k2u": k2u.device_arrays()}
+            words = np.concatenate(
+                [valid_kmer_windows(seq, k2u.k)[1] for _, seq in read_fasta(args.fasta)]
+            )
+            t = time.time()
+            r = k2u_batch(d, words, np)
+            dt = time.time() - t
+            hits = int((np.asarray(r["mt"]) > 0).sum())
+            n = len(words)
+            print(f"{n} queries, {hits} hits, {n - hits} misses")
+            print(f"{dt:.3f}s total, {dt / max(n,1) * 1e9:.1f} ns/kmer")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -246,32 +246,67 @@ def boophf_lookup(d: dict, keys, xp):
     For keys in the indexed set the value is exact; for foreign keys the
     result may be an arbitrary in-range value (classic MPHF contract,
     reference src/pf1/boophf/mod.rs:96-102).
+
+    Optimization over the scalar reference: the level scan does only the
+    bit test per level (1 gather); the 512-bit-block rank runs ONCE for
+    the first-hit level using level offsets gathered from a tiny constant
+    table, instead of per level.
     """
     meta: BooPHFMeta = d["meta"]
     keys = xp.asarray(keys)
-    res = xp.full(xp.shape(keys), -1, dtype=xp.int64)
-    done = xp.zeros(xp.shape(keys), dtype=bool)
-    s0 = s1 = None
-    for li in range(len(meta.n_bits)):
-        if li == 0:
-            h, s0, s1 = multihash_h0(keys)
-        elif li == 1:
-            h, s0, s1 = multihash_h1(s0, s1, keys)
-        else:
-            h, s0, s1 = multihash_next(s0, s1)
-        n_bits = meta.n_bits[li]
-        pos = fast_range_64(h, U64(n_bits)).astype(xp.int64)
-        woff = meta.word_offsets[li]
-        bit = ((d["words"][woff + (pos >> 6)] >> (pos.astype(xp.uint64) & U64(63))) & U64(1)) != 0
-        hit = bit & ~done
-        r = _level_rank(d, meta, li, pos, xp)
-        res = xp.where(hit, r, res)
-        done = done | hit
+    n_levels = len(meta.n_bits)
+    if n_levels == 0:
+        hit_level = xp.full(xp.shape(keys), -1, dtype=xp.int32)
+        hit_pos = xp.zeros(xp.shape(keys), dtype=xp.int64)
+    else:
+        hit_level = None
+        s0 = s1 = None
+        for li in range(n_levels):
+            if li == 0:
+                h, s0, s1 = multihash_h0(keys)
+            elif li == 1:
+                h, s0, s1 = multihash_h1(s0, s1, keys)
+            else:
+                h, s0, s1 = multihash_next(s0, s1)
+            pos = fast_range_64(h, U64(meta.n_bits[li])).astype(xp.int64)
+            woff = meta.word_offsets[li]
+            bit = (
+                (d["words"][woff + (pos >> 6)] >> (pos.astype(xp.uint64) & U64(63)))
+                & U64(1)
+            ) != 0
+            if hit_level is None:
+                hit_level = xp.where(bit, xp.int32(0), xp.int32(-1))
+                hit_pos = xp.where(bit, pos, xp.zeros_like(pos))
+            else:
+                newly = bit & (hit_level < 0)
+                hit_level = xp.where(newly, xp.int32(li), hit_level)
+                hit_pos = xp.where(newly, pos, hit_pos)
 
-    # final hash (sorted keys + binary search)
+    # one rank for the hit level (dynamic level offsets from constant tables)
+    lvl = xp.clip(hit_level, 0, max(n_levels - 1, 0))
+    woff_t = xp.asarray(np.array(meta.word_offsets or (0,), dtype=np.int64))
+    roff_t = xp.asarray(np.array(meta.rank_offsets or (0,), dtype=np.int64))
+    wo = woff_t[lvl]
+    ro = roff_t[lvl]
+    word_idx = hit_pos >> 6
+    block = hit_pos >> 9
+    block_start = block << 3
+    r = d["ranks"][ro + block].astype(xp.int64)
+    for i in range(7):
+        wid = block_start + i
+        w = d["words"][wo + wid]
+        use = wid < word_idx
+        r = r + xp.where(use, _popcount(xp, w), xp.zeros_like(r))
+    off = (hit_pos & 63).astype(xp.uint64)
+    mask = xp.where(off == 0, U64(0), (~U64(0)).astype(xp.uint64) >> (U64(64) - off))
+    r = r + _popcount(xp, d["words"][wo + word_idx] & mask)
+
+    res = xp.where(hit_level >= 0, r, xp.full(xp.shape(keys), -1, dtype=xp.int64))
+
+    # final hash (sorted keys + binary search) for level misses
     fhk = d["fh_keys"]
     idx = xp.searchsorted(fhk, keys)
     idx = xp.clip(idx, 0, len(fhk) - 1)
-    fh_hit = (fhk[idx] == keys) & ~done
+    fh_hit = (fhk[idx] == keys) & (hit_level < 0)
     res = xp.where(fh_hit, d["fh_vals"][idx].astype(xp.int64), res)
     return res

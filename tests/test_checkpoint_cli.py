@@ -1,0 +1,80 @@
+"""Checkpoint save/load roundtrips and CLI end-to-end flows
+(reference parity: src/bin/index/main.rs, src/bin/kphf/main.rs)."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from mazu_tpu.index.piscem_index import (
+    piscem_index_from_cf_prefix,
+    pufferfish_dense_index_from_cf_prefix,
+)
+from mazu_tpu.index.validate import validate_fasta, validate_k2u_self
+from mazu_tpu.io.checkpoint import load_index, load_k2u, save_index, save_k2u
+
+from conftest import TEST_DATA
+
+TINY = os.path.join(TEST_DATA, "cf", "tiny", "tiny")
+TINY_FA = TINY + ".fa"
+
+
+def _tmp(suffix=".npz"):
+    f = tempfile.NamedTemporaryFile(suffix=suffix, delete=False)
+    f.close()
+    return f.name
+
+
+@pytest.mark.parametrize("flavor", ["piscem", "pufferfish"])
+def test_index_roundtrip(flavor):
+    if not os.path.exists(TINY + ".cf_seg"):
+        pytest.skip("fixture missing")
+    if flavor == "piscem":
+        idx = piscem_index_from_cf_prefix(TINY, w=3, skew_param=2)
+    else:
+        idx = pufferfish_dense_index_from_cf_prefix(TINY)
+    p = _tmp()
+    save_index(idx, p)
+    idx2 = load_index(p)
+    assert idx2.index_type == idx.index_type
+    assert idx2.k == idx.k
+    assert idx2.u2pos.ref_names == idx.u2pos.ref_names
+    validate_fasta(idx2, TINY_FA)
+    os.unlink(p)
+
+
+def test_sparse_k2u_roundtrip():
+    sparse_dir = os.path.join(TEST_DATA, "pf1", "small_txome_index_sparse")
+    if not os.path.isdir(sparse_dir):
+        pytest.skip("fixture missing")
+    from mazu_tpu.io.pf1_index import load_sparse_index
+
+    k2u = load_sparse_index(sparse_dir).k2u
+    p = _tmp()
+    save_k2u(k2u, p)
+    k2u2 = load_k2u(p)
+    assert k2u2.sample_size == k2u.sample_size
+    validate_k2u_self(k2u2)
+    os.unlink(p)
+
+
+def test_cli_flows(capsys):
+    if not os.path.exists(TINY + ".cf_seg"):
+        pytest.skip("fixture missing")
+    from mazu_tpu.cli import main
+
+    out = _tmp()
+    assert main(["index", "build", "piscem", "-p", TINY, "-o", out, "-m", "3", "-s", "2"]) == 0
+    assert main(["index", "validate-fasta", "-i", out, "-f", TINY_FA]) == 0
+    assert main(["index", "validate-fasta", "-i", out, "-f", TINY_FA, "--streaming"]) == 0
+
+    ko = _tmp()
+    assert main(["kphf", "build", "sshash", "-p", TINY, "-o", ko, "-m", "3", "--validate"]) == 0
+    assert main(["kphf", "validate", "-i", ko]) == 0
+    assert main(["kphf", "stats", "-i", ko]) == 0
+    assert main(["kphf", "bench", "-i", ko, "-f", TINY_FA]) == 0
+    txt = capsys.readouterr().out
+    assert "16 queries, 16 hits, 0 misses" in txt
+    os.unlink(out)
+    os.unlink(ko)
