@@ -62,10 +62,12 @@ def _mphf_state(m: BooPHF) -> dict:
         "last_bitset_rank": np.int64(m.last_bitset_rank),
         "gamma": np.float64(m.gamma),
         "level_n_bits": np.array([n for (n, _, _) in m.levels], dtype=np.int64),
+        "level_n_words": np.array([len(w) for (_, w, _) in m.levels], dtype=np.int64),
+        "level_n_ranks": np.array([len(r) for (_, _, r) in m.levels], dtype=np.int64),
         "level_words": np.concatenate([w for (_, w, _) in m.levels])
         if m.levels
         else np.zeros(0, np.uint64),
-        "level_ranks": np.concatenate([r for (_, _, r) in m.levels])
+        "level_ranks": np.concatenate([np.asarray(r, dtype=np.uint64) for (_, _, r) in m.levels])
         if m.levels
         else np.zeros(0, np.uint64),
         "fh_keys": m.fh_keys,
@@ -76,10 +78,8 @@ def _mphf_state(m: BooPHF) -> dict:
 def _mphf_from(d) -> BooPHF:
     levels = []
     wo = ro = 0
-    for n in d["level_n_bits"]:
-        n = int(n)
-        nw = (n + 63) // 64
-        nr = -(-n // 512)
+    for n, nw, nr in zip(d["level_n_bits"], d["level_n_words"], d["level_n_ranks"]):
+        n, nw, nr = int(n), int(nw), int(nr)
         levels.append((n, d["level_words"][wo : wo + nw], d["level_ranks"][ro : ro + nr]))
         wo += nw
         ro += nr
