@@ -135,6 +135,31 @@ class ModIndex:
 
         return arrays, query
 
+    def iter_unitigs_on_ref(self, ref_id: int):
+        """Walk reference ``ref_id``'s unitig tiling by querying the k-mer at
+        each tile start and jumping unitig_len - k + 1 (parity: reference
+        src/index.rs:363-424 RefSeqContigIterator). Yields dicts with
+        unitig_id, unitig_len, pos, o (1=fw)."""
+        assert self.refs.has_seq
+        arrays = self.device_arrays()
+        k = self.k
+        s, e = int(self.refs.prefix_sum[ref_id]), int(self.refs.prefix_sum[ref_id + 1])
+        pos = 0
+        end_pos = (e - s) - k + 1
+        while pos < end_pos:
+            km = self.refs.seq.get_kmer_u64(np.array([s + pos]), k)
+            r = k2u_batch(arrays, km, np)
+            mt = int(r["mt"][0])
+            assert mt > 0, f"reference walk failed at pos {pos}"
+            ulen = int(r["unitig_len"][0])
+            yield {
+                "unitig_id": int(r["unitig_id"][0]),
+                "unitig_len": ulen,
+                "pos": pos,
+                "o": 1 if mt == MATCH_IDENTITY else 0,
+            }
+            pos += ulen - k + 1
+
     # ------------------------------------------------------ host-side query
     def get_ref_pos_eager(self, kms) -> list:
         """NumPy reference path: list (one per query) of lists of

@@ -47,10 +47,10 @@ def validate_self(index: ModIndex, query_fn=None, chunk: int = 1 << 14):
             _check_chunk(out, ri, np.arange(s, s + len(part)), "validate_self")
 
 
-def valid_kmer_windows(seq: str | bytes, k: int):
-    """(positions, fw_words) of all k-mer windows containing only ACGT —
+def windows_from_codes(codes: np.ndarray, k: int):
+    """(positions, fw_words) of all k-mer windows of valid codes (< 4) —
     the CanonicalKmerIterator contract (skip + restart at invalid bases)."""
-    codes = seq_to_codes(seq.upper() if isinstance(seq, str) else seq)
+    codes = np.asarray(codes, dtype=np.uint8)
     n = len(codes)
     if n < k:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.uint64)
@@ -64,6 +64,16 @@ def valid_kmer_windows(seq: str | bytes, k: int):
     for i in range(k):
         words |= c[pos + i] << np.uint64(2 * i)
     return pos, words
+
+
+def valid_kmer_windows(seq: str | bytes, k: int):
+    """(positions, fw_words) of all all-ACGT k-mer windows of an ASCII read.
+    Uses the native C++ k-merizer when available (15x faster ingestion)."""
+    from ..io import native
+
+    if native.have_native():
+        return native.kmerize(native.seq_to_codes(seq), k)
+    return windows_from_codes(seq_to_codes(seq), k)
 
 
 def validate_ckmers(index: ModIndex, ref_id: int, seq: str, query_fn=None, chunk: int = 1 << 14):

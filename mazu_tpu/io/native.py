@@ -1,0 +1,102 @@
+"""ctypes bindings for the native host library (native/mazu_host.cpp).
+
+Compiled lazily with g++ on first use (cached next to the source); every
+entry point has a NumPy fallback so the package works without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_HERE, "native", "mazu_host.cpp")
+_SO = os.path.join(_HERE, "native", "libmazu_host.so")
+
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("MAZU_NO_NATIVE"):
+        return None
+    try:
+        if (not os.path.exists(_SO)) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _SO, _SRC],
+                check=True,
+                capture_output=True,
+            )
+        lib = ctypes.CDLL(_SO)
+        lib.seq_to_codes.restype = ctypes.c_int64
+        lib.kmerize.restype = ctypes.c_int64
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def have_native() -> bool:
+    return _load() is not None
+
+
+def seq_to_codes(seq: bytes | str) -> np.ndarray:
+    """ASCII DNA -> uint8 codes (255 for non-ACGT)."""
+    if isinstance(seq, str):
+        seq = seq.encode()
+    lib = _load()
+    if lib is None:
+        from ..kmer import seq_to_codes as np_impl
+
+        return np_impl(seq)
+    n = len(seq)
+    out = np.empty(n, dtype=np.uint8)
+    lib.seq_to_codes(seq, ctypes.c_int64(n), out.ctypes.data_as(ctypes.c_void_p))
+    return out
+
+
+def codes_to_words(codes: np.ndarray) -> np.ndarray:
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    lib = _load()
+    if lib is None:
+        from ..bits.seqvector import SeqVector
+
+        return SeqVector.from_codes(codes).words[:-1]
+    n = len(codes)
+    nw = (2 * n + 63) // 64
+    out = np.zeros(nw, dtype=np.uint64)
+    lib.codes_to_words(
+        codes.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(n),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out
+
+
+def kmerize(codes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """All valid k-mer windows of a code sequence: (positions, fw words)."""
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    lib = _load()
+    if lib is None:
+        from ..index.validate import windows_from_codes
+
+        return windows_from_codes(codes, k)
+    n = len(codes)
+    cap = max(n - k + 1, 0)
+    pos = np.empty(cap, dtype=np.int64)
+    words = np.empty(cap, dtype=np.uint64)
+    cnt = lib.kmerize(
+        codes.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(n),
+        ctypes.c_int(k),
+        pos.ctypes.data_as(ctypes.c_void_p),
+        words.ctypes.data_as(ctypes.c_void_p),
+    )
+    return pos[:cnt].copy(), words[:cnt].copy()

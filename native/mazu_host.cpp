@@ -1,0 +1,86 @@
+// mazu_host: native host-side ops for the mazu_tpu data loader.
+//
+// The reference implements its entire host path in native Rust; here the
+// performance-critical ingestion ops (ASCII DNA -> 2-bit packing, batch
+// k-merization with non-ACGT window rejection) are C++ with a ctypes ABI,
+// used by mazu_tpu.io.native (NumPy fallback when the .so is absent).
+//
+// Build: g++ -O3 -march=native -shared -fPIC -o libmazu_host.so mazu_host.cpp
+
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// ASCII -> 2-bit codes; non-ACGT -> 255. Returns number of invalid chars.
+int64_t seq_to_codes(const char* seq, int64_t n, uint8_t* out) {
+    static uint8_t lut[256];
+    static bool init = false;
+    if (!init) {
+        memset(lut, 255, 256);
+        lut['A'] = lut['a'] = 0;
+        lut['C'] = lut['c'] = 1;
+        lut['G'] = lut['g'] = 2;
+        lut['T'] = lut['t'] = 3;
+        init = true;
+    }
+    int64_t bad = 0;
+    for (int64_t i = 0; i < n; i++) {
+        uint8_t c = lut[(uint8_t)seq[i]];
+        out[i] = c;
+        bad += (c == 255);
+    }
+    return bad;
+}
+
+// Pack 2-bit codes LSB-first into u64 words (codes must be < 4).
+void codes_to_words(const uint8_t* codes, int64_t n, uint64_t* words) {
+    int64_t nw = (2 * n + 63) / 64;
+    memset(words, 0, nw * 8);
+    for (int64_t i = 0; i < n; i++) {
+        words[i >> 5] |= ((uint64_t)(codes[i] & 3)) << ((i & 31) * 2);
+    }
+}
+
+// Batch k-merize: emit (pos, packed word) for every window of k valid
+// bases (non-ACGT restarts, CanonicalKmerIterator semantics). Returns the
+// number of k-mers emitted. pos_out/word_out must have capacity n-k+1.
+int64_t kmerize(const uint8_t* codes, int64_t n, int k, int64_t* pos_out,
+                uint64_t* word_out) {
+    if (n < k) return 0;
+    int64_t out = 0;
+    uint64_t word = 0;
+    const uint64_t mask = (k >= 32) ? ~0ull : ((1ull << (2 * k)) - 1);
+    int run = 0;  // count of consecutive valid bases ending at i
+    for (int64_t i = 0; i < n; i++) {
+        uint8_t c = codes[i];
+        if (c > 3) {
+            run = 0;
+            word = 0;
+            continue;
+        }
+        word = ((word >> 2) | ((uint64_t)c << (2 * (k - 1)))) & mask;
+        if (++run >= k) {
+            pos_out[out] = i - k + 1;
+            word_out[out] = word;
+            out++;
+        }
+    }
+    return out;
+}
+
+// Reverse-complement k-mer words in place (LSB-first layout).
+void revcomp_words(uint64_t* words, int64_t n, int k) {
+    const int shift = 64 - 2 * k;
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t x = ~words[i];
+        x = ((x >> 2) & 0x3333333333333333ull) | ((x & 0x3333333333333333ull) << 2);
+        x = ((x >> 4) & 0x0F0F0F0F0F0F0F0Full) | ((x & 0x0F0F0F0F0F0F0F0Full) << 4);
+        x = ((x >> 8) & 0x00FF00FF00FF00FFull) | ((x & 0x00FF00FF00FF00FFull) << 8);
+        x = ((x >> 16) & 0x0000FFFF0000FFFFull) | ((x & 0x0000FFFF0000FFFFull) << 16);
+        x = (x >> 32) | (x << 32);
+        words[i] = x >> shift;
+    }
+}
+
+}  // extern "C"

@@ -133,3 +133,30 @@ class TestSeqVector:
                 want = kmer_from_str(s[p : p + k])
                 assert int(sv.get_kmer_u64(p, k)) == want
                 assert int(np.asarray(sv_get_kmer(sv.device_arrays(), p, jnp, k))) == want
+
+
+class TestNativeHostLib:
+    def test_parity_with_numpy(self):
+        import ctypes
+
+        from mazu_tpu.io import native
+        from mazu_tpu.index.validate import windows_from_codes
+        from mazu_tpu.kmer import revcomp, seq_to_codes
+
+        if not native.have_native():
+            pytest.skip("no toolchain")
+        rng = np.random.default_rng(11)
+        seq = "".join(rng.choice(list("ACGTNacgt"), 5000))
+        codes = seq_to_codes(seq)
+        np.testing.assert_array_equal(native.seq_to_codes(seq), codes)
+        for k in (5, 31):
+            p_n, w_n = native.kmerize(codes, k)
+            p_p, w_p = windows_from_codes(codes, k)
+            np.testing.assert_array_equal(p_n, p_p)
+            np.testing.assert_array_equal(w_n, w_p)
+        lib = native._load()
+        rcs = w_n.copy()
+        lib.revcomp_words(
+            rcs.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(len(rcs)), ctypes.c_int(31)
+        )
+        np.testing.assert_array_equal(rcs, revcomp(w_n, 31))

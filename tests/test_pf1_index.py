@@ -102,3 +102,39 @@ class TestYeast:
         out_n = get_ref_pos_padded(yeast.device_arrays(), kms, np, yeast.max_occs())
         for key in ("unitig_id", "pos", "mt", "ref_id", "ref_pos", "orient", "valid"):
             np.testing.assert_array_equal(out_j[key], out_n[key], err_msg=key)
+
+
+class TestRefSeqAndContigIter:
+    def test_tiny_refs_fasta(self):
+        # reference src/refseq.rs:249-257
+        from mazu_tpu.containers.refseq import RefSeqCollection
+
+        p = os.path.join(PF1, "tiny-multi-refs", "tiny-multi-refs.fasta")
+        if not os.path.exists(p):
+            pytest.skip("fixture missing")
+        refs = RefSeqCollection.from_fasta(p)
+        assert refs.ref_seq_str(0) == "AGTGATGATAGTAGAGGTA"
+        assert refs.ref_seq_str(1) == "AGTGACTGATAGTAGCAGGTA"
+
+    def test_contig_iter(self):
+        # reference src/refseq.rs:281-309
+        idx = _load("tiny-multi-refs/tiny-multi-refs_index")
+        ctgs0 = list(idx.iter_unitigs_on_ref(0))
+        ctgs1 = list(idx.iter_unitigs_on_ref(1))
+        assert [c["unitig_len"] for c in ctgs0] == [5, 8, 9, 8, 5]
+        assert [c["unitig_id"] for c in ctgs0] == [0, 1, 2, 3, 4]
+        assert [c["unitig_len"] for c in ctgs1] == [5, 9, 9, 9, 5]
+        assert [c["unitig_id"] for c in ctgs1] == [0, 5, 2, 6, 4]
+
+    def test_refseq_kmers(self):
+        # reference src/refseq.rs:260-278
+        idx = _load("tiny-multi-refs/tiny-multi-refs_index")
+        from mazu_tpu.kmer import kmer_to_str
+
+        kms = idx.refs.ref_kmers(1, idx.k)
+        want = [
+            "AGTGA", "GTGAC", "TGACT", "GACTG", "ACTGA", "CTGAT", "TGATA",
+            "GATAG", "ATAGT", "TAGTA", "AGTAG", "GTAGC", "TAGCA", "AGCAG",
+            "GCAGG", "CAGGT", "AGGTA",
+        ]
+        assert [kmer_to_str(w, idx.k) for w in kms] == want
