@@ -170,7 +170,7 @@ def mix64(x, seed=U64(0)):
 # ----------------------------------------------------------------------------
 
 
-def canonical_minimizer_batch(xp, words, k: int, w: int, seed=0):
+def canonical_minimizer_batch(xp, words, k: int, w: int, seed=0, hash32: bool = False):
     """Canonical minimizer of each k-mer word in ``words``.
 
     Contract (matches the reference's deviation notes, src/kphf/sshash.rs:32-37:
@@ -193,6 +193,11 @@ def canonical_minimizer_batch(xp, words, k: int, w: int, seed=0):
     n_win = k - w + 1
     mw = mask2k(w)
     seed = U64(seed)
+    if hash32:
+        assert w <= 16, "hash32 minimizer ordering needs w <= 16"
+        from .kphf.boophf32 import mix32
+
+        seed32 = np.uint32(int(seed) & 0xFFFFFFFF)
 
     canon, is_fw, _rc = canonicalize(words, k)
 
@@ -201,7 +206,10 @@ def canonical_minimizer_batch(xp, words, k: int, w: int, seed=0):
     best_j = None
     for j in range(n_win):
         mv = (canon >> U64(2 * j)) & mw
-        sc = mix64(mv, seed)
+        if hash32:
+            sc = mix32(mv.astype(xp.uint32) ^ seed32)
+        else:
+            sc = mix64(mv, seed)
         if best_val is None:
             best_val, best_score = mv, sc
             best_j = xp.zeros(xp.shape(sc), dtype=xp.int32)

@@ -27,8 +27,17 @@ from ..containers.unitig_set import UnitigSet, us_get_kmer
 from ..kmer import canonical_minimizer_batch, revcomp, word_equivalency
 from ..pytree import meta
 from .boophf import BooPHF, boophf_lookup
+from .boophf32 import BooPHF32, BooPHF32Meta, boophf32_lookup
 
 U64 = np.uint64
+
+
+def mphf_lookup(d: dict, keys, xp):
+    """Dispatch on the MPHF implementation (64-bit C++-parity BooPHF or the
+    TPU-native 32-bit BooPHF32)."""
+    if isinstance(d["meta"], BooPHF32Meta):
+        return boophf32_lookup(d, keys, xp)
+    return boophf_lookup(d, keys, xp)
 
 
 def _dedup_stream(mm, pos, mask):
@@ -56,6 +65,7 @@ class SSHash:
         skew_mphf: BooPHF | None,
         skew_pos: IntVector | None,
         seed: int = 0,
+        hash32: bool = False,
     ):
         self.unitigs = unitigs
         self.w = int(w)
@@ -66,6 +76,7 @@ class SSHash:
         self.skew_mphf = skew_mphf
         self.skew_pos = skew_pos
         self.seed = int(seed)
+        self.hash32 = bool(hash32)  # mix32 minimizer ordering (TPU fast path)
 
     # ----------------------------------------------------------------- build
     @classmethod
@@ -77,10 +88,18 @@ class SSHash:
         seed: int = 0,
         gamma: float = 1.7,
         chunk: int = 1 << 20,
+        engine: str = "parity",  # "parity" (u64 BooPHF) | "fast32" (TPU-native)
     ) -> "SSHash":
-        """Host-side build (reference src/kphf/sshash.rs:86-330, vectorized)."""
+        """Host-side build (reference src/kphf/sshash.rs:86-330, vectorized).
+
+        ``engine="fast32"`` selects the TPU-native arithmetic: BooPHF32
+        MPHFs (u32 chain hashes, power-of-two levels) and mix32 minimizer
+        ordering — same structure and guarantees, ~all-32-bit query math.
+        """
         k = unitigs.k
         assert w <= k
+        hash32 = engine == "fast32"
+        mphf_cls = BooPHF32 if hash32 else BooPHF
 
         # 1. canonical minimizer occurrence per k-mer (chunked over all k-mers)
         kpos = unitigs.kmer_start_positions()
@@ -90,7 +109,9 @@ class SSHash:
         for s in range(0, len(kpos), chunk):
             sl = slice(s, s + chunk)
             words = unitigs.get_kmer_u64(kpos[sl])
-            mm, off, is_fw, _ = canonical_minimizer_batch(np, words, k, w, seed)
+            mm, off, is_fw, _ = canonical_minimizer_batch(
+                np, words, k, w, seed, hash32=hash32
+            )
             mm_all[sl] = mm
             occ_pos_all[sl] = kpos[sl] + off.astype(np.int64)
             isfw_all[sl] = is_fw
@@ -110,7 +131,7 @@ class SSHash:
         mm_set, ranges_start, mm_occs = np.unique(mms, return_index=True, return_counts=True)
 
         # 4. MPHF over the minimizer set
-        mphf = BooPHF.build(mm_set, gamma=gamma)
+        mphf = mphf_cls.build(mm_set, gamma=gamma)
 
         # 5. occs prefix sum in hash order + position scatter
         h = mphf.lookup(mm_set)
@@ -143,20 +164,35 @@ class SSHash:
                 # dedup by canonical word, keep one (any) position per word
                 cw_sorted, first_idx = np.unique(cwords, return_index=True)
                 kept_pos = cand[first_idx]
-                skew_mphf = BooPHF.build(cw_sorted, gamma=gamma)
+                skew_mphf = mphf_cls.build(cw_sorted, gamma=gamma)
                 h2 = skew_mphf.lookup(cw_sorted)
                 sp = np.zeros(len(cw_sorted), dtype=np.uint64)
                 sp[h2] = kept_pos.astype(np.uint64)
                 skew_pos_iv = IntVector.from_array(sp)
             else:
-                skew_mphf = BooPHF.build(np.array([0], dtype=np.uint64), gamma=gamma)
+                skew_mphf = mphf_cls.build(np.array([0], dtype=np.uint64), gamma=gamma)
                 skew_pos_iv = IntVector.from_array(np.array([0], dtype=np.uint64))
 
-        return cls(unitigs, w, mphf, prefix, pos_iv, skew_param, skew_mphf, skew_pos_iv, seed)
+        return cls(
+            unitigs,
+            w,
+            mphf,
+            prefix,
+            pos_iv,
+            skew_param,
+            skew_mphf,
+            skew_pos_iv,
+            seed,
+            hash32=hash32,
+        )
 
     @classmethod
-    def from_unitig_set_no_skew_index(cls, unitigs, w, seed=0, gamma=1.7) -> "SSHash":
-        return cls.from_unitig_set(unitigs, w, skew_param=None, seed=seed, gamma=gamma)
+    def from_unitig_set_no_skew_index(
+        cls, unitigs, w, seed=0, gamma=1.7, engine="parity"
+    ) -> "SSHash":
+        return cls.from_unitig_set(
+            unitigs, w, skew_param=None, seed=seed, gamma=gamma, engine=engine
+        )
 
     # ------------------------------------------------------------- accessors
     @property
@@ -214,26 +250,47 @@ class SSHash:
         log(f"bits / kmer: {self.num_bits() / nk:.3f}")
 
     # --------------------------------------------------------------- device
-    def device_arrays(self, prefix_kind: str = "ef") -> dict:
-        """``prefix_kind``: "ef" stores bucket bounds Elias-Fano compressed
-        (reference parity, select-based get); "flat" stores them as a plain
-        int64 array (1-gather fast path)."""
+    def device_arrays(self, prefix_kind: str | None = None, pos_kind: str | None = None) -> dict:
+        """Array layout knobs:
+
+        - ``prefix_kind``: "ef" = Elias-Fano bucket bounds (reference
+          parity, select-based get); "flat" = int64 array; "flat32" =
+          int32 array (fast path). Default: "ef" for parity engines,
+          "flat32" for fast32.
+        - ``pos_kind``: "packed" = minimal-width IntVector (parity);
+          "flat32" = int32 array (1-gather fast path). Same defaults.
+        """
+        if prefix_kind is None:
+            prefix_kind = "flat32" if self.hash32 else "ef"
+        if pos_kind is None:
+            pos_kind = "flat32" if self.hash32 else "packed"
         d = {
             "us": self.unitigs.device_arrays(),
             "mphf": self.mphf.device_arrays(),
-            "pos": self.pos.device_arrays(),
             "meta": meta(
                 kind="sshash",
                 k=self.k,
                 w=self.w,
                 seed=self.seed,
+                hash32=self.hash32,
                 skew_param=-1 if self.skew_param is None else self.skew_param,
                 probe_bound=max(1, self.probe_bound()),
                 prefix_kind=prefix_kind,
+                pos_kind=pos_kind,
             ),
         }
+        if pos_kind == "flat32":
+            assert self.unitigs.total_len < (1 << 31)
+            d["pos"] = {
+                "flat": self.pos.to_array().astype(np.int32),
+                "meta": meta(length=len(self.pos)),
+            }
+        else:
+            d["pos"] = self.pos.device_arrays()
         if prefix_kind == "ef":
             d["prefix"] = self.ef_occs_prefix_sum().device_arrays()
+        elif prefix_kind == "flat32":
+            d["prefix"] = {"flat": self.occs_prefix_sum.astype(np.int32)}
         else:
             d["prefix"] = {"flat": self.occs_prefix_sum}
         if self.skew_mphf is not None:
@@ -250,7 +307,13 @@ class SSHash:
 def _prefix_get(d: dict, i, xp):
     if d["meta"].prefix_kind == "ef":
         return ef_get(d["prefix"], i, xp).astype(xp.int64)
-    return d["prefix"]["flat"][i]
+    return d["prefix"]["flat"][i].astype(xp.int64)
+
+
+def _pos_get(d: dict, i, xp):
+    if d["meta"].pos_kind == "flat32":
+        return d["pos"]["flat"][i].astype(xp.int64)
+    return iv_get(d["pos"], i, xp).astype(xp.int64)
 
 
 def _map_hit(d: dict, km_pos, xp):
@@ -280,11 +343,13 @@ def sshash_k2u(d: dict, fw_words, xp):
     fw = xp.asarray(fw_words)
     rc = revcomp(fw, k)
 
-    mm, offset, _is_fw, _canon = canonical_minimizer_batch(xp, fw, k, w, m.seed)
+    mm, offset, _is_fw, _canon = canonical_minimizer_batch(
+        xp, fw, k, w, m.seed, hash32=m.hash32
+    )
     canon = xp.minimum(fw, rc)
     offset = offset.astype(xp.int64)
 
-    h = boophf_lookup(d["mphf"], mm, xp)
+    h = mphf_lookup(d["mphf"], mm, xp).astype(xp.int64)
     hc = xp.clip(h, 0, None)
     ps = _prefix_get(d, hc, xp)
     pe = _prefix_get(d, hc + 1, xp)
@@ -311,7 +376,7 @@ def sshash_k2u(d: dict, fw_words, xp):
     def probe_body(j, state):
         found, out_uid, out_ulen, out_pos, out_mt = state
         active = (~found) & (j < n_occs) & (~use_skew)
-        mm_pos = iv_get(d["pos"], xp.clip(ps + j, 0, n_pos - 1), xp).astype(xp.int64)
+        mm_pos = _pos_get(d, xp.clip(ps + j, 0, n_pos - 1), xp)
         for cand_off in (offset, rc_offset):
             km_pos = mm_pos - cand_off
             in_range = (mm_pos >= cand_off) & (km_pos <= last_km_start)
@@ -347,7 +412,7 @@ def sshash_k2u(d: dict, fw_words, xp):
 
     # skew path (reference src/kphf/sshash.rs:415-433)
     if "skew_mphf" in d:
-        h2 = boophf_lookup(d["skew_mphf"], canon, xp)
+        h2 = mphf_lookup(d["skew_mphf"], canon, xp).astype(xp.int64)
         n_skew = d["skew_pos"]["meta"].length
         sp = iv_get(d["skew_pos"], xp.clip(h2, 0, n_skew - 1), xp).astype(xp.int64)
         sp = xp.clip(sp, 0, max(last_km_start, 0))

@@ -117,3 +117,64 @@ def test_yeast_piscem_validate_fasta():
     assert ss.n_minimizers < idx.n_kmers
     assert ss.n_kmers_in_skew_index > 0
     validate_fasta(idx, YEAST + ".fa")
+
+
+class TestFast32Engine:
+    def test_boophf32_minimal_perfect(self):
+        from mazu_tpu.kphf.boophf32 import BooPHF32
+
+        rng = np.random.default_rng(2)
+        keys = np.unique(rng.integers(0, 1 << 62, 20000, dtype=np.uint64))
+        m = BooPHF32.build(keys)
+        v = m.lookup(keys)
+        assert sorted(v.tolist()) == list(range(len(keys)))
+        # foreign keys: in-range false positives or -1, never out of range
+        foreign = m.lookup(np.array([1 << 63], dtype=np.uint64) + keys[:50])
+        assert (foreign < len(keys)).all() and (foreign >= -1).all()
+
+    def test_boophf32_device_matches_host(self):
+        import jax.numpy as jnp
+
+        from mazu_tpu.kphf.boophf32 import BooPHF32, boophf32_lookup
+
+        rng = np.random.default_rng(3)
+        keys = np.unique(rng.integers(0, 1 << 62, 5000, dtype=np.uint64))
+        m = BooPHF32.build(keys)
+        d = m.device_arrays()
+        np.testing.assert_array_equal(
+            np.asarray(boophf32_lookup(d, jnp.asarray(keys), jnp)),
+            boophf32_lookup(d, keys, np),
+        )
+
+    @pytest.mark.parametrize("w", [3, 5, 7])
+    def test_tiny_fast32_validate(self, tiny_unitigs, w):
+        ss = SSHash.from_unitig_set(tiny_unitigs, w, skew_param=2, engine="fast32")
+        assert ss.hash32
+        validate_k2u_self(ss)
+
+    def test_fast32_goldens(self, tiny_unitigs):
+        ss = SSHash.from_unitig_set(tiny_unitigs, 3, skew_param=2, engine="fast32")
+        d = ss.device_arrays()
+        for s, (uid, ulen, pos) in GOLDENS:
+            km = np.array([kmer_from_str(s)], dtype=np.uint64)
+            r = sshash_k2u(d, km, np)
+            assert (
+                int(r["unitig_id"][0]),
+                int(r["unitig_len"][0]),
+                int(r["pos"][0]),
+                int(r["mt"][0]),
+            ) == (uid, ulen, pos, 1), s
+        r = sshash_k2u(d, np.array([kmer_from_str("AAAAAAA")], dtype=np.uint64), np)
+        assert int(r["mt"][0]) == 0
+
+    def test_fast32_jnp_matches_np(self, tiny_unitigs):
+        import jax.numpy as jnp
+
+        ss = SSHash.from_unitig_set(tiny_unitigs, 5, skew_param=2, engine="fast32")
+        d = ss.device_arrays()
+        pos = tiny_unitigs.kmer_start_positions()
+        kms = tiny_unitigs.get_kmer_u64(pos)
+        r_np = sshash_k2u(d, kms, np)
+        r_j = sshash_k2u(d, jnp.asarray(kms), jnp)
+        for key in r_np:
+            np.testing.assert_array_equal(np.asarray(r_j[key]), r_np[key])
