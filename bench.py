@@ -41,9 +41,10 @@ def build_index():
         unitigs, refs, u2pos = idx.k2u.unitigs, idx.refs, idx.u2pos
         log("fallback toy index")
     skew = int(os.environ.get("MAZU_BENCH_SKEW", 4))
-    sshash = SSHash.from_unitig_set(unitigs, w=15, skew_param=skew)
+    engine = os.environ.get("MAZU_BENCH_ENGINE", "fast32")
+    sshash = SSHash.from_unitig_set(unitigs, w=15, skew_param=skew, engine=engine)
     log(
-        f"sshash: skew={skew} probe_bound={sshash.probe_bound()} "
+        f"sshash: engine={engine} skew={skew} probe_bound={sshash.probe_bound()} "
         f"skew_kmers={sshash.n_kmers_in_skew_index} bits/kmer={sshash.num_bits()/sshash.n_kmers:.2f}"
     )
     from mazu_tpu.index.modindex import ModIndex
@@ -56,7 +57,8 @@ def main():
     index = build_index()
     k = index.k
     mode = os.environ.get("MAZU_BENCH_MODE", "full")  # full | k2u | mphf
-    prefix_kind = os.environ.get("MAZU_BENCH_PREFIX", "flat")  # flat | ef
+    # None -> engine-appropriate default (flat32 for fast32, ef for parity)
+    prefix_kind = os.environ.get("MAZU_BENCH_PREFIX") or None
 
     # workload: every k-mer of the reference, fw/rc mixed, tiled to the batch
     from mazu_tpu.kmer import revcomp

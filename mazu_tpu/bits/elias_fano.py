@@ -22,8 +22,7 @@ def _msb(n: int) -> int:
     return max(0, int(n).bit_length() - 1)
 
 
-class EFNotMonotone(ValueError):
-    pass
+from ..err import EFEmpty, EFNotMonotone  # noqa: F401  (canonical home: err.py)
 
 
 class EFVector:
@@ -37,7 +36,8 @@ class EFVector:
     def from_array(cls, xs: np.ndarray, u: int | None = None) -> "EFVector":
         xs = np.asarray(xs, dtype=np.uint64)
         n = len(xs)
-        assert n > 0, "EFVector of empty sequence"
+        if n == 0:
+            raise EFEmpty("EFVector of empty sequence")
         if np.any(xs[1:] < xs[:-1]):
             raise EFNotMonotone("sequence not monotone")
         if u is None:

@@ -146,19 +146,32 @@ def main(argv=None):
                 k2u.print_stats()
         elif args.cmd == "bench":
             k2u = load_k2u(args.input)
-            from .index.validate import valid_kmer_windows
             from .io.fasta import read_fasta
-            from .index.modindex import k2u_batch
 
-            d = {"k2u": k2u.device_arrays()}
-            words = np.concatenate(
-                [valid_kmer_windows(seq, k2u.k)[1] for _, seq in read_fasta(args.fasta)]
-            )
-            t = time.time()
-            r = k2u_batch(d, words, np)
-            dt = time.time() - t
-            hits = int((np.asarray(r["mt"]) > 0).sum())
-            n = len(words)
+            if args.streaming:
+                from .index.streaming import StreamingIndex, kmerize_reads
+
+                si = StreamingIndex(k2u, use_jit=False)
+                reads = [seq for _, seq in read_fasta(args.fasta)]
+                kms, valid, _ = kmerize_reads(reads, k2u.k)
+                t = time.time()
+                r = si.k2u_reads(kms, valid)
+                dt = time.time() - t
+                mt = r["mt"][valid]
+            else:
+                from .index.modindex import k2u_batch
+                from .index.validate import valid_kmer_windows
+
+                d = {"k2u": k2u.device_arrays()}
+                words = np.concatenate(
+                    [valid_kmer_windows(seq, k2u.k)[1] for _, seq in read_fasta(args.fasta)]
+                )
+                t = time.time()
+                r = k2u_batch(d, words, np)
+                dt = time.time() - t
+                mt = np.asarray(r["mt"])
+            hits = int((mt > 0).sum())
+            n = len(mt)
             print(f"{n} queries, {hits} hits, {n - hits} misses")
             print(f"{dt:.3f}s total, {dt / max(n,1) * 1e9:.1f} ns/kmer")
     return 0

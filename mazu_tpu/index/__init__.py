@@ -1,7 +1,7 @@
 """Modular index & query engine (L4 of the reference layer map)."""
 
 from .unitig_table import DenseUnitigTable, PiscemUnitigTable, decode_occs
-from .modindex import ModIndex, k2u_batch, get_ref_pos_padded
+from .modindex import ModIndex, k2u_batch, get_ref_pos_padded, get_ref_pos_csr
 from .spt import SPT
 from .validate import validate_self, validate_fasta
 
@@ -12,6 +12,7 @@ __all__ = [
     "ModIndex",
     "k2u_batch",
     "get_ref_pos_padded",
+    "get_ref_pos_csr",
     "SPT",
     "validate_self",
     "validate_fasta",

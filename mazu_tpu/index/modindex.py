@@ -83,6 +83,56 @@ def get_ref_pos_padded(d: dict, fw_words, xp, max_occs: int):
     }
 
 
+def get_ref_pos_csr(d: dict, fw_words, xp, budget: int):
+    """Batched get_ref_pos with EXACT (CSR) occurrence materialization.
+
+    Returns (k2u fields + occ_start/occ_count per query) plus flat arrays
+    qid/ref_id/ref_pos/orient of length ``budget`` (static) holding the
+    concatenated occurrences of all queries; ``total`` gives the true
+    count (caller re-runs with a bigger budget if total > budget; the
+    count pass is nearly free).
+
+    This is the streaming-scale alternative to get_ref_pos_padded when
+    per-unitig occurrence counts are heavily skewed.
+    """
+    r = k2u_batch(d, fw_words, xp)
+    u2 = d["u2pos"]
+    hit = r["mt"] > 0
+    uid = xp.where(hit, r["unitig_id"], xp.zeros_like(r["unitig_id"]))
+    start = u2["offsets"][uid]
+    cnt = xp.where(hit, u2["offsets"][uid + 1] - start, xp.zeros_like(start))
+    occ_start = xp.cumsum(cnt) - cnt
+    total = occ_start[-1] + cnt[-1] if cnt.shape[0] else xp.int64(0)
+
+    # flat slot j belongs to query qid[j] = searchsorted(occ_start, j, 'right')-1
+    j = xp.arange(budget, dtype=start.dtype)
+    qid = xp.clip(
+        xp.searchsorted(occ_start, j, side="right") - 1, 0, max(cnt.shape[0] - 1, 0)
+    )
+    within = j - occ_start[qid]
+    valid = (j < total) & (within < cnt[qid])
+    occ_idx = xp.clip(start[qid] + within, 0, max(u2["meta"].n_occs - 1, 0))
+    ref_id, occ_pos, occ_o = decode_occs(u2, occ_idx, xp)
+
+    k = d["meta"].k
+    kpos = r["pos"][qid]
+    ulen = r["unitig_len"][qid]
+    ref_pos = xp.where(occ_o == 1, kpos + occ_pos, occ_pos + (ulen - kpos) - k)
+    o_match = (r["mt"][qid] == MATCH_IDENTITY).astype(xp.int32)
+    orient = xp.where(occ_o == 1, o_match, 1 - o_match)
+    return {
+        **r,
+        "occ_start": occ_start,
+        "occ_count": cnt,
+        "total": total,
+        "qid": qid,
+        "ref_id": xp.where(valid, ref_id, xp.full_like(ref_id, -1)),
+        "ref_pos": xp.where(valid, ref_pos, xp.zeros_like(ref_pos)),
+        "orient": xp.where(valid, orient, xp.zeros_like(orient)),
+        "valid": valid,
+    }
+
+
 class ModIndex:
     """Host-side modular index: K2U + U2Pos + refs + provenance."""
 
@@ -108,6 +158,12 @@ class ModIndex:
     @property
     def n_refs(self) -> int:
         return self.refs.n_refs
+
+    @property
+    def ref_names(self) -> list:
+        """Reference names (the reference logs 'FIX ME' and returns empty,
+        src/index.rs:71-74; we return the real names from the table)."""
+        return self.u2pos.ref_names or self.refs.names
 
     def max_occs(self) -> int:
         return self.u2pos.max_occs()

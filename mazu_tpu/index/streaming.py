@@ -68,12 +68,22 @@ def _bucket_size(n: int) -> int:
 
 
 class StreamingIndex:
-    """Batched streaming wrapper around a ModIndex (lanes = reads)."""
+    """Batched streaming wrapper around a ModIndex — or a bare K2U
+    dictionary (then only k2u_reads is available)."""
 
-    def __init__(self, index: ModIndex, use_jit: bool = True):
-        self.index = index
+    def __init__(self, index, use_jit: bool = True):
+        if hasattr(index, "u2pos"):
+            self.index = index
+            self._np_arrays = index.device_arrays()
+        else:  # bare K2U (reference StreamingK2U, src/index/caching.rs:13-17)
+            from ..pytree import meta as make_meta
+
+            self.index = None
+            self._np_arrays = {
+                "k2u": index.device_arrays(),
+                "meta": make_meta(k=index.k, index_type="K2U"),
+            }
         self.k = index.k
-        self._np_arrays = index.device_arrays()
         self.use_jit = use_jit
         if use_jit:
             import jax
@@ -157,6 +167,7 @@ class StreamingIndex:
         from .. import MATCH_IDENTITY
         from .unitig_table import decode_occs
 
+        assert self.index is not None, "projection needs a full ModIndex"
         r = self.k2u_reads(kmer_matrix, valid)
         u2 = self._np_arrays["u2pos"]
         if max_occs is None:

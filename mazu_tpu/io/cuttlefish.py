@@ -55,10 +55,15 @@ class CfSeqToken:
 
     @classmethod
     def parse(cls, s: str) -> "CfSeqToken":
-        if s.startswith("N"):
-            return cls(False, n=int(s[1:]))
-        o = ORIENT_FORWARD if s[-1] == "+" else ORIENT_BACKWARD
-        return cls(True, id=int(s[:-1]), o=o)
+        from ..err import CfSeqTokenParseError
+
+        try:
+            if s.startswith("N"):
+                return cls(False, n=int(s[1:]))
+            o = ORIENT_FORWARD if s[-1] == "+" else ORIENT_BACKWARD
+            return cls(True, id=int(s[:-1]), o=o)
+        except (ValueError, IndexError) as e:
+            raise CfSeqTokenParseError(f"bad cf_seq token {s!r}") from e
 
 
 def iter_segs(cf: CfFiles) -> Iterator[tuple[int, str]]:

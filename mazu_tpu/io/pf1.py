@@ -57,8 +57,7 @@ class PF1FilePaths:
             setattr(self, attr.lower(), os.path.join(dirname, fname))
 
 
-class TruncatedFile(IOError):
-    pass
+from ..err import TruncatedFile  # noqa: F401  (canonical home: err.py)
 
 
 def _read_exact(f, n: int) -> bytes:

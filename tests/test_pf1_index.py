@@ -138,3 +138,43 @@ class TestRefSeqAndContigIter:
             "GCAGG", "CAGGT", "AGGTA",
         ]
         assert [kmer_to_str(w, idx.k) for w in kms] == want
+
+
+class TestCSRProjection:
+    def test_matches_padded(self, yeast):
+        from mazu_tpu.index.modindex import get_ref_pos_csr, get_ref_pos_padded
+
+        kms = yeast.refs.ref_kmers(0, yeast.k)[:2048]
+        d = yeast.device_arrays()
+        pad = get_ref_pos_padded(d, kms, np, yeast.max_occs())
+        total = int(pad["n_occs"].sum())
+        csr = get_ref_pos_csr(d, kms, np, budget=total + 7)
+        assert int(csr["total"]) == total
+        for q in range(0, len(kms), 97):
+            for j in range(int(pad["n_occs"][q])):
+                slot = int(csr["occ_start"][q]) + j
+                assert csr["qid"][slot] == q
+                assert csr["ref_id"][slot] == pad["ref_id"][q, j]
+                assert csr["ref_pos"][slot] == pad["ref_pos"][q, j]
+                assert csr["orient"][slot] == pad["orient"][q, j]
+
+    def test_ref_names(self, yeast):
+        assert len(yeast.ref_names) == yeast.n_refs
+
+
+class TestErrors:
+    def test_cf_token_parse_error(self):
+        from mazu_tpu.err import CfSeqTokenParseError
+        from mazu_tpu.io.cuttlefish import CfSeqToken
+
+        with pytest.raises(CfSeqTokenParseError):
+            CfSeqToken.parse("xyz")
+        with pytest.raises(CfSeqTokenParseError):
+            CfSeqToken.parse("Nabc")
+
+    def test_ef_empty(self):
+        from mazu_tpu.bits import EFVector
+        from mazu_tpu.err import EFEmpty
+
+        with pytest.raises(EFEmpty):
+            EFVector.from_array(np.zeros(0, dtype=np.uint64))
