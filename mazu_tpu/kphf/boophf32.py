@@ -39,6 +39,13 @@ def mix32(x):
     return x ^ (x >> U32(16))
 
 
+def fold_hash32(keys):
+    """uint64 key -> u32 hash (two mults); the direct bucket-table hash."""
+    lo = (keys & U64(0xFFFFFFFF)).astype(U32)
+    hi = (keys >> U64(32)).astype(U32)
+    return mix32(lo ^ _GOLD) ^ mix32(hi + _C2)
+
+
 def key_fold32(keys):
     """uint64 key -> (s0, s1) u32 chain state (one mult each)."""
     lo = (keys & U64(0xFFFFFFFF)).astype(U32)

@@ -77,8 +77,41 @@ class SSHash:
         self.skew_pos = skew_pos
         self.seed = int(seed)
         self.hash32 = bool(hash32)  # mix32 minimizer ordering (TPU fast path)
+        self.direct_T = None  # set when the minimizer map is a direct bucket table
 
     # ----------------------------------------------------------------- build
+    @staticmethod
+    def _collect_minimizer_occs(unitigs: UnitigSet, w: int, seed: int, hash32: bool, chunk: int):
+        """Steps 1-3 of the build (reference src/kphf/sshash.rs:94-172):
+        canonical minimizer occurrence per k-mer, per-stream consecutive
+        dedup, value-sort. Returns (mm_set, mm_occs, ranges_start, mps_sorted)."""
+        k = unitigs.k
+        kpos = unitigs.kmer_start_positions()
+        mm_all = np.empty(len(kpos), dtype=np.uint64)
+        occ_pos_all = np.empty(len(kpos), dtype=np.int64)
+        isfw_all = np.empty(len(kpos), dtype=bool)
+        for s in range(0, len(kpos), chunk):
+            sl = slice(s, s + chunk)
+            words = unitigs.get_kmer_u64(kpos[sl])
+            mm, off, is_fw, _ = canonical_minimizer_batch(
+                np, words, k, w, seed, hash32=hash32
+            )
+            mm_all[sl] = mm
+            occ_pos_all[sl] = kpos[sl] + off.astype(np.int64)
+            isfw_all[sl] = is_fw
+
+        keep_fw = _dedup_stream(mm_all, occ_pos_all, isfw_all)
+        keep_rc = _dedup_stream(mm_all, occ_pos_all, ~isfw_all)
+        sel = np.concatenate([keep_fw, keep_rc])
+        mms = mm_all[sel]
+        mps = occ_pos_all[sel]
+
+        order = np.argsort(mms, kind="stable")
+        mms = mms[order]
+        mps = mps[order]
+        mm_set, ranges_start, mm_occs = np.unique(mms, return_index=True, return_counts=True)
+        return mm_set, mm_occs, ranges_start, mps
+
     @classmethod
     def from_unitig_set(
         cls,
@@ -98,37 +131,17 @@ class SSHash:
         """
         k = unitigs.k
         assert w <= k
+        if engine == "direct":
+            return cls._from_unitig_set_direct(
+                unitigs, w, skew_param, seed, chunk
+            )
         hash32 = engine == "fast32"
         mphf_cls = BooPHF32 if hash32 else BooPHF
 
-        # 1. canonical minimizer occurrence per k-mer (chunked over all k-mers)
-        kpos = unitigs.kmer_start_positions()
-        mm_all = np.empty(len(kpos), dtype=np.uint64)
-        occ_pos_all = np.empty(len(kpos), dtype=np.int64)
-        isfw_all = np.empty(len(kpos), dtype=bool)
-        for s in range(0, len(kpos), chunk):
-            sl = slice(s, s + chunk)
-            words = unitigs.get_kmer_u64(kpos[sl])
-            mm, off, is_fw, _ = canonical_minimizer_batch(
-                np, words, k, w, seed, hash32=hash32
-            )
-            mm_all[sl] = mm
-            occ_pos_all[sl] = kpos[sl] + off.astype(np.int64)
-            isfw_all[sl] = is_fw
-
-        # 2. dedup consecutive occurrences in the fw- and rc-canonical
-        # streams separately, then pool
-        keep_fw = _dedup_stream(mm_all, occ_pos_all, isfw_all)
-        keep_rc = _dedup_stream(mm_all, occ_pos_all, ~isfw_all)
-        sel = np.concatenate([keep_fw, keep_rc])
-        mms = mm_all[sel]
-        mps = occ_pos_all[sel]
-
-        # 3. sort by minimizer value; unique values + per-value ranges
-        order = np.argsort(mms, kind="stable")
-        mms = mms[order]
-        mps = mps[order]
-        mm_set, ranges_start, mm_occs = np.unique(mms, return_index=True, return_counts=True)
+        # 1-3. minimizer occurrences, deduped and value-sorted
+        mm_set, mm_occs, ranges_start, mps = cls._collect_minimizer_occs(
+            unitigs, w, seed, hash32, chunk
+        )
 
         # 4. MPHF over the minimizer set
         mphf = mphf_cls.build(mm_set, gamma=gamma)
@@ -139,9 +152,10 @@ class SSHash:
         n_occs_by_h = np.zeros(len(mm_set), dtype=np.int64)
         n_occs_by_h[h] = mm_occs
         prefix = np.concatenate([[0], np.cumsum(n_occs_by_h)]).astype(np.int64)
+        n_total = int(mm_occs.sum())
         dest_start = np.repeat(prefix[h], mm_occs)
-        within = np.arange(len(mms)) - np.repeat(ranges_start, mm_occs)
-        posv = np.zeros(len(mms), dtype=np.uint64)
+        within = np.arange(n_total) - np.repeat(ranges_start, mm_occs)
+        posv = np.zeros(n_total, dtype=np.uint64)
         posv[dest_start + within] = mps.astype(np.uint64)
         pos_iv = IntVector.from_array(posv)
 
@@ -187,6 +201,80 @@ class SSHash:
         )
 
     @classmethod
+    def _from_unitig_set_direct(cls, unitigs, w, skew_param, seed, chunk, bucket_load=0.5):
+        """engine="direct": TPU-native bucket table instead of an MPHF.
+
+        The minimizer -> bucket map is ``fold_hash32(mm) & (T-1)`` with T a
+        power of two (~n_minimizers / bucket_load entries). Colliding
+        minimizers share a bucket: their occurrence lists concatenate and
+        the candidate verification rejects foreign positions — exactness is
+        unchanged, the whole MPHF probe (bit tests + block ranks + final
+        hash) collapses to one hash + two int32 gathers. Space trades up
+        (~4 bytes/bucket); HBM is cheap, gathers are not. Skew stays a
+        BooPHF32 (its cost is paid once per batch lane either way).
+        """
+        from .boophf32 import fold_hash32
+
+        k = unitigs.k
+        skew_param = 8 if skew_param is None else skew_param
+        mm_set, mm_occs, ranges_start, mps = cls._collect_minimizer_occs(
+            unitigs, w, seed, True, chunk
+        )
+        n_min = len(mm_set)
+        T = 1 << max(6, int(np.ceil(np.log2(max(n_min / bucket_load, 64)))))
+        b = (fold_hash32(mm_set) & np.uint32(T - 1)).astype(np.int64)
+
+        # group occurrences by bucket (stable in minimizer-value order)
+        order2 = np.argsort(b, kind="stable")
+        occ_counts = mm_occs[order2]
+        src = np.repeat(ranges_start[order2], occ_counts) + (
+            np.arange(occ_counts.sum()) - np.repeat(np.cumsum(occ_counts) - occ_counts, occ_counts)
+        )
+        pos_direct = mps[src]
+        bucket_counts = np.zeros(T, dtype=np.int64)
+        np.add.at(bucket_counts, b, mm_occs)
+        prefix = np.concatenate([[0], np.cumsum(bucket_counts)]).astype(np.int64)
+
+        # skew: kmers overlapping occurrences of heavy (merged) buckets
+        heavy = np.flatnonzero(bucket_counts > skew_param)
+        if len(heavy):
+            occ_sel = np.concatenate(
+                [np.arange(prefix[hb], prefix[hb + 1]) for hb in heavy]
+            )
+            mm_positions = pos_direct[occ_sel]
+            span = k - w + 1
+            starts = np.maximum(mm_positions - (k - w), 0)
+            cand = np.unique((starts[:, None] + np.arange(span)[None, :]).reshape(-1))
+            cand = cand[unitigs.is_valid_useq_pos(cand)]
+            words = unitigs.get_kmer_u64(cand)
+            cwords = np.minimum(words, revcomp(words, k))
+            cw_sorted, first_idx = np.unique(cwords, return_index=True)
+            kept_pos = cand[first_idx]
+            skew_mphf = BooPHF32.build(cw_sorted)
+            h2 = skew_mphf.lookup(cw_sorted)
+            sp = np.zeros(len(cw_sorted), dtype=np.uint64)
+            sp[h2] = kept_pos.astype(np.uint64)
+            skew_pos_iv = IntVector.from_array(sp)
+        else:
+            skew_mphf = BooPHF32.build(np.array([0], dtype=np.uint64))
+            skew_pos_iv = IntVector.from_array(np.array([0], dtype=np.uint64))
+
+        self = cls(
+            unitigs,
+            w,
+            None,  # no MPHF: direct bucket table
+            prefix,
+            IntVector.from_array(pos_direct.astype(np.uint64)),
+            skew_param,
+            skew_mphf,
+            skew_pos_iv,
+            seed,
+            hash32=True,
+        )
+        self.direct_T = T
+        return self
+
+    @classmethod
     def from_unitig_set_no_skew_index(
         cls, unitigs, w, seed=0, gamma=1.7, engine="parity"
     ) -> "SSHash":
@@ -229,13 +317,11 @@ class SSHash:
         return EFVector.from_array(self.occs_prefix_sum.astype(np.uint64))
 
     def num_bits(self) -> int:
-        nb = (
-            64
-            + self.unitigs.num_bits()
-            + self.ef_occs_prefix_sum().num_bits()
-            + self.pos.num_bits()
-            + self.mphf.num_bits()
-        )
+        if self.direct_T:  # direct table: flat int32 prefix, no MPHF
+            mm_bits = 32 * len(self.occs_prefix_sum)
+        else:
+            mm_bits = self.ef_occs_prefix_sum().num_bits() + self.mphf.num_bits()
+        nb = 64 + self.unitigs.num_bits() + self.pos.num_bits() + mm_bits
         if self.skew_mphf is not None:
             nb += self.skew_mphf.num_bits() + self.skew_pos.num_bits()
         return nb
@@ -266,19 +352,21 @@ class SSHash:
             pos_kind = "flat32" if self.hash32 else "packed"
         d = {
             "us": self.unitigs.device_arrays(),
-            "mphf": self.mphf.device_arrays(),
             "meta": meta(
                 kind="sshash",
                 k=self.k,
                 w=self.w,
                 seed=self.seed,
                 hash32=self.hash32,
+                direct_t=self.direct_T or 0,
                 skew_param=-1 if self.skew_param is None else self.skew_param,
                 probe_bound=max(1, self.probe_bound()),
                 prefix_kind=prefix_kind,
                 pos_kind=pos_kind,
             ),
         }
+        if self.mphf is not None:
+            d["mphf"] = self.mphf.device_arrays()
         if pos_kind == "flat32":
             assert self.unitigs.total_len < (1 << 31)
             d["pos"] = {
@@ -349,11 +437,19 @@ def sshash_k2u(d: dict, fw_words, xp):
     canon = xp.minimum(fw, rc)
     offset = offset.astype(xp.int64)
 
-    h = mphf_lookup(d["mphf"], mm, xp).astype(xp.int64)
-    hc = xp.clip(h, 0, None)
-    ps = _prefix_get(d, hc, xp)
-    pe = _prefix_get(d, hc + 1, xp)
-    n_occs = xp.where(h < 0, xp.zeros_like(pe), pe - ps)
+    if m.direct_t:
+        from .boophf32 import fold_hash32
+
+        hc = (fold_hash32(mm) & np.uint32(m.direct_t - 1)).astype(xp.int64)
+        ps = _prefix_get(d, hc, xp)
+        pe = _prefix_get(d, hc + 1, xp)
+        n_occs = pe - ps
+    else:
+        h = mphf_lookup(d["mphf"], mm, xp).astype(xp.int64)
+        hc = xp.clip(h, 0, None)
+        ps = _prefix_get(d, hc, xp)
+        pe = _prefix_get(d, hc + 1, xp)
+        n_occs = xp.where(h < 0, xp.zeros_like(pe), pe - ps)
 
     use_skew = (
         (n_occs > m.skew_param) if m.skew_param >= 0 else xp.zeros_like(n_occs, dtype=bool)

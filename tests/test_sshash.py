@@ -178,3 +178,38 @@ class TestFast32Engine:
         r_j = sshash_k2u(d, jnp.asarray(kms), jnp)
         for key in r_np:
             np.testing.assert_array_equal(np.asarray(r_j[key]), r_np[key])
+
+
+class TestDirectEngine:
+    @pytest.mark.parametrize("w", [3, 5, 7])
+    def test_tiny_direct_validate(self, tiny_unitigs, w):
+        ss = SSHash.from_unitig_set(tiny_unitigs, w, skew_param=2, engine="direct")
+        assert ss.direct_T and ss.mphf is None
+        validate_k2u_self(ss)
+
+    def test_direct_goldens_and_miss(self, tiny_unitigs):
+        ss = SSHash.from_unitig_set(tiny_unitigs, 3, skew_param=2, engine="direct")
+        d = ss.device_arrays()
+        for s, (uid, ulen, pos) in GOLDENS:
+            km = np.array([kmer_from_str(s)], dtype=np.uint64)
+            r = sshash_k2u(d, km, np)
+            assert (
+                int(r["unitig_id"][0]),
+                int(r["unitig_len"][0]),
+                int(r["pos"][0]),
+                int(r["mt"][0]),
+            ) == (uid, ulen, pos, 1), s
+        r = sshash_k2u(d, np.array([kmer_from_str("AAAAAAA")], dtype=np.uint64), np)
+        assert int(r["mt"][0]) == 0
+
+    def test_direct_jnp_matches_np(self, tiny_unitigs):
+        import jax.numpy as jnp
+
+        ss = SSHash.from_unitig_set(tiny_unitigs, 5, skew_param=2, engine="direct")
+        d = ss.device_arrays()
+        pos = tiny_unitigs.kmer_start_positions()
+        kms = tiny_unitigs.get_kmer_u64(pos)
+        r_np = sshash_k2u(d, kms, np)
+        r_j = sshash_k2u(d, jnp.asarray(kms), jnp)
+        for key in r_np:
+            np.testing.assert_array_equal(np.asarray(r_j[key]), r_np[key])
