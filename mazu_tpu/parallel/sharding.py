@@ -102,8 +102,8 @@ def make_bucket_sharded_query(ss, mesh, data_axis: str = "data", bucket_axis: st
 
     from ..containers.unitig_set import us_get_kmer
     from ..kmer import canonical_minimizer_batch, revcomp, word_equivalency
-    from ..kphf.boophf import boophf_lookup
-    from ..kphf.sshash import _map_hit
+    from ..kphf.boophf32 import fold_hash32
+    from ..kphf.sshash import _map_hit, mphf_lookup
 
     n_shards = mesh.shape[bucket_axis]
     shared, stacked = shard_sshash_buckets(ss, n_shards)
@@ -125,9 +125,14 @@ def make_bucket_sharded_query(ss, mesh, data_axis: str = "data", bucket_axis: st
 
         fw = kms
         rc = revcomp(fw, k)
-        mm, offset, _isfw, _canon = canonical_minimizer_batch(jnp, fw, k, w, m.seed)
+        mm, offset, _isfw, _canon = canonical_minimizer_batch(
+            jnp, fw, k, w, m.seed, hash32=m.hash32
+        )
         offset = offset.astype(jnp.int64)
-        h = boophf_lookup(shared["mphf"], mm, jnp)
+        if m.direct_t:
+            h = (fold_hash32(mm) & np.uint32(m.direct_t - 1)).astype(jnp.int64)
+        else:
+            h = mphf_lookup(shared["mphf"], mm, jnp).astype(jnp.int64)
         mine = (h >= lo) & (h < hi)
         hl = jnp.clip(h - lo, 0, prefix.shape[0] - 2)
         ps = prefix[hl]
@@ -174,7 +179,7 @@ def make_bucket_sharded_query(ss, mesh, data_axis: str = "data", bucket_axis: st
         # skew path: resolved by the owner shard too (skew arrays replicated)
         if "skew_mphf" in shared:
             canon = jnp.minimum(fw, rc)
-            h2 = boophf_lookup(shared["skew_mphf"], canon, jnp)
+            h2 = mphf_lookup(shared["skew_mphf"], canon, jnp).astype(jnp.int64)
             from ..bits.intvector import iv_get
 
             n_skew = shared["skew_pos"]["meta"].length
