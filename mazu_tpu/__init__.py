@@ -50,3 +50,30 @@ ORIENT_BACKWARD = 0
 MATCH_NONE = 0
 MATCH_IDENTITY = 1
 MATCH_TWIN = 2
+
+# Lazy convenience exports (keep base import light)
+_LAZY = {
+    "ModIndex": "mazu_tpu.index.modindex",
+    "SSHash": "mazu_tpu.kphf.sshash",
+    "PFHash": "mazu_tpu.kphf.pfhash",
+    "BooPHF": "mazu_tpu.kphf.boophf",
+    "UnitigSet": "mazu_tpu.containers.unitig_set",
+    "RefSeqCollection": "mazu_tpu.containers.refseq",
+    "SPT": "mazu_tpu.index.spt",
+    "StreamingIndex": "mazu_tpu.index.streaming",
+    "load_dense_index": "mazu_tpu.io.pf1_index",
+    "load_sparse_index": "mazu_tpu.io.pf1_index",
+    "save_index": "mazu_tpu.io.checkpoint",
+    "load_index": "mazu_tpu.io.checkpoint",
+    "piscem_index_from_cf_prefix": "mazu_tpu.index.piscem_index",
+    "validate_self": "mazu_tpu.index.validate",
+    "validate_fasta": "mazu_tpu.index.validate",
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        return getattr(importlib.import_module(_LAZY[name]), name)
+    raise AttributeError(name)

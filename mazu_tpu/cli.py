@@ -41,6 +41,12 @@ def _build_parser():
         if flavor == "piscem":
             f.add_argument("-m", "--minimizer-size", type=int, default=DEFAULT_W)
             f.add_argument("-s", "--skew-param", type=int, default=DEFAULT_SKEW)
+            f.add_argument(
+                "--engine",
+                choices=["parity", "fast32", "direct"],
+                default="parity",
+                help="query arithmetic engine (direct/fast32 = TPU-native)",
+            )
     v = idx.add_parser("validate-fasta")
     v.add_argument("-i", "--index", required=True)
     v.add_argument("-f", "--fasta", required=True)
@@ -58,6 +64,11 @@ def _build_parser():
         if flavor == "sshash":
             f.add_argument("-m", "--minimizer-size", type=int, default=DEFAULT_W)
             f.add_argument("-s", "--skew-param", type=int, default=DEFAULT_SKEW)
+            f.add_argument(
+                "--engine",
+                choices=["parity", "fast32", "direct"],
+                default="parity",
+            )
     for cmd in ("validate", "stats"):
         c = kp.add_parser(cmd)
         c.add_argument("-i", "--input", required=True)
@@ -89,7 +100,7 @@ def main(argv=None):
             if args.flavor == "piscem":
                 sp = None if args.skew_param <= 0 else args.skew_param
                 idx = piscem_index_from_cf_prefix(
-                    args.cf_prefix, w=args.minimizer_size, skew_param=sp
+                    args.cf_prefix, w=args.minimizer_size, skew_param=sp, engine=args.engine
                 )
             else:
                 idx = pufferfish_dense_index_from_cf_prefix(args.cf_prefix)
@@ -115,7 +126,9 @@ def main(argv=None):
                 from .kphf.sshash import SSHash
 
                 sp = None if args.skew_param <= 0 else args.skew_param
-                k2u = SSHash.from_unitig_set(us, args.minimizer_size, skew_param=sp)
+                k2u = SSHash.from_unitig_set(
+                    us, args.minimizer_size, skew_param=sp, engine=args.engine
+                )
             else:
                 from .kphf.pfhash import PFHash
 

@@ -110,6 +110,14 @@ class UnitigSet:
     def num_bits(self) -> int:
         return 64 + self.useq.num_bits() + self.ef_accum_lens().num_bits() + self.bv.num_bits()
 
+    def print_stats(self, log=print):
+        """Size accounting (reference src/unitig_set.rs:50-71)."""
+        nk, tl = self.n_kmers, self.total_len
+        log(f"{self.num_bits() / nk:.5f} bits per kmer")
+        log(f"seq: {self.useq.num_bits() / tl:.5f} bits per nuc")
+        log(f"bv: {self.bv.num_bits() / tl:.5f} bits per nuc")
+        log(f"accum_lens: {self.ef_accum_lens().num_bits() / nk:.5f} bits per km")
+
     # --------------------------------------------------------------- device
     def device_arrays(self) -> dict:
         return {

@@ -10,14 +10,20 @@ from .modindex import ModIndex
 from .spt import SPT
 
 
-def piscem_index_from_spt(spt: SPT, w: int, skew_param: int | None, seed: int = 0) -> ModIndex:
-    sshash = SSHash.from_unitig_set(spt.unitigs, w, skew_param=skew_param, seed=seed)
+def piscem_index_from_spt(
+    spt: SPT, w: int, skew_param: int | None, seed: int = 0, engine: str = "parity"
+) -> ModIndex:
+    sshash = SSHash.from_unitig_set(
+        spt.unitigs, w, skew_param=skew_param, seed=seed, engine=engine
+    )
     return ModIndex(sshash, spt.piscem_table(), spt.ref_seq_collection(), index_type="Piscem")
 
 
-def piscem_index_from_cf_prefix(prefix: str, w: int, skew_param: int | None = 64, seed: int = 0) -> ModIndex:
+def piscem_index_from_cf_prefix(
+    prefix: str, w: int, skew_param: int | None = 64, seed: int = 0, engine: str = "parity"
+) -> ModIndex:
     spt = SPT.from_cf(CfFiles(prefix))
-    return piscem_index_from_spt(spt, w, skew_param, seed)
+    return piscem_index_from_spt(spt, w, skew_param, seed, engine)
 
 
 def pufferfish_dense_index_from_cf_prefix(prefix: str) -> ModIndex:

@@ -56,8 +56,11 @@ def _us_from(d) -> UnitigSet:
     return UnitigSet(int(d["k"]), SeqVector(d["useq_words"], int(d["useq_len"])), d["accum"])
 
 
-def _mphf_state(m: BooPHF) -> dict:
+def _mphf_state(m) -> dict:
+    from ..kphf.boophf32 import BooPHF32
+
     return {
+        "mkind": "b32" if isinstance(m, BooPHF32) else "b64",
         "n_elem": np.int64(m.n_elem),
         "last_bitset_rank": np.int64(m.last_bitset_rank),
         "gamma": np.float64(m.gamma),
@@ -75,20 +78,31 @@ def _mphf_state(m: BooPHF) -> dict:
     }
 
 
-def _mphf_from(d) -> BooPHF:
+def _mphf_from(d):
+    is32 = str(d.get("mkind", "b64")) == "b32"
+    wdt = np.uint32 if is32 else np.uint64
     levels = []
     wo = ro = 0
     for n, nw, nr in zip(d["level_n_bits"], d["level_n_words"], d["level_n_ranks"]):
         n, nw, nr = int(n), int(nw), int(nr)
-        levels.append((n, d["level_words"][wo : wo + nw], d["level_ranks"][ro : ro + nr]))
+        levels.append(
+            (
+                n,
+                d["level_words"][wo : wo + nw].astype(wdt),
+                d["level_ranks"][ro : ro + nr].astype(wdt),
+            )
+        )
         wo += nw
         ro += nr
-    return BooPHF(
+    cls = BooPHF
+    if is32:
+        from ..kphf.boophf32 import BooPHF32 as cls  # noqa: N813
+    return cls(
         n_elem=int(d["n_elem"]),
         last_bitset_rank=int(d["last_bitset_rank"]),
         levels=levels,
         fh_keys=d["fh_keys"],
-        fh_vals=d["fh_vals"],
+        fh_vals=d["fh_vals"].astype(wdt) if is32 else d["fh_vals"],
         gamma=float(d["gamma"]),
     )
 
@@ -100,11 +114,14 @@ def _k2u_state(k2u) -> dict:
             "us": _us_state(k2u.unitigs),
             "w": np.int64(k2u.w),
             "seed": np.int64(k2u.seed),
+            "hash32": np.int64(1 if k2u.hash32 else 0),
+            "direct_T": np.int64(k2u.direct_T or 0),
             "skew_param": np.int64(-1 if k2u.skew_param is None else k2u.skew_param),
-            "mphf": _mphf_state(k2u.mphf),
             "prefix": k2u.occs_prefix_sum,
             "pos": _iv_state(k2u.pos),
         }
+        if k2u.mphf is not None:
+            d["mphf"] = _mphf_state(k2u.mphf)
         if k2u.skew_mphf is not None:
             d["skew_mphf"] = _mphf_state(k2u.skew_mphf)
             d["skew_pos"] = _iv_state(k2u.skew_pos)
@@ -137,17 +154,21 @@ def _k2u_from(d):
     kind = str(d["kind"])
     if kind == "sshash":
         sp = int(d["skew_param"])
-        return SSHash(
+        ss = SSHash(
             _us_from(d["us"]),
             int(d["w"]),
-            _mphf_from(d["mphf"]),
+            _mphf_from(d["mphf"]) if "mphf" in d else None,
             d["prefix"],
             _iv_from(d["pos"]),
             None if sp < 0 else sp,
             _mphf_from(d["skew_mphf"]) if "skew_mphf" in d else None,
             _iv_from(d["skew_pos"]) if "skew_pos" in d else None,
             seed=int(d["seed"]),
+            hash32=bool(int(d.get("hash32", 0))),
         )
+        t = int(d.get("direct_T", 0))
+        ss.direct_T = t or None
+        return ss
     if kind == "pfhash":
         return PFHash(_us_from(d["us"]), _mphf_from(d["mphf"]), _iv_from(d["pos"]))
     if kind == "sampled":

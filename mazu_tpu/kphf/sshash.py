@@ -489,7 +489,8 @@ def sshash_k2u(d: dict, fw_words, xp):
             active = active & (~hit)
         return found, out_uid, out_ulen, out_pos, out_mt
 
-    if xp is np:
+    if xp is np or m.probe_bound <= 8:
+        # small static bound: unroll (avoids while_loop lowering entirely)
         for j in range(m.probe_bound):
             state = probe_body(j, state)
     else:
