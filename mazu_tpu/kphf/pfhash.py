@@ -25,14 +25,22 @@ class PFHash:
         self.pos = pos
 
     @classmethod
-    def from_unitig_set(cls, unitigs: UnitigSet, gamma: float = 1.7) -> "PFHash":
+    def from_unitig_set(
+        cls, unitigs: UnitigSet, gamma: float = 1.7, engine: str = "parity"
+    ) -> "PFHash":
         """Build: BBHash over all canonical k-mers, then scatter global k-mer
         start positions by hash value (reference src/kphf/pfhash.rs:40-73,
-        with the rayon scatter replaced by a vectorized permutation)."""
+        with the rayon scatter replaced by a vectorized permutation).
+        ``engine="fast32"`` uses the 32-bit BooPHF32."""
         kpos = unitigs.kmer_start_positions()
         words = unitigs.get_kmer_u64(kpos)
         canon, _, _ = canonicalize(words, unitigs.k)
-        mphf = BooPHF.build(canon, gamma=gamma)
+        if engine == "fast32":
+            from .boophf32 import BooPHF32
+
+            mphf = BooPHF32.build(canon, gamma=gamma)
+        else:
+            mphf = BooPHF.build(canon, gamma=gamma)
         h = mphf.lookup(canon)
         assert (h >= 0).all()
         posv = np.zeros(len(kpos), dtype=np.uint64)
@@ -66,13 +74,15 @@ def pfhash_k2u(d: dict, fw_words, xp):
     mt (1=identity, 2=twin, 0=miss) — the batched K2UPos
     (reference src/kphf/mod.rs:13-19).
     """
+    from .sshash import mphf_lookup
+
     us = d["us"]
     k = d["meta"].k
     fw = xp.asarray(fw_words)
     rc = revcomp(fw, k)
     canon = xp.minimum(fw, rc)
 
-    h = boophf_lookup(d["mphf"], canon, xp)
+    h = mphf_lookup(d["mphf"], canon, xp).astype(xp.int64)
     hc = xp.clip(h, 0, d["pos"]["meta"].length - 1)
     km_pos = iv_get(d["pos"], hc, xp).astype(xp.int64)
     km_pos = xp.clip(km_pos, 0, us["meta"].total_len - k)
