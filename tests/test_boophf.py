@@ -143,3 +143,30 @@ class TestBuiltBooPHF:
             np.asarray(boophf_lookup(d, jnp.asarray(keys), jnp)),
             boophf_lookup(d, keys, np),
         )
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["example_100_10", "example_10_100", "example_1e6_1e3"],
+)
+def test_cpp_example_fixtures(name):
+    """BooPHF binaries + golden lookups produced by the C++ implementation."""
+    import json
+
+    bin_fp = os.path.join(TEST_DATA, "pf1", f"{name}.bin")
+    json_fp = os.path.join(TEST_DATA, "pf1", f"{name}.json")
+    if not os.path.exists(bin_fp):
+        pytest.skip("fixture missing")
+    with open(json_fp) as f:
+        info = json.load(f)
+    mphf = BooPHF.from_pf1(bin_fp)
+    assert mphf.n_elem == info["nelems"]
+    for section in ("random_hashed_elems", "random_elems"):
+        keys = np.array([int(k) for k in info[section]], dtype=np.uint64)
+        # C++ encodes a definite miss as ULLONG_MAX; we use -1
+        want = np.array(
+            [-1 if int(v) == 0xFFFFFFFFFFFFFFFF else int(v) for v in info[section].values()],
+            dtype=np.int64,
+        )
+        got = mphf.lookup(keys)
+        np.testing.assert_array_equal(got, want, err_msg=f"{name}/{section}")

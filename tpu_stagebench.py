@@ -7,7 +7,7 @@ import time
 
 import numpy as np
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mazu_jax_cache")
+pass  # compilation cache disabled: axon remote-compile may not support executable serialization
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +47,7 @@ def calibrate():
 
         return f
 
+    print("calibrate: compiling empty kernel...", flush=True)
     dt, _ = timeit(empty, idx)
     print(f"sync floor: {dt*1e3:.3f} ms", flush=True)
     prev = None
