@@ -24,12 +24,46 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def build_synthetic(n_bases: int):
+    """Random genome chopped into 10kb unitigs; refs = unitigs (stress
+    config: index too big for any cache, random-access HBM bound)."""
+    import numpy as np
+
+    from mazu_tpu.bits.seqvector import SeqVector
+    from mazu_tpu.containers.refseq import RefSeqCollection
+    from mazu_tpu.containers.unitig_set import UnitigSet
+    from mazu_tpu.index.spt import SPT
+
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 4, n_bases, dtype=np.uint8)
+    sv = SeqVector.from_codes(codes)
+    piece = 10_000
+    n = n_bases // piece
+    accum = np.arange(n + 1, dtype=np.int64) * piece
+    unitigs = UnitigSet(31, sv, accum)
+    spt = SPT(
+        unitigs,
+        [f"r{i}" for i in range(n)],
+        np.arange(n, dtype=np.int64),
+        np.arange(n, dtype=np.int64),
+        np.zeros(n, dtype=np.int64),
+        np.ones(n, dtype=np.int64),
+        np.full(n, piece, dtype=np.int64),
+    )
+    refs = RefSeqCollection(sv, accum, [f"r{i}" for i in range(n)])
+    return unitigs, refs, spt.piscem_table()
+
+
 def build_index():
     from mazu_tpu.kphf.sshash import SSHash
 
+    synth = int(os.environ.get("MAZU_BENCH_SYNTH", 0))
     ref_dir = os.environ.get("MAZU_REFERENCE_DIR", "/root/reference")
     pf1 = os.path.join(ref_dir, "test_data", "pf1", "yeast_chr01_index")
-    if os.path.isdir(pf1):
+    if synth:
+        unitigs, refs, u2pos = build_synthetic(synth)
+        log(f"synthetic: {unitigs.n_kmers} kmers, {unitigs.n_unitigs} unitigs")
+    elif os.path.isdir(pf1):
         from mazu_tpu.io.pf1_index import load_dense_index
 
         base = load_dense_index(pf1)
@@ -66,7 +100,7 @@ def main():
     # workload: every k-mer of the reference, fw/rc mixed, tiled to the batch
     from mazu_tpu.kmer import revcomp
 
-    kms_parts = [index.refs.ref_kmers(ri, k) for ri in range(index.n_refs)]
+    kms_parts = [index.refs.ref_kmers(ri, k) for ri in range(min(index.n_refs, 128))]
     kms = np.concatenate(kms_parts)
     rng = np.random.default_rng(0)
     flip = rng.random(len(kms)) < 0.5
@@ -135,10 +169,16 @@ def main():
     qps = batch * iters / dt
     log(f"{iters} iters x {batch} queries in {dt:.3f}s")
 
+    synth = int(os.environ.get("MAZU_BENCH_SYNTH", 0))
+    name = (
+        f"kmer_queries_per_sec_per_chip_synth{synth}"
+        if synth
+        else "kmer_queries_per_sec_per_chip_yeast_chr01"
+    )
     print(
         json.dumps(
             {
-                "metric": "kmer_queries_per_sec_per_chip_yeast_chr01",
+                "metric": name,
                 "value": qps,
                 "unit": "queries/s",
                 "vs_baseline": qps / 1e9,
