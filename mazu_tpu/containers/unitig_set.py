@@ -119,15 +119,39 @@ class UnitigSet:
         log(f"accum_lens: {self.ef_accum_lens().num_bits() / nk:.5f} bits per km")
 
     # --------------------------------------------------------------- device
-    def device_arrays(self) -> dict:
-        return {
+    def device_arrays(self, paired: bool = False) -> dict:
+        """``paired=True`` adds pair-packed views so the query path fetches
+        adjacent elements with ONE gather each instead of two:
+
+        - ``useq.words2[i] = (words[i], words[i+1])`` — a k-mer window read
+          becomes a single 2-wide gather
+        - ``bv.wb2[i] = (words[i], blocks[i])`` — rank(pos) becomes a single
+          2-wide gather + popcount
+        - ``accum2[u] = (start, end)`` — unitig extent in one gather
+
+        ~2x memory on these (small) arrays for ~2x fewer random accesses.
+        """
+        d = {
             "useq": self.useq.device_arrays(),
             "bv": self.bv.device_arrays(),
             "accum": self.accum,
             "meta": meta(
-                k=self.k, n_unitigs=self.n_unitigs, total_len=self.total_len
+                k=self.k,
+                n_unitigs=self.n_unitigs,
+                total_len=self.total_len,
+                paired=paired,
             ),
         }
+        if paired:
+            w = self.useq.words
+            wnext = np.concatenate([w[1:], np.zeros(1, dtype=np.uint64)])
+            d["useq"]["words2"] = np.stack([w, wnext], axis=1)
+            bw = self.bv.words
+            d["bv"]["wb2"] = np.stack(
+                [bw, self.bv.blocks.astype(np.uint64)], axis=1
+            )
+            d["accum2"] = np.stack([self.accum[:-1], self.accum[1:]], axis=1)
+        return d
 
 
 # ---------------------------------------------------------------------------
@@ -136,7 +160,51 @@ class UnitigSet:
 
 
 def us_get_kmer(us: dict, pos, xp):
+    if "words2" in us["useq"]:  # paired layout: one 2-wide gather
+        k = us["meta"].k
+        pos = xp.asarray(pos)
+        bit = pos * 2
+        wi = bit >> 6
+        off = (bit & 63).astype(xp.uint64)
+        pair = us["useq"]["words2"][wi]
+        lo = pair[..., 0] >> off
+        hi_shift = (np.uint64(64) - off) & np.uint64(63)
+        hi = pair[..., 1] << hi_shift
+        hi = xp.where(off == 0, xp.zeros_like(hi), hi)
+        return (lo | hi) & np.uint64((1 << (2 * k)) - 1)
     return sv_get_kmer(us["useq"], pos, xp, us["meta"].k)
+
+
+def us_rank(us: dict, pos, xp):
+    """Boundary-bv rank; paired layout does it with one 2-wide gather."""
+    if "wb2" in us["bv"]:
+        pos = xp.asarray(pos)
+        wi = pos >> 6
+        off = pos.astype(xp.uint64) & np.uint64(63)
+        pair = us["bv"]["wb2"][wi]
+        word, blocks = pair[..., 0], pair[..., 1]
+        mask = xp.where(
+            off == 0,
+            np.uint64(0),
+            (~np.uint64(0)).astype(xp.uint64) >> (np.uint64(64) - off),
+        )
+        if xp is np:
+            pc = np.bitwise_count(word & mask).astype(np.int64)
+        else:
+            import jax.lax as lax
+
+            pc = lax.population_count(word & mask).astype(xp.int64)
+        return blocks.astype(xp.int64) + pc
+    return bv_rank(us["bv"], pos, xp)
+
+
+def us_extent(us: dict, uid, xp):
+    """(start, end) of unitig(s); paired layout: one 2-wide gather."""
+    if "accum2" in us:
+        pair = us["accum2"][uid]
+        return pair[..., 0], pair[..., 1]
+    start = us["accum"][uid]
+    return start, us["accum"][uid + 1]
 
 
 def us_pos_to_id(us: dict, pos, xp):

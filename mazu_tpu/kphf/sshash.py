@@ -351,7 +351,7 @@ class SSHash:
         if pos_kind is None:
             pos_kind = "flat32" if self.hash32 else "packed"
         d = {
-            "us": self.unitigs.device_arrays(),
+            "us": self.unitigs.device_arrays(paired=pos_kind == "flat32"),
             "meta": meta(
                 kind="sshash",
                 k=self.k,
@@ -378,7 +378,12 @@ class SSHash:
         if prefix_kind == "ef":
             d["prefix"] = self.ef_occs_prefix_sum().device_arrays()
         elif prefix_kind == "flat32":
-            d["prefix"] = {"flat": self.occs_prefix_sum.astype(np.int32)}
+            p32 = self.occs_prefix_sum.astype(np.int32)
+            # pair-packed (start, end) rows: one gather for both bucket bounds
+            d["prefix"] = {
+                "flat": p32,
+                "flat2": np.stack([p32[:-1], p32[1:]], axis=1),
+            }
         else:
             d["prefix"] = {"flat": self.occs_prefix_sum}
         if self.skew_mphf is not None:
@@ -406,10 +411,11 @@ def _pos_get(d: dict, i, xp):
 
 def _map_hit(d: dict, km_pos, xp):
     """useq position -> (unitig_id, unitig_len, upos, end_ok)."""
+    from ..containers.unitig_set import us_extent, us_rank
+
     us = d["us"]
-    uid = bv_rank(us["bv"], km_pos, xp)
-    start = us["accum"][uid]
-    end = us["accum"][uid + 1]
+    uid = us_rank(us, km_pos, xp)
+    start, end = us_extent(us, uid, xp)
     upos = km_pos - start
     end_ok = km_pos + d["meta"].k <= end
     return uid, end - start, upos, end_ok
@@ -441,14 +447,24 @@ def sshash_k2u(d: dict, fw_words, xp):
         from .boophf32 import fold_hash32
 
         hc = (fold_hash32(mm) & np.uint32(m.direct_t - 1)).astype(xp.int64)
-        ps = _prefix_get(d, hc, xp)
-        pe = _prefix_get(d, hc + 1, xp)
+        if "flat2" in d.get("prefix", {}):
+            pair = d["prefix"]["flat2"][hc]
+            ps = pair[..., 0].astype(xp.int64)
+            pe = pair[..., 1].astype(xp.int64)
+        else:
+            ps = _prefix_get(d, hc, xp)
+            pe = _prefix_get(d, hc + 1, xp)
         n_occs = pe - ps
     else:
         h = mphf_lookup(d["mphf"], mm, xp).astype(xp.int64)
         hc = xp.clip(h, 0, None)
-        ps = _prefix_get(d, hc, xp)
-        pe = _prefix_get(d, hc + 1, xp)
+        if "flat2" in d.get("prefix", {}):
+            pair = d["prefix"]["flat2"][hc]
+            ps = pair[..., 0].astype(xp.int64)
+            pe = pair[..., 1].astype(xp.int64)
+        else:
+            ps = _prefix_get(d, hc, xp)
+            pe = _prefix_get(d, hc + 1, xp)
         n_occs = xp.where(h < 0, xp.zeros_like(pe), pe - ps)
 
     use_skew = (
