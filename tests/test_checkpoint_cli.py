@@ -78,3 +78,20 @@ def test_cli_flows(capsys):
     assert "16 queries, 16 hits, 0 misses" in txt
     os.unlink(out)
     os.unlink(ko)
+
+
+def test_cli_direct_engine():
+    if not os.path.exists(TINY + ".cf_seg"):
+        pytest.skip("fixture missing")
+    from mazu_tpu.cli import main
+
+    out = _tmp()
+    assert (
+        main(
+            ["index", "build", "piscem", "-p", TINY, "-o", out, "-m", "3", "-s", "2",
+             "--engine", "direct"]
+        )
+        == 0
+    )
+    assert main(["index", "validate-fasta", "-i", out, "-f", TINY_FA]) == 0
+    os.unlink(out)

@@ -72,3 +72,10 @@ def test_yeast_streaming_reads():
         )
     # bidirectional warm check keeps mixed-strand reads warm
     assert si.last_cold_fraction < 0.05
+
+
+def test_streaming_with_direct_engine():
+    if not os.path.exists(TINY + ".cf_seg"):
+        pytest.skip("tiny cf fixture missing")
+    idx = piscem_index_from_cf_prefix(TINY, w=3, skew_param=2, engine="direct")
+    validate_fasta_streaming(idx, TINY + ".fa")
