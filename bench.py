@@ -16,8 +16,8 @@ import time
 
 import numpy as np
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mazu_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+# NOTE: no persistent compilation cache — the axon remote-compile path has
+# shown multi-minute stalls; keep the compile pipeline as simple as possible.
 
 
 def log(*a):
@@ -77,8 +77,8 @@ def build_index():
         idx = g._toy_index(n_seqs=256, seq_len=500)
         unitigs, refs, u2pos = idx.k2u.unitigs, idx.refs, idx.u2pos
         log("fallback toy index")
-    skew = int(os.environ.get("MAZU_BENCH_SKEW", 4))
-    engine = os.environ.get("MAZU_BENCH_ENGINE", "fast32")
+    skew = int(os.environ.get("MAZU_BENCH_SKEW", 2))
+    engine = os.environ.get("MAZU_BENCH_ENGINE", "direct")
     sshash = SSHash.from_unitig_set(unitigs, w=15, skew_param=skew, engine=engine)
     log(
         f"sshash: engine={engine} skew={skew} probe_bound={sshash.probe_bound()} "
