@@ -125,6 +125,14 @@ def _k2u_state(k2u) -> dict:
         if k2u.skew_mphf is not None:
             d["skew_mphf"] = _mphf_state(k2u.skew_mphf)
             d["skew_pos"] = _iv_state(k2u.skew_pos)
+        if k2u.skew_direct is not None:
+            sd = k2u.skew_direct
+            d["skew_direct"] = {
+                "T": np.int64(sd["T"]),
+                "bound": np.int64(sd["bound"]),
+                "prefix": sd["prefix"],
+                "pos": sd["pos"],
+            }
         return d
     if isinstance(k2u, PFHash):
         return {
@@ -168,6 +176,14 @@ def _k2u_from(d):
         )
         t = int(d.get("direct_T", 0))
         ss.direct_T = t or None
+        if "skew_direct" in d:
+            sd = d["skew_direct"]
+            ss.skew_direct = {
+                "T": int(sd["T"]),
+                "bound": int(sd["bound"]),
+                "prefix": sd["prefix"],
+                "pos": sd["pos"],
+            }
         return ss
     if kind == "pfhash":
         return PFHash(_us_from(d["us"]), _mphf_from(d["mphf"]), _iv_from(d["pos"]))

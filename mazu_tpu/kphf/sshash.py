@@ -78,6 +78,7 @@ class SSHash:
         self.seed = int(seed)
         self.hash32 = bool(hash32)  # mix32 minimizer ordering (TPU fast path)
         self.direct_T = None  # set when the minimizer map is a direct bucket table
+        self.skew_direct = None  # direct-mapped skew table (engine="direct")
 
     # ----------------------------------------------------------------- build
     @staticmethod
@@ -235,8 +236,14 @@ class SSHash:
         np.add.at(bucket_counts, b, mm_occs)
         prefix = np.concatenate([[0], np.cumsum(bucket_counts)]).astype(np.int64)
 
-        # skew: kmers overlapping occurrences of heavy (merged) buckets
+        # skew: kmers overlapping occurrences of heavy (merged) buckets, in a
+        # SECOND direct bucket table keyed by canonical k-mer (no MPHF — the
+        # skew query is a tiny bounded probe loop with the same 2-gather
+        # record probes as the main path)
+        from .boophf32 import fold_hash32 as _fold
+
         heavy = np.flatnonzero(bucket_counts > skew_param)
+        skew_direct = None
         if len(heavy):
             occ_sel = np.concatenate(
                 [np.arange(prefix[hb], prefix[hb + 1]) for hb in heavy]
@@ -250,14 +257,22 @@ class SSHash:
             cwords = np.minimum(words, revcomp(words, k))
             cw_sorted, first_idx = np.unique(cwords, return_index=True)
             kept_pos = cand[first_idx]
-            skew_mphf = BooPHF32.build(cw_sorted)
-            h2 = skew_mphf.lookup(cw_sorted)
-            sp = np.zeros(len(cw_sorted), dtype=np.uint64)
-            sp[h2] = kept_pos.astype(np.uint64)
-            skew_pos_iv = IntVector.from_array(sp)
-        else:
-            skew_mphf = BooPHF32.build(np.array([0], dtype=np.uint64))
-            skew_pos_iv = IntVector.from_array(np.array([0], dtype=np.uint64))
+            # size T2 until the max bucket is small (static probe bound)
+            n2 = len(cw_sorted)
+            T2 = 1 << max(6, int(np.ceil(np.log2(max(n2 * 2, 64)))))
+            for _ in range(6):
+                b2 = (_fold(cw_sorted) & np.uint32(T2 - 1)).astype(np.int64)
+                sizes = np.bincount(b2, minlength=T2)
+                if sizes.max() <= 4 or T2 >= (1 << 28):
+                    break
+                T2 <<= 1
+            order3 = np.argsort(b2, kind="stable")
+            skew_direct = {
+                "T": T2,
+                "bound": int(sizes.max()),
+                "prefix": np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64),
+                "pos": kept_pos[order3].astype(np.int64),
+            }
 
         self = cls(
             unitigs,
@@ -266,12 +281,13 @@ class SSHash:
             prefix,
             IntVector.from_array(pos_direct.astype(np.uint64)),
             skew_param,
-            skew_mphf,
-            skew_pos_iv,
+            None,
+            None,
             seed,
             hash32=True,
         )
         self.direct_T = T
+        self.skew_direct = skew_direct
         return self
 
     @classmethod
@@ -301,6 +317,8 @@ class SSHash:
 
     @property
     def n_kmers_in_skew_index(self) -> int:
+        if self.skew_direct is not None:
+            return len(self.skew_direct["pos"])
         return len(self.skew_pos) if self.skew_pos is not None else 0
 
     def max_bucket(self) -> int:
@@ -324,6 +342,8 @@ class SSHash:
         nb = 64 + self.unitigs.num_bits() + self.pos.num_bits() + mm_bits
         if self.skew_mphf is not None:
             nb += self.skew_mphf.num_bits() + self.skew_pos.num_bits()
+        if self.skew_direct is not None:
+            nb += 32 * len(self.skew_direct["prefix"]) + 128 * len(self.skew_direct["pos"])
         return nb
 
     def print_stats(self, log=print):
@@ -349,9 +369,9 @@ class SSHash:
         if prefix_kind is None:
             prefix_kind = "flat32" if self.hash32 else "ef"
         if pos_kind is None:
-            pos_kind = "flat32" if self.hash32 else "packed"
+            pos_kind = "records" if self.hash32 else "packed"
         d = {
-            "us": self.unitigs.device_arrays(paired=pos_kind == "flat32"),
+            "us": self.unitigs.device_arrays(paired=pos_kind in ("flat32", "records")),
             "meta": meta(
                 kind="sshash",
                 k=self.k,
@@ -367,7 +387,29 @@ class SSHash:
         }
         if self.mphf is not None:
             d["mphf"] = self.mphf.device_arrays()
-        if pos_kind == "flat32":
+        if pos_kind == "records":
+            # one row per occurrence: (mm_pos, uid, ustart, uend) int32 —
+            # the whole probe needs just this row + one useq quad row
+            # (no boundary-rank or extent gathers at query time; a valid
+            # candidate k-mer provably lies in the minimizer's unitig)
+            assert self.unitigs.total_len < (1 << 31)
+            pos_arr = self.pos.to_array().astype(np.int64)
+            uid = self.unitigs.pos_to_id(pos_arr)
+            start = self.unitigs.accum[uid]
+            end = self.unitigs.accum[uid + 1]
+            d["pos"] = {
+                "records": np.stack([pos_arr, uid, start, end], axis=1).astype(np.int32),
+                "meta": meta(length=len(self.pos)),
+            }
+            # overlapping useq word-quads: row i = words[i..i+4): a single
+            # row gather covers the 2k-w+? base window of both candidates
+            w_ = self.unitigs.useq.words
+            pad = np.zeros(3, dtype=np.uint64)
+            wp = np.concatenate([w_, pad])
+            d["useq_quad"] = np.stack(
+                [wp[:-3], wp[1:-2], wp[2:-1], wp[3:]], axis=1
+            )
+        elif pos_kind == "flat32":
             assert self.unitigs.total_len < (1 << 31)
             d["pos"] = {
                 "flat": self.pos.to_array().astype(np.int32),
@@ -389,6 +431,21 @@ class SSHash:
         if self.skew_mphf is not None:
             d["skew_mphf"] = self.skew_mphf.device_arrays()
             d["skew_pos"] = self.skew_pos.device_arrays()
+        if self.skew_direct is not None:
+            sd = self.skew_direct
+            p32 = sd["prefix"].astype(np.int32)
+            d["skew_prefix2"] = np.stack([p32[:-1], p32[1:]], axis=1)
+            spos = sd["pos"]
+            uid = self.unitigs.pos_to_id(spos)
+            d["skew_records"] = np.stack(
+                [spos, uid, self.unitigs.accum[uid], self.unitigs.accum[uid + 1]],
+                axis=1,
+            ).astype(np.int32)
+            d["meta"] = d["meta"].replace(skew_t=sd["T"], skew_bound=sd["bound"])
+            if "useq_quad" not in d:  # direct skew verification uses quads
+                w_ = self.unitigs.useq.words
+                wp = np.concatenate([w_, np.zeros(3, dtype=np.uint64)])
+                d["useq_quad"] = np.stack([wp[:-3], wp[1:-2], wp[2:-1], wp[3:]], axis=1)
         return d
 
 
@@ -485,7 +542,51 @@ def sshash_k2u(d: dict, fw_words, xp):
 
     n_pos = d["pos"]["meta"].length
 
-    def probe_body(j, state):
+    def probe_body_records(j, state):
+        """Two-row-gather probe: one occurrence record (mm_pos, uid, start,
+        end) + one overlapping useq word-quad covering BOTH candidate
+        k-mers. A valid candidate provably lies in the record's unitig
+        (mm_pos in [km_pos, km_pos+k) and km_pos+k <= unitig end), so no
+        rank/extent lookups are needed."""
+        found, out_uid, out_ulen, out_pos, out_mt = state
+        active = (~found) & (j < n_occs) & (~use_skew)
+        rec = d["pos"]["records"][xp.clip(ps + j, 0, n_pos - 1)]
+        mm_pos = rec[..., 0].astype(xp.int64)
+        uid = rec[..., 1].astype(xp.int64)
+        start = rec[..., 2].astype(xp.int64)
+        end = rec[..., 3].astype(xp.int64)
+
+        base = xp.clip(mm_pos - (k - w), 0, None)
+        bit = base * 2
+        wi = bit >> 6
+        woff = (bit & 63).astype(xp.int64)
+        quad = d["useq_quad"][wi]
+        q0, q1, q2 = quad[..., 0], quad[..., 1], quad[..., 2]
+        m2k = U64((1 << (2 * k)) - 1)
+
+        for cand_off in (offset, rc_offset):
+            km_pos = mm_pos - cand_off
+            delta = xp.clip(km_pos - base, 0, None)
+            dbit = woff + 2 * delta
+            s1 = dbit >= 64
+            r = (dbit & 63).astype(xp.uint64)
+            lo_w = xp.where(s1, q1, q0)
+            hi_w = xp.where(s1, q2, q1)
+            hi_shift = (U64(64) - r) & U64(63)
+            hi = xp.where(r == 0, xp.zeros_like(hi_w), hi_w << hi_shift)
+            kw = ((lo_w >> r) | hi) & m2k
+            mt = word_equivalency(fw, rc, kw, k)
+            valid = active & (km_pos >= start) & (km_pos + k <= end)
+            hit = valid & (mt > 0)
+            out_uid = xp.where(hit, uid, out_uid)
+            out_ulen = xp.where(hit, end - start, out_ulen)
+            out_pos = xp.where(hit, km_pos - start, out_pos)
+            out_mt = xp.where(hit, mt, out_mt)
+            found = found | hit
+            active = active & (~hit)
+        return found, out_uid, out_ulen, out_pos, out_mt
+
+    def probe_body_generic(j, state):
         found, out_uid, out_ulen, out_pos, out_mt = state
         active = (~found) & (j < n_occs) & (~use_skew)
         mm_pos = _pos_get(d, xp.clip(ps + j, 0, n_pos - 1), xp)
@@ -504,6 +605,10 @@ def sshash_k2u(d: dict, fw_words, xp):
             found = found | hit
             active = active & (~hit)
         return found, out_uid, out_ulen, out_pos, out_mt
+
+    probe_body = (
+        probe_body_records if m.pos_kind == "records" else probe_body_generic
+    )
 
     if xp is np or m.probe_bound <= 8:
         # small static bound: unroll (avoids while_loop lowering entirely)
@@ -524,7 +629,36 @@ def sshash_k2u(d: dict, fw_words, xp):
     found, out_uid, out_ulen, out_pos, out_mt = state
 
     # skew path (reference src/kphf/sshash.rs:415-433)
-    if "skew_mphf" in d:
+    if "skew_prefix2" in d:
+        # direct-mapped skew: bounded probe loop with 2-row-gather probes
+        from .boophf32 import fold_hash32
+
+        b2 = (fold_hash32(canon) & np.uint32(d["meta"].skew_t - 1)).astype(xp.int64)
+        spair = d["skew_prefix2"][b2]
+        s2 = spair[..., 0].astype(xp.int64)
+        c2 = spair[..., 1].astype(xp.int64) - s2
+        n_srec = d["skew_records"].shape[0]
+        m2k = U64((1 << (2 * k)) - 1)
+        sfound = xp.zeros(xp.shape(fw), dtype=bool)
+        for j in range(d["meta"].skew_bound):
+            rec = d["skew_records"][xp.clip(s2 + j, 0, max(n_srec - 1, 0))]
+            kpos = rec[..., 0].astype(xp.int64)
+            bit = kpos * 2
+            wi = bit >> 6
+            r = (bit & 63).astype(xp.uint64)
+            quad = d["useq_quad"][wi]
+            hi_shift = (U64(64) - r) & U64(63)
+            hi = xp.where(r == 0, xp.zeros_like(quad[..., 1]), quad[..., 1] << hi_shift)
+            kw = ((quad[..., 0] >> r) | hi) & m2k
+            mt = word_equivalency(fw, rc, kw, k)
+            hit = use_skew & (~sfound) & (j < c2) & (mt > 0)
+            start = rec[..., 2].astype(xp.int64)
+            out_uid = xp.where(hit, rec[..., 1].astype(xp.int64), out_uid)
+            out_ulen = xp.where(hit, rec[..., 3].astype(xp.int64) - start, out_ulen)
+            out_pos = xp.where(hit, kpos - start, out_pos)
+            out_mt = xp.where(hit, mt, out_mt)
+            sfound = sfound | hit
+    elif "skew_mphf" in d:
         h2 = mphf_lookup(d["skew_mphf"], canon, xp).astype(xp.int64)
         n_skew = d["skew_pos"]["meta"].length
         sp = iv_get(d["skew_pos"], xp.clip(h2, 0, n_skew - 1), xp).astype(xp.int64)
