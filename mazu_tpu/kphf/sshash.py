@@ -478,10 +478,15 @@ def _map_hit(d: dict, km_pos, xp):
     return uid, end - start, upos, end_ok
 
 
-def sshash_k2u(d: dict, fw_words, xp):
+def sshash_k2u(d: dict, fw_words, xp, mode: str = "full"):
     """Batched SSHash k2u (parity: reference src/kphf/sshash.rs:471-554).
 
     Returns dict(unitig_id, unitig_len, pos, mt) with mt==0 for misses.
+
+    ``mode``: "full" resolves everything in one kernel; "main" skips the
+    skew structures and returns a ``use_skew`` flag instead (the caller
+    re-queries flagged lanes via mode="full" on a compacted sub-batch —
+    see TwoPhaseSSHash); heavy-bucket lanes cost the whole batch nothing.
     """
     m = d["meta"]
     k, w = m.k, m.w
@@ -629,6 +634,14 @@ def sshash_k2u(d: dict, fw_words, xp):
     found, out_uid, out_ulen, out_pos, out_mt = state
 
     # skew path (reference src/kphf/sshash.rs:415-433)
+    if mode == "main":
+        return {
+            "unitig_id": out_uid,
+            "unitig_len": out_ulen,
+            "pos": out_pos,
+            "mt": out_mt,
+            "use_skew": use_skew,
+        }
     if "skew_prefix2" in d:
         # direct-mapped skew: bounded probe loop with 2-row-gather probes
         from .boophf32 import fold_hash32
@@ -678,3 +691,36 @@ def sshash_k2u(d: dict, fw_words, xp):
         "pos": out_pos,
         "mt": out_mt,
     }
+
+
+class TwoPhaseSSHash:
+    """Host-driven two-phase query: a slim main kernel (no skew gathers)
+    for the whole batch, then a compacted mode="full" pass for the rare
+    heavy-bucket lanes. Results identical to one-kernel mode="full"."""
+
+    def __init__(self, ss: "SSHash", device=None):
+        import jax
+        import jax.numpy as jnp
+
+        self._jnp = jnp
+        self.d = jax.device_put(ss.device_arrays(), device)
+        self.main = jax.jit(lambda fw: sshash_k2u(self.d, fw, jnp, mode="main"))
+        self.full = jax.jit(lambda fw: sshash_k2u(self.d, fw, jnp))
+
+    def k2u(self, fw_words: np.ndarray) -> dict:
+        import jax
+
+        jnp = self._jnp
+        r = {
+            k: np.array(v)  # writable host copies (device_get views are read-only)
+            for k, v in jax.device_get(self.main(jnp.asarray(fw_words))).items()
+        }
+        lanes = np.flatnonzero(r.pop("use_skew"))
+        if len(lanes):
+            b = 1 << max(6, int(np.ceil(np.log2(len(lanes)))))
+            padded = np.zeros(b, dtype=np.uint64)
+            padded[: len(lanes)] = fw_words[lanes]
+            s = {k: np.asarray(v) for k, v in jax.device_get(self.full(jnp.asarray(padded))).items()}
+            for key in ("unitig_id", "unitig_len", "pos", "mt"):
+                r[key][lanes] = s[key][: len(lanes)]
+        return r

@@ -213,3 +213,16 @@ class TestDirectEngine:
         r_j = sshash_k2u(d, jnp.asarray(kms), jnp)
         for key in r_np:
             np.testing.assert_array_equal(np.asarray(r_j[key]), r_np[key])
+
+
+def test_two_phase_equals_full(tiny_unitigs):
+    from mazu_tpu.kphf.sshash import TwoPhaseSSHash
+
+    ss = SSHash.from_unitig_set(tiny_unitigs, 3, skew_param=2, engine="direct")
+    pos = tiny_unitigs.kmer_start_positions()
+    kms = tiny_unitigs.get_kmer_u64(pos)
+    tp = TwoPhaseSSHash(ss)
+    r2 = tp.k2u(kms)
+    r1 = sshash_k2u(ss.device_arrays(), kms, np)
+    for key in ("unitig_id", "unitig_len", "pos", "mt"):
+        np.testing.assert_array_equal(r2[key], np.asarray(r1[key]), err_msg=key)
