@@ -1,0 +1,170 @@
+"""Two-phase full-query driver: the production serving path.
+
+Phase 1 (whole batch, slim kernel): main-path k2u (no skew-structure
+gathers) + occurrence projection padded to a SMALL width (default 2 —
+covers ~99% of unitigs). Lanes that hit a heavy minimizer bucket or have
+more occurrences than the small width are flagged.
+
+Phase 2 (compacted flagged lanes, pow2-padded): full k2u + projection
+padded to the index-wide max occurrence count.
+
+Results are exactly those of the one-kernel full pipeline; the rare
+expensive lanes no longer tax the whole batch (SIMD pays per-lane costs
+batch-wide otherwise). Mirrors the reference's streaming cache philosophy
+(src/index/caching.rs): do the cheap thing always, fall back rarely.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import MATCH_IDENTITY
+from .modindex import ModIndex, get_ref_pos_padded
+from .unitig_table import decode_occs
+
+
+def _main_phase(arrays, fw, xp, small_occs: int):
+    from ..kphf.sshash import sshash_k2u
+
+    r = sshash_k2u(arrays["k2u"], fw, xp, mode="main")
+    u2 = arrays["u2pos"]
+    hit = r["mt"] > 0
+    uid = xp.where(hit, r["unitig_id"], xp.zeros_like(r["unitig_id"]))
+    start = u2["offsets"][uid]
+    cnt = xp.where(hit, u2["offsets"][uid + 1] - start, xp.zeros_like(start))
+    overflow = r["use_skew"] | (cnt > small_occs)
+
+    j = xp.arange(small_occs, dtype=start.dtype)
+    occ_idx = xp.clip(start[:, None] + j[None, :], 0, max(u2["meta"].n_occs - 1, 0))
+    valid = (j[None, :] < cnt[:, None]) & (~overflow)[:, None]
+    ref_id, occ_pos, occ_o = decode_occs(u2, occ_idx, xp)
+    k = arrays["meta"].k
+    kpos = r["pos"][:, None]
+    ulen = r["unitig_len"][:, None]
+    ref_pos = xp.where(occ_o == 1, kpos + occ_pos, occ_pos + (ulen - kpos) - k)
+    o_match = (r["mt"] == MATCH_IDENTITY).astype(xp.int32)[:, None]
+    orient = xp.where(occ_o == 1, o_match, 1 - o_match)
+    return {
+        **{kk: r[kk] for kk in ("unitig_id", "unitig_len", "pos", "mt")},
+        "n_occs": cnt,
+        "ref_id": ref_id,
+        "ref_pos": ref_pos,
+        "orient": orient,
+        "valid": valid,
+        "overflow": overflow,
+    }
+
+
+class TwoPhaseIndexQuery:
+    def __init__(self, index: ModIndex, small_occs: int = 2, device=None):
+        import jax
+        import jax.numpy as jnp
+
+        self._jnp = jnp
+        self.small_occs = int(small_occs)
+        self.max_occs = max(1, index.max_occs())
+        self.arrays = jax.device_put(index.device_arrays(), device)
+
+        @jax.jit
+        def main(fw):
+            return _main_phase(self.arrays, fw, jnp, self.small_occs)
+
+        @jax.jit
+        def full(fw):
+            return get_ref_pos_padded(self.arrays, fw, jnp, self.max_occs)
+
+        self.main = main
+        self.full = full
+
+    def checksum_query(self, fw_words_dev, fw_words_host: np.ndarray):
+        """Bench path: full two-phase query with results REDUCED on device
+        (only the overflow bitmap and scalar checksums cross the host link).
+        Returns (checksum:int, n_overflow:int)."""
+        import jax
+
+        jnp = self._jnp
+        if not hasattr(self, "_main_chk"):
+
+            @jax.jit
+            def main_chk(fw):
+                r = _main_phase(self.arrays, fw, jnp, self.small_occs)
+                s = (
+                    jnp.where(r["valid"], r["ref_pos"], 0).sum()
+                    + jnp.where(r["valid"], r["ref_id"], 0).sum()
+                    + r["unitig_id"].sum()
+                )
+                return s, r["overflow"]
+
+            @jax.jit
+            def full_chk(fw, n_real):
+                r = get_ref_pos_padded(self.arrays, fw, jnp, self.max_occs)
+                lane_ok = jnp.arange(fw.shape[0]) < n_real
+                v = r["valid"] & lane_ok[:, None]
+                return (
+                    jnp.where(v, r["ref_pos"], 0).sum()
+                    + jnp.where(v, r["ref_id"], 0).sum()
+                    + jnp.where(lane_ok, r["unitig_id"], 0).sum()
+                )
+
+            self._main_chk = main_chk
+            self._full_chk = full_chk
+
+        chk, overflow = self._main_chk(fw_words_dev)
+        overflow = np.asarray(jax.device_get(overflow))
+        lanes = np.flatnonzero(overflow)
+        total = int(jax.device_get(chk))
+        if len(lanes):
+            b = 1 << max(6, int(np.ceil(np.log2(len(lanes)))))
+            padded = np.zeros(b, dtype=np.uint64)
+            padded[: len(lanes)] = fw_words_host[lanes]
+            total += int(jax.device_get(self._full_chk(jnp.asarray(padded), len(lanes))))
+        return total, len(lanes)
+
+    def query(self, fw_words: np.ndarray):
+        """Returns (main_out, overflow_lane_indices, overflow_out).
+
+        main_out holds exact results for non-overflow lanes (occurrences
+        padded to small_occs); overflow_out holds exact results for
+        ``overflow_lane_indices`` (padded to the index max)."""
+        import jax
+
+        jnp = self._jnp
+        r = {k: np.array(v) for k, v in jax.device_get(self.main(jnp.asarray(fw_words))).items()}
+        lanes = np.flatnonzero(r["overflow"])
+        s = None
+        if len(lanes):
+            b = 1 << max(6, int(np.ceil(np.log2(len(lanes)))))
+            padded = np.zeros(b, dtype=np.uint64)
+            padded[: len(lanes)] = fw_words[lanes]
+            s = {
+                k: np.array(v)[: len(lanes)]
+                for k, v in jax.device_get(self.full(jnp.asarray(padded))).items()
+            }
+        return r, lanes, s
+
+    def get_ref_pos_eager(self, fw_words: np.ndarray) -> list:
+        """Merged per-query hit lists (None for misses) — same shape of
+        answer as ModIndex.get_ref_pos_eager."""
+        r, lanes, s = self.query(fw_words)
+        lane_pos = {int(q): i for i, q in enumerate(lanes)}
+        out = []
+        for q in range(len(fw_words)):
+            if q in lane_pos:
+                src, row = s, lane_pos[q]
+            else:
+                src, row = r, q
+            if src["mt"][row] == 0:
+                out.append(None)
+                continue
+            hits = []
+            n = int(src["n_occs"][row])
+            for j in range(n):
+                hits.append(
+                    (
+                        int(src["ref_id"][row, j]),
+                        int(src["ref_pos"][row, j]),
+                        int(src["orient"][row, j]),
+                    )
+                )
+            out.append(hits)
+        return out
