@@ -369,9 +369,11 @@ class SSHash:
         if prefix_kind is None:
             prefix_kind = "flat32" if self.hash32 else "ef"
         if pos_kind is None:
-            pos_kind = "records" if self.hash32 else "packed"
+            pos_kind = "inline" if self.hash32 else "packed"
         d = {
-            "us": self.unitigs.device_arrays(paired=pos_kind in ("flat32", "records")),
+            "us": self.unitigs.device_arrays(
+                paired=pos_kind in ("flat32", "records", "inline")
+            ),
             "meta": meta(
                 kind="sshash",
                 k=self.k,
@@ -387,7 +389,31 @@ class SSHash:
         }
         if self.mphf is not None:
             d["mphf"] = self.mphf.device_arrays()
-        if pos_kind == "records":
+        if pos_kind == "inline":
+            # one u64[5] row per occurrence: (mm_pos|uid<<32, start|end<<32,
+            # w0, w1, w2) where w0..w2 are the useq words covering the whole
+            # candidate window — a probe is ONE row gather. ~40B/occurrence:
+            # the speed king for chromosome/transcriptome-scale indexes.
+            assert self.unitigs.total_len < (1 << 31)
+            pos_arr = self.pos.to_array().astype(np.int64)
+            uid = self.unitigs.pos_to_id(pos_arr)
+            start = self.unitigs.accum[uid]
+            end = self.unitigs.accum[uid + 1]
+            base = np.maximum(pos_arr - (self.k - self.w), 0)
+            wi = (base * 2) >> 6
+            wp = np.concatenate([self.unitigs.useq.words, np.zeros(2, dtype=np.uint64)])
+            rows = np.stack(
+                [
+                    pos_arr.astype(np.uint64) | (uid.astype(np.uint64) << np.uint64(32)),
+                    start.astype(np.uint64) | (end.astype(np.uint64) << np.uint64(32)),
+                    wp[wi],
+                    wp[wi + 1],
+                    wp[wi + 2],
+                ],
+                axis=1,
+            )
+            d["pos"] = {"inline": rows, "meta": meta(length=len(self.pos))}
+        elif pos_kind == "records":
             # one row per occurrence: (mm_pos, uid, ustart, uend) int32 —
             # the whole probe needs just this row + one useq quad row
             # (no boundary-rank or extent gathers at query time; a valid
@@ -437,15 +463,21 @@ class SSHash:
             d["skew_prefix2"] = np.stack([p32[:-1], p32[1:]], axis=1)
             spos = sd["pos"]
             uid = self.unitigs.pos_to_id(spos)
-            d["skew_records"] = np.stack(
-                [spos, uid, self.unitigs.accum[uid], self.unitigs.accum[uid + 1]],
+            # inline skew rows: (pos|uid, start|end, w0, w1) — one gather
+            # per skew probe (the k-mer sits at pos exactly, spans <= 2 words)
+            wi = (spos * 2) >> 6
+            wp = np.concatenate([self.unitigs.useq.words, np.zeros(1, dtype=np.uint64)])
+            d["skew_inline"] = np.stack(
+                [
+                    spos.astype(np.uint64) | (uid.astype(np.uint64) << np.uint64(32)),
+                    self.unitigs.accum[uid].astype(np.uint64)
+                    | (self.unitigs.accum[uid + 1].astype(np.uint64) << np.uint64(32)),
+                    wp[wi],
+                    wp[wi + 1],
+                ],
                 axis=1,
-            ).astype(np.int32)
+            )
             d["meta"] = d["meta"].replace(skew_t=sd["T"], skew_bound=sd["bound"])
-            if "useq_quad" not in d:  # direct skew verification uses quads
-                w_ = self.unitigs.useq.words
-                wp = np.concatenate([w_, np.zeros(3, dtype=np.uint64)])
-                d["useq_quad"] = np.stack([wp[:-3], wp[1:-2], wp[2:-1], wp[3:]], axis=1)
         return d
 
 
@@ -611,9 +643,48 @@ def sshash_k2u(d: dict, fw_words, xp, mode: str = "full"):
             active = active & (~hit)
         return found, out_uid, out_ulen, out_pos, out_mt
 
-    probe_body = (
-        probe_body_records if m.pos_kind == "records" else probe_body_generic
-    )
+    def probe_body_inline(j, state):
+        """ONE-row-gather probe: the occurrence row carries ids, extents,
+        and the useq words of the whole candidate window."""
+        found, out_uid, out_ulen, out_pos, out_mt = state
+        active = (~found) & (j < n_occs) & (~use_skew)
+        row = d["pos"]["inline"][xp.clip(ps + j, 0, n_pos - 1)]
+        m32 = U64(0xFFFFFFFF)
+        mm_pos = (row[..., 0] & m32).astype(xp.int64)
+        uid = (row[..., 0] >> U64(32)).astype(xp.int64)
+        start = (row[..., 1] & m32).astype(xp.int64)
+        end = (row[..., 1] >> U64(32)).astype(xp.int64)
+        q0, q1, q2 = row[..., 2], row[..., 3], row[..., 4]
+
+        base = xp.clip(mm_pos - (k - w), 0, None)
+        woff = ((base * 2) & 63).astype(xp.int64)
+        m2k = U64((1 << (2 * k)) - 1)
+        for cand_off in (offset, rc_offset):
+            km_pos = mm_pos - cand_off
+            delta = xp.clip(km_pos - base, 0, None)
+            dbit = woff + 2 * delta
+            s1 = dbit >= 64
+            r = (dbit & 63).astype(xp.uint64)
+            lo_w = xp.where(s1, q1, q0)
+            hi_w = xp.where(s1, q2, q1)
+            hi_shift = (U64(64) - r) & U64(63)
+            hi = xp.where(r == 0, xp.zeros_like(hi_w), hi_w << hi_shift)
+            kw = ((lo_w >> r) | hi) & m2k
+            mt = word_equivalency(fw, rc, kw, k)
+            valid = active & (km_pos >= start) & (km_pos + k <= end)
+            hit = valid & (mt > 0)
+            out_uid = xp.where(hit, uid, out_uid)
+            out_ulen = xp.where(hit, end - start, out_ulen)
+            out_pos = xp.where(hit, km_pos - start, out_pos)
+            out_mt = xp.where(hit, mt, out_mt)
+            found = found | hit
+            active = active & (~hit)
+        return found, out_uid, out_ulen, out_pos, out_mt
+
+    probe_body = {
+        "records": probe_body_records,
+        "inline": probe_body_inline,
+    }.get(m.pos_kind, probe_body_generic)
 
     if xp is np or m.probe_bound <= 8:
         # small static bound: unroll (avoids while_loop lowering entirely)
@@ -643,31 +714,30 @@ def sshash_k2u(d: dict, fw_words, xp, mode: str = "full"):
             "use_skew": use_skew,
         }
     if "skew_prefix2" in d:
-        # direct-mapped skew: bounded probe loop with 2-row-gather probes
+        # direct-mapped skew: bounded ONE-row-gather probes
         from .boophf32 import fold_hash32
 
         b2 = (fold_hash32(canon) & np.uint32(d["meta"].skew_t - 1)).astype(xp.int64)
         spair = d["skew_prefix2"][b2]
         s2 = spair[..., 0].astype(xp.int64)
         c2 = spair[..., 1].astype(xp.int64) - s2
-        n_srec = d["skew_records"].shape[0]
+        n_srec = d["skew_inline"].shape[0]
         m2k = U64((1 << (2 * k)) - 1)
+        m32 = U64(0xFFFFFFFF)
         sfound = xp.zeros(xp.shape(fw), dtype=bool)
         for j in range(d["meta"].skew_bound):
-            rec = d["skew_records"][xp.clip(s2 + j, 0, max(n_srec - 1, 0))]
-            kpos = rec[..., 0].astype(xp.int64)
-            bit = kpos * 2
-            wi = bit >> 6
-            r = (bit & 63).astype(xp.uint64)
-            quad = d["useq_quad"][wi]
+            row = d["skew_inline"][xp.clip(s2 + j, 0, max(n_srec - 1, 0))]
+            kpos = (row[..., 0] & m32).astype(xp.int64)
+            r = ((kpos * 2) & 63).astype(xp.uint64)
             hi_shift = (U64(64) - r) & U64(63)
-            hi = xp.where(r == 0, xp.zeros_like(quad[..., 1]), quad[..., 1] << hi_shift)
-            kw = ((quad[..., 0] >> r) | hi) & m2k
+            hi = xp.where(r == 0, xp.zeros_like(row[..., 3]), row[..., 3] << hi_shift)
+            kw = ((row[..., 2] >> r) | hi) & m2k
             mt = word_equivalency(fw, rc, kw, k)
             hit = use_skew & (~sfound) & (j < c2) & (mt > 0)
-            start = rec[..., 2].astype(xp.int64)
-            out_uid = xp.where(hit, rec[..., 1].astype(xp.int64), out_uid)
-            out_ulen = xp.where(hit, rec[..., 3].astype(xp.int64) - start, out_ulen)
+            start = (row[..., 1] & m32).astype(xp.int64)
+            end = (row[..., 1] >> U64(32)).astype(xp.int64)
+            out_uid = xp.where(hit, (row[..., 0] >> U64(32)).astype(xp.int64), out_uid)
+            out_ulen = xp.where(hit, end - start, out_ulen)
             out_pos = xp.where(hit, kpos - start, out_pos)
             out_mt = xp.where(hit, mt, out_mt)
             sfound = sfound | hit
