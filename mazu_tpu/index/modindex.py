@@ -57,11 +57,11 @@ def get_ref_pos_padded(d: dict, fw_words, xp, max_occs: int):
     cnt = u2["offsets"][uid + 1] - start
     cnt = xp.where(hit, cnt, xp.zeros_like(cnt))
 
+    from .unitig_table import fetch_occ_block
+
     j = xp.arange(max_occs, dtype=start.dtype)
-    occ_idx = start[:, None] + j[None, :]
     valid = j[None, :] < cnt[:, None]
-    occ_idx = xp.clip(occ_idx, 0, max(u2["meta"].n_occs - 1, 0))
-    ref_id, occ_pos, occ_o = decode_occs(u2, occ_idx, xp)
+    ref_id, occ_pos, occ_o = fetch_occ_block(u2, start, max_occs, xp)
 
     k = d["meta"].k
     kpos = r["pos"][:, None]

@@ -34,10 +34,11 @@ def _main_phase(arrays, fw, xp, small_occs: int):
     cnt = xp.where(hit, u2["offsets"][uid + 1] - start, xp.zeros_like(start))
     overflow = r["use_skew"] | (cnt > small_occs)
 
+    from .unitig_table import fetch_occ_block
+
     j = xp.arange(small_occs, dtype=start.dtype)
-    occ_idx = xp.clip(start[:, None] + j[None, :], 0, max(u2["meta"].n_occs - 1, 0))
     valid = (j[None, :] < cnt[:, None]) & (~overflow)[:, None]
-    ref_id, occ_pos, occ_o = decode_occs(u2, occ_idx, xp)
+    ref_id, occ_pos, occ_o = fetch_occ_block(u2, start, small_occs, xp)
     k = arrays["meta"].k
     kpos = r["pos"][:, None]
     ulen = r["unitig_len"][:, None]

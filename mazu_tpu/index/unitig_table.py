@@ -82,12 +82,16 @@ class DenseUnitigTable:
     def max_occs(self) -> int:
         return int(np.max(self.offsets[1:] - self.offsets[:-1])) if self.n_unitigs else 0
 
-    def device_arrays(self) -> dict:
-        return {
+    def device_arrays(self, paired: bool = True) -> dict:
+        d = {
             "ctable": self.ctable,
             "offsets": self.offsets,
             "meta": meta(enc="pf1", n_occs=len(self.ctable)),
         }
+        if paired:  # adjacent-occurrence pairs: one row gather per 2 occs
+            c = np.concatenate([self.ctable, np.zeros(1, dtype=np.uint64)])
+            d["ctable2"] = np.stack([c[:-1], c[1:]], axis=1)
+        return d
 
 
 class PiscemUnitigTable:
@@ -126,8 +130,8 @@ class PiscemUnitigTable:
     def max_occs(self) -> int:
         return int(np.max(self.offsets[1:] - self.offsets[:-1])) if self.n_unitigs else 0
 
-    def device_arrays(self) -> dict:
-        return {
+    def device_arrays(self, paired: bool = True) -> dict:
+        d = {
             "ctable": self.ctable.device_arrays(),
             "offsets": self.offsets,
             "meta": meta(
@@ -137,6 +141,22 @@ class PiscemUnitigTable:
                 n_occs=len(self.ctable),
             ),
         }
+        if paired:  # unpacked u64 pairs for the 1-row-gather-per-2-occs path
+            c = np.concatenate(
+                [self.ctable.to_array(), np.zeros(1, dtype=np.uint64)]
+            )
+            d["ctable2"] = np.stack([c[:-1], c[1:]], axis=1)
+        return d
+
+
+def decode_words(u2pos: dict, words, xp):
+    """Decode already-fetched encoded occurrence words (encoding static)."""
+    m = u2pos["meta"]
+    if m.enc == "pf1":
+        return decode_pf1(words, xp)
+    if m.enc == "piscem":
+        return decode_piscem(words, m.ref_shift, m.pos_mask, xp)
+    raise ValueError(m.enc)
 
 
 def decode_occs(u2pos: dict, occ_idx, xp):
@@ -149,3 +169,19 @@ def decode_occs(u2pos: dict, occ_idx, xp):
         words = iv_get(u2pos["ctable"], occ_idx, xp)
         return decode_piscem(words, m.ref_shift, m.pos_mask, xp)
     raise ValueError(m.enc)
+
+
+def fetch_occ_block(u2pos: dict, start, max_occs: int, xp):
+    """Fetch ``max_occs`` consecutive encoded occurrence words from ``start``
+    per query. Uses pair rows (one gather per 2 occurrences) when available."""
+    n_occs = u2pos["meta"].n_occs
+    if "ctable2" in u2pos:
+        n_pairs = (max_occs + 1) // 2
+        jj = xp.arange(n_pairs, dtype=start.dtype) * 2
+        pair_idx = xp.clip(start[:, None] + jj[None, :], 0, max(n_occs - 1, 0))
+        words = u2pos["ctable2"][pair_idx]  # [N, n_pairs, 2]
+        words = words.reshape(words.shape[0], 2 * n_pairs)[:, :max_occs]
+        return decode_words(u2pos, words, xp)
+    j = xp.arange(max_occs, dtype=start.dtype)
+    occ_idx = xp.clip(start[:, None] + j[None, :], 0, max(n_occs - 1, 0))
+    return decode_occs(u2pos, occ_idx, xp)
