@@ -168,13 +168,47 @@ class ModIndex:
     def max_occs(self) -> int:
         return self.u2pos.max_occs()
 
-    def device_arrays(self) -> dict:
-        return {
+    def device_arrays(self, fused: bool = False) -> dict:
+        d = {
             "k2u": self.k2u.device_arrays(),
             "u2pos": self.u2pos.device_arrays(),
             "refs": self.refs.device_arrays(),
             "meta": meta(k=self.k, index_type=self.index_type),
         }
+        if fused:
+            # Fusion pass: append each occurrence-row's unitig's FIRST
+            # encoded reference occurrence + occurrence count to the inline
+            # k2u rows. Single-occurrence unitigs (the common case) then
+            # project with ZERO additional gathers; multi-occurrence lanes
+            # take the overflow phase. K2U and U2Pos stay modular — this is
+            # a device-layout optimization computed at array-build time.
+            pos_d = d["k2u"].get("pos", {})
+            assert "inline" in pos_d, "fused layout requires pos_kind='inline'"
+            ss = self.k2u
+            pos_arr = ss.pos.to_array().astype(np.int64)
+            uid = ss.unitigs.pos_to_id(pos_arr)
+            if hasattr(self.u2pos.ctable, "to_array"):  # packed IntVector
+                cwords = self.u2pos.ctable.to_array()
+            else:
+                cwords = self.u2pos.ctable
+            off = self.u2pos.offsets
+            first = cwords[np.clip(off[uid], 0, max(len(cwords) - 1, 0))]
+            cnt = (off[uid + 1] - off[uid]).astype(np.uint64)
+            rows = pos_d["inline"]
+            pos_d["inline"] = np.concatenate(
+                [rows, first[:, None], cnt[:, None]], axis=1
+            )
+            # same for the skew rows
+            if "skew_inline" in d["k2u"]:
+                spos = ss.skew_direct["pos"]
+                suid = ss.unitigs.pos_to_id(spos)
+                sfirst = cwords[np.clip(off[suid], 0, max(len(cwords) - 1, 0))]
+                scnt = (off[suid + 1] - off[suid]).astype(np.uint64)
+                srows = d["k2u"]["skew_inline"]
+                d["k2u"]["skew_inline"] = np.concatenate(
+                    [srows, sfirst[:, None], scnt[:, None]], axis=1
+                )
+        return d
 
     def make_query_fn(self, max_occs: int | None = None, device=None):
         """Return (arrays, jitted fn kms[N] -> padded MappedRefPos dict)."""

@@ -25,21 +25,43 @@ from .unitig_table import decode_occs
 
 def _main_phase(arrays, fw, xp, small_occs: int):
     from ..kphf.sshash import sshash_k2u
+    from .unitig_table import decode_words, fetch_occ_block
 
     r = sshash_k2u(arrays["k2u"], fw, xp, mode="main")
     u2 = arrays["u2pos"]
     hit = r["mt"] > 0
+    k = arrays["meta"].k
+
+    if "occ_cnt" in r:
+        # fused layout: the probe row carried (first_occ_word, occ_cnt) —
+        # single-occurrence lanes project with ZERO extra gathers
+        cnt = xp.where(hit, r["occ_cnt"], xp.zeros_like(r["occ_cnt"]))
+        overflow = r["use_skew"] | (cnt > 1)
+        ref_id, occ_pos, occ_o = decode_words(u2, r["occ_word"], xp)
+        kpos = r["pos"]
+        ulen = r["unitig_len"]
+        ref_pos = xp.where(occ_o == 1, kpos + occ_pos, occ_pos + (ulen - kpos) - k)
+        o_match = (r["mt"] == MATCH_IDENTITY).astype(xp.int32)
+        orient = xp.where(occ_o == 1, o_match, 1 - o_match)
+        valid = (hit & (cnt >= 1) & (~overflow))[:, None]
+        return {
+            **{kk: r[kk] for kk in ("unitig_id", "unitig_len", "pos", "mt")},
+            "n_occs": cnt,
+            "ref_id": ref_id[:, None],
+            "ref_pos": ref_pos[:, None],
+            "orient": orient[:, None],
+            "valid": valid,
+            "overflow": overflow,
+        }
+
     uid = xp.where(hit, r["unitig_id"], xp.zeros_like(r["unitig_id"]))
     start = u2["offsets"][uid]
     cnt = xp.where(hit, u2["offsets"][uid + 1] - start, xp.zeros_like(start))
     overflow = r["use_skew"] | (cnt > small_occs)
 
-    from .unitig_table import fetch_occ_block
-
     j = xp.arange(small_occs, dtype=start.dtype)
     valid = (j[None, :] < cnt[:, None]) & (~overflow)[:, None]
     ref_id, occ_pos, occ_o = fetch_occ_block(u2, start, small_occs, xp)
-    k = arrays["meta"].k
     kpos = r["pos"][:, None]
     ulen = r["unitig_len"][:, None]
     ref_pos = xp.where(occ_o == 1, kpos + occ_pos, occ_pos + (ulen - kpos) - k)
@@ -57,14 +79,19 @@ def _main_phase(arrays, fw, xp, small_occs: int):
 
 
 class TwoPhaseIndexQuery:
-    def __init__(self, index: ModIndex, small_occs: int = 2, device=None):
+    def __init__(self, index: ModIndex, small_occs: int = 2, device=None, fused: bool | None = None):
         import jax
         import jax.numpy as jnp
 
         self._jnp = jnp
         self.small_occs = int(small_occs)
         self.max_occs = max(1, index.max_occs())
-        self.arrays = jax.device_put(index.device_arrays(), device)
+        if fused is None:
+            fused = (
+                getattr(index.k2u, "hash32", False)
+                and index.k2u.__class__.__name__ == "SSHash"
+            )
+        self.arrays = jax.device_put(index.device_arrays(fused=fused), device)
 
         @jax.jit
         def main(fw):

@@ -568,6 +568,10 @@ def sshash_k2u(d: dict, fw_words, xp, mode: str = "full"):
     last_km_start = d["us"]["meta"].total_len - k
     rc_offset = k - offset - w
 
+    # fused layout: inline rows also carry (first_occ_word, occ_cnt)
+    fused = (
+        m.pos_kind == "inline" and d["pos"]["inline"].shape[1] >= 7
+    )
     zero = xp.zeros_like(ps)
     state = (
         xp.zeros(xp.shape(fw), dtype=bool),  # found
@@ -575,6 +579,8 @@ def sshash_k2u(d: dict, fw_words, xp, mode: str = "full"):
         zero,  # ulen
         zero,  # pos
         xp.zeros(xp.shape(fw), dtype=xp.uint8),  # mt
+        xp.zeros(xp.shape(fw), dtype=xp.uint64),  # occ_word (fused)
+        zero,  # occ_cnt (fused)
     )
 
     n_pos = d["pos"]["meta"].length
@@ -585,7 +591,7 @@ def sshash_k2u(d: dict, fw_words, xp, mode: str = "full"):
         k-mers. A valid candidate provably lies in the record's unitig
         (mm_pos in [km_pos, km_pos+k) and km_pos+k <= unitig end), so no
         rank/extent lookups are needed."""
-        found, out_uid, out_ulen, out_pos, out_mt = state
+        found, out_uid, out_ulen, out_pos, out_mt, out_ow, out_oc = state
         active = (~found) & (j < n_occs) & (~use_skew)
         rec = d["pos"]["records"][xp.clip(ps + j, 0, n_pos - 1)]
         mm_pos = rec[..., 0].astype(xp.int64)
@@ -621,10 +627,10 @@ def sshash_k2u(d: dict, fw_words, xp, mode: str = "full"):
             out_mt = xp.where(hit, mt, out_mt)
             found = found | hit
             active = active & (~hit)
-        return found, out_uid, out_ulen, out_pos, out_mt
+        return found, out_uid, out_ulen, out_pos, out_mt, out_ow, out_oc
 
     def probe_body_generic(j, state):
-        found, out_uid, out_ulen, out_pos, out_mt = state
+        found, out_uid, out_ulen, out_pos, out_mt, out_ow, out_oc = state
         active = (~found) & (j < n_occs) & (~use_skew)
         mm_pos = _pos_get(d, xp.clip(ps + j, 0, n_pos - 1), xp)
         for cand_off in (offset, rc_offset):
@@ -641,12 +647,12 @@ def sshash_k2u(d: dict, fw_words, xp, mode: str = "full"):
             out_mt = xp.where(hit, mt, out_mt)
             found = found | hit
             active = active & (~hit)
-        return found, out_uid, out_ulen, out_pos, out_mt
+        return found, out_uid, out_ulen, out_pos, out_mt, out_ow, out_oc
 
     def probe_body_inline(j, state):
         """ONE-row-gather probe: the occurrence row carries ids, extents,
         and the useq words of the whole candidate window."""
-        found, out_uid, out_ulen, out_pos, out_mt = state
+        found, out_uid, out_ulen, out_pos, out_mt, out_ow, out_oc = state
         active = (~found) & (j < n_occs) & (~use_skew)
         row = d["pos"]["inline"][xp.clip(ps + j, 0, n_pos - 1)]
         m32 = U64(0xFFFFFFFF)
@@ -677,9 +683,12 @@ def sshash_k2u(d: dict, fw_words, xp, mode: str = "full"):
             out_ulen = xp.where(hit, end - start, out_ulen)
             out_pos = xp.where(hit, km_pos - start, out_pos)
             out_mt = xp.where(hit, mt, out_mt)
+            if fused:
+                out_ow = xp.where(hit, row[..., 5], out_ow)
+                out_oc = xp.where(hit, row[..., 6].astype(xp.int64), out_oc)
             found = found | hit
             active = active & (~hit)
-        return found, out_uid, out_ulen, out_pos, out_mt
+        return found, out_uid, out_ulen, out_pos, out_mt, out_ow, out_oc
 
     probe_body = {
         "records": probe_body_records,
@@ -702,17 +711,21 @@ def sshash_k2u(d: dict, fw_words, xp, mode: str = "full"):
         ).astype(xp.int32)
         state = lax.fori_loop(0, dyn_bound, probe_body, state)
 
-    found, out_uid, out_ulen, out_pos, out_mt = state
+    found, out_uid, out_ulen, out_pos, out_mt, out_ow, out_oc = state
 
     # skew path (reference src/kphf/sshash.rs:415-433)
     if mode == "main":
-        return {
+        out = {
             "unitig_id": out_uid,
             "unitig_len": out_ulen,
             "pos": out_pos,
             "mt": out_mt,
             "use_skew": use_skew,
         }
+        if fused:
+            out["occ_word"] = out_ow
+            out["occ_cnt"] = out_oc
+        return out
     if "skew_prefix2" in d:
         # direct-mapped skew: bounded ONE-row-gather probes
         from .boophf32 import fold_hash32
@@ -740,6 +753,9 @@ def sshash_k2u(d: dict, fw_words, xp, mode: str = "full"):
             out_ulen = xp.where(hit, end - start, out_ulen)
             out_pos = xp.where(hit, kpos - start, out_pos)
             out_mt = xp.where(hit, mt, out_mt)
+            if fused and d["skew_inline"].shape[1] >= 6:
+                out_ow = xp.where(hit, row[..., 4], out_ow)
+                out_oc = xp.where(hit, row[..., 5].astype(xp.int64), out_oc)
             sfound = sfound | hit
     elif "skew_mphf" in d:
         h2 = mphf_lookup(d["skew_mphf"], canon, xp).astype(xp.int64)
@@ -755,12 +771,16 @@ def sshash_k2u(d: dict, fw_words, xp, mode: str = "full"):
         out_pos = xp.where(hit, upos, out_pos)
         out_mt = xp.where(hit, mt, out_mt)
 
-    return {
+    out = {
         "unitig_id": out_uid,
         "unitig_len": out_ulen,
         "pos": out_pos,
         "mt": out_mt,
     }
+    if fused:
+        out["occ_word"] = out_ow
+        out["occ_cnt"] = out_oc
+    return out
 
 
 class TwoPhaseSSHash:
