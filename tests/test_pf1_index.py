@@ -178,3 +178,30 @@ class TestErrors:
 
         with pytest.raises(EFEmpty):
             EFVector.from_array(np.zeros(0, dtype=np.uint64))
+
+
+class TestTwoPhaseFused:
+    def test_fused_two_phase_matches_eager(self, yeast):
+        from mazu_tpu.index.modindex import ModIndex
+        from mazu_tpu.index.twophase import TwoPhaseIndexQuery
+        from mazu_tpu.kmer import revcomp
+        from mazu_tpu.kphf.sshash import SSHash
+
+        ss = SSHash.from_unitig_set(
+            yeast.k2u.unitigs, 15, skew_param=2, engine="direct"
+        )
+        idx = ModIndex(ss, yeast.u2pos, yeast.refs)
+        kms = yeast.refs.ref_kmers(0, yeast.k)[:8000]
+        rng = np.random.default_rng(1)
+        flip = rng.random(len(kms)) < 0.5
+        kms[flip] = revcomp(kms[flip], yeast.k)
+        # include misses
+        kms[:16] = rng.integers(0, 1 << 62, 16, dtype=np.uint64)
+        tp = TwoPhaseIndexQuery(idx)
+        got = tp.get_ref_pos_eager(kms)
+        want = idx.get_ref_pos_eager(kms)
+        miss_like = 0
+        for a, b in zip(got, want):
+            assert a == b
+            miss_like += a is None
+        assert miss_like >= 10  # the random k-mers mostly miss
