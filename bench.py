@@ -79,7 +79,10 @@ def build_index():
         log("fallback toy index")
     skew = int(os.environ.get("MAZU_BENCH_SKEW", 2))
     engine = os.environ.get("MAZU_BENCH_ENGINE", "direct")
-    sshash = SSHash.from_unitig_set(unitigs, w=15, skew_param=skew, engine=engine)
+    load = float(os.environ.get("MAZU_BENCH_LOAD", 0.5))
+    sshash = SSHash.from_unitig_set(
+        unitigs, w=15, skew_param=skew, engine=engine, bucket_load=load
+    )
     log(
         f"sshash: engine={engine} skew={skew} probe_bound={sshash.probe_bound()} "
         f"skew_kmers={sshash.n_kmers_in_skew_index} bits/kmer={sshash.num_bits()/sshash.n_kmers:.2f}"

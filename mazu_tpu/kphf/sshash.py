@@ -122,7 +122,8 @@ class SSHash:
         seed: int = 0,
         gamma: float = 1.7,
         chunk: int = 1 << 20,
-        engine: str = "parity",  # "parity" (u64 BooPHF) | "fast32" (TPU-native)
+        engine: str = "parity",  # "parity" | "fast32" | "direct" (TPU-native)
+        bucket_load: float = 0.5,  # direct engine: minimizers per bucket-table slot
     ) -> "SSHash":
         """Host-side build (reference src/kphf/sshash.rs:86-330, vectorized).
 
@@ -134,7 +135,7 @@ class SSHash:
         assert w <= k
         if engine == "direct":
             return cls._from_unitig_set_direct(
-                unitigs, w, skew_param, seed, chunk
+                unitigs, w, skew_param, seed, chunk, bucket_load=bucket_load
             )
         hash32 = engine == "fast32"
         mphf_cls = BooPHF32 if hash32 else BooPHF
