@@ -121,7 +121,13 @@ class TwoPhaseIndexQuery:
                     + jnp.where(r["valid"], r["ref_id"], 0).sum()
                     + r["unitig_id"].sum()
                 )
-                return s, r["overflow"]
+                # bit-pack the overflow flags on device: 32x less tunnel traffic
+                ov = r["overflow"]
+                pad = (-ov.shape[0]) % 32
+                ovp = jnp.pad(ov, (0, pad)).reshape(-1, 32)
+                weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, :]
+                packed = (ovp.astype(jnp.uint32) * weights).sum(axis=1).astype(jnp.uint32)
+                return s, packed
 
             @jax.jit
             def full_chk(fw, n_real):
@@ -137,9 +143,10 @@ class TwoPhaseIndexQuery:
             self._main_chk = main_chk
             self._full_chk = full_chk
 
-        chk, overflow = self._main_chk(fw_words_dev)
-        overflow = np.asarray(jax.device_get(overflow))
-        lanes = np.flatnonzero(overflow)
+        chk, packed = self._main_chk(fw_words_dev)
+        packed = np.asarray(jax.device_get(packed))
+        bits = np.unpackbits(packed.view(np.uint8), bitorder="little")
+        lanes = np.flatnonzero(bits[: len(fw_words_host)])
         total = int(jax.device_get(chk))
         if len(lanes):
             b = 1 << max(6, int(np.ceil(np.log2(len(lanes)))))
