@@ -51,6 +51,9 @@ def _build_parser():
     v.add_argument("-i", "--index", required=True)
     v.add_argument("-f", "--fasta", required=True)
     v.add_argument("--streaming", action="store_true")
+    mp = idx.add_parser("map")
+    mp.add_argument("-i", "--index", required=True)
+    mp.add_argument("-f", "--fasta", required=True, help="reads (FASTA)")
 
     # ---- kphf tool
     kp = sub.add_parser("kphf").add_subparsers(dest="cmd", required=True)
@@ -118,6 +121,20 @@ def main(argv=None):
 
                 validate_fasta(idx, args.fasta)
             print("valid")
+        elif args.cmd == "map":
+            import time as _t
+
+            from .index.mapping import ReadMapper
+
+            idx = load_index(args.index)
+            mapper = ReadMapper(idx)
+            t = _t.time()
+            results = mapper.map_fasta(args.fasta)
+            dt = _t.time() - t
+            n_kmers = sum(r.n_kmers for r in results)
+            n_hit = sum(r.n_hit for r in results)
+            print(f"{len(results)} reads, {n_kmers} k-mers, {n_hit} hits")
+            print(f"{dt:.3f}s total, {dt / max(n_kmers, 1) * 1e9:.1f} ns/kmer")
     elif args.tool == "kphf":
         if args.cmd == "build":
             us, _ = UnitigSet.from_cf(CfFiles(args.cf_prefix))

@@ -95,3 +95,29 @@ def test_cli_direct_engine():
     )
     assert main(["index", "validate-fasta", "-i", out, "-f", TINY_FA]) == 0
     os.unlink(out)
+
+
+def test_read_mapper_and_cli_map():
+    if not os.path.exists(TINY + ".cf_seg"):
+        pytest.skip("fixture missing")
+    from mazu_tpu.cli import main
+    from mazu_tpu.index.mapping import ReadMapper
+
+    idx = piscem_index_from_cf_prefix(TINY, w=3, skew_param=2, engine="direct")
+    mapper = ReadMapper(idx)
+    results = mapper.map_fasta(TINY_FA)
+    assert len(results) == 2
+    for r in results:
+        assert r.n_kmers == r.n_hit  # every indexed k-mer maps
+        for h in r.hits:
+            assert h is not None and len(h) >= 1
+    # a read with a foreign k-mer
+    res = mapper.map_reads(["AAAAAAA", "CACACAC"])
+    assert res[0].hits[0] is None
+    assert res[1].hits[0] is not None
+
+    out = _tmp()
+    assert main(["index", "build", "piscem", "-p", TINY, "-o", out, "-m", "3",
+                 "-s", "2", "--engine", "direct"]) == 0
+    assert main(["index", "map", "-i", out, "-f", TINY_FA]) == 0
+    os.unlink(out)
