@@ -226,3 +226,15 @@ def test_two_phase_equals_full(tiny_unitigs):
     r1 = sshash_k2u(ss.device_arrays(), kms, np)
     for key in ("unitig_id", "unitig_len", "pos", "mt"):
         np.testing.assert_array_equal(r2[key], np.asarray(r1[key]), err_msg=key)
+
+
+def test_edge_queries(tiny_unitigs):
+    ss = SSHash.from_unitig_set(tiny_unitigs, 3, skew_param=2, engine="direct")
+    d = ss.device_arrays()
+    # empty batch
+    r = sshash_k2u(d, np.zeros(0, dtype=np.uint64), np)
+    assert r["mt"].shape == (0,)
+    # extreme words: all-A (0) and all-T (max) of k=7
+    ext = np.array([0, (1 << 14) - 1], dtype=np.uint64)
+    r = sshash_k2u(d, ext, np)
+    assert (np.asarray(r["mt"]) == 0).all()  # neither is indexed
