@@ -124,6 +124,7 @@ class SSHash:
         chunk: int = 1 << 20,
         engine: str = "parity",  # "parity" | "fast32" | "direct" (TPU-native)
         bucket_load: float = 0.5,  # direct engine: minimizers per bucket-table slot
+        skew_bound_target: int = 4,  # direct engine: max skew-bucket probe count
     ) -> "SSHash":
         """Host-side build (reference src/kphf/sshash.rs:86-330, vectorized).
 
@@ -135,7 +136,13 @@ class SSHash:
         assert w <= k
         if engine == "direct":
             return cls._from_unitig_set_direct(
-                unitigs, w, skew_param, seed, chunk, bucket_load=bucket_load
+                unitigs,
+                w,
+                skew_param,
+                seed,
+                chunk,
+                bucket_load=bucket_load,
+                skew_bound_target=skew_bound_target,
             )
         hash32 = engine == "fast32"
         mphf_cls = BooPHF32 if hash32 else BooPHF
@@ -203,7 +210,9 @@ class SSHash:
         )
 
     @classmethod
-    def _from_unitig_set_direct(cls, unitigs, w, skew_param, seed, chunk, bucket_load=0.5):
+    def _from_unitig_set_direct(
+        cls, unitigs, w, skew_param, seed, chunk, bucket_load=0.5, skew_bound_target=4
+    ):
         """engine="direct": TPU-native bucket table instead of an MPHF.
 
         The minimizer -> bucket map is ``fold_hash32(mm) & (T-1)`` with T a
@@ -261,10 +270,10 @@ class SSHash:
             # size T2 until the max bucket is small (static probe bound)
             n2 = len(cw_sorted)
             T2 = 1 << max(6, int(np.ceil(np.log2(max(n2 * 2, 64)))))
-            for _ in range(6):
+            for _ in range(8):
                 b2 = (_fold(cw_sorted) & np.uint32(T2 - 1)).astype(np.int64)
                 sizes = np.bincount(b2, minlength=T2)
-                if sizes.max() <= 4 or T2 >= (1 << 28):
+                if sizes.max() <= skew_bound_target or T2 >= (1 << 28):
                     break
                 T2 <<= 1
             order3 = np.argsort(b2, kind="stable")
