@@ -200,7 +200,8 @@ class ModIndex:
             )
             # same for the skew rows
             if "skew_inline" in d["k2u"]:
-                spos = ss.skew_direct["pos"]
+                spos_raw = ss.skew_direct["pos"]
+                spos = np.where(spos_raw >= 0, spos_raw, 0)  # cuckoo empties
                 suid = ss.unitigs.pos_to_id(spos)
                 sfirst = cwords[np.clip(off[suid], 0, max(len(cwords) - 1, 0))]
                 scnt = (off[suid + 1] - off[suid]).astype(np.uint64)

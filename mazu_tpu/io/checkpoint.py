@@ -127,12 +127,14 @@ def _k2u_state(k2u) -> dict:
             d["skew_pos"] = _iv_state(k2u.skew_pos)
         if k2u.skew_direct is not None:
             sd = k2u.skew_direct
-            d["skew_direct"] = {
-                "T": np.int64(sd["T"]),
-                "bound": np.int64(sd["bound"]),
-                "prefix": sd["prefix"],
-                "pos": sd["pos"],
-            }
+            out = {"T": np.int64(sd["T"]), "pos": sd["pos"], "skind": sd.get("kind", "bucket")}
+            if out["skind"] == "cuckoo":
+                out["salt"] = np.int64(sd["salt"])
+                out["slot_key"] = sd["slot_key"]
+            else:
+                out["bound"] = np.int64(sd["bound"])
+                out["prefix"] = sd["prefix"]
+            d["skew_direct"] = out
         return d
     if isinstance(k2u, PFHash):
         return {
@@ -178,12 +180,24 @@ def _k2u_from(d):
         ss.direct_T = t or None
         if "skew_direct" in d:
             sd = d["skew_direct"]
-            ss.skew_direct = {
-                "T": int(sd["T"]),
-                "bound": int(sd["bound"]),
-                "prefix": sd["prefix"],
-                "pos": sd["pos"],
-            }
+            kind = str(sd.get("skind", "bucket"))
+            if kind == "cuckoo":
+                ss.skew_direct = {
+                    "kind": "cuckoo",
+                    "T": int(sd["T"]),
+                    "salt": int(sd["salt"]),
+                    "slot_key": sd["slot_key"],
+                    "slot_pos": sd["pos"],
+                    "pos": sd["pos"],
+                }
+            else:
+                ss.skew_direct = {
+                    "kind": "bucket",
+                    "T": int(sd["T"]),
+                    "bound": int(sd["bound"]),
+                    "prefix": sd["prefix"],
+                    "pos": sd["pos"],
+                }
         return ss
     if kind == "pfhash":
         return PFHash(_us_from(d["us"]), _mphf_from(d["mphf"]), _iv_from(d["pos"]))

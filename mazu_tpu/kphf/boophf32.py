@@ -46,6 +46,14 @@ def fold_hash32(keys):
     return mix32(lo ^ _GOLD) ^ mix32(hi + _C2)
 
 
+def fold_hash32b(keys, salt=0):
+    """Independent second fold for two-choice (cuckoo) tables."""
+    lo = (keys & U64(0xFFFFFFFF)).astype(U32)
+    hi = (keys >> U64(32)).astype(U32)
+    s = U32(salt & 0xFFFFFFFF)
+    return mix32(lo + (_C1 ^ s)) ^ mix32(hi ^ (_GOLD + s))
+
+
 def key_fold32(keys):
     """uint64 key -> (s0, s1) u32 chain state (one mult each)."""
     lo = (keys & U64(0xFFFFFFFF)).astype(U32)

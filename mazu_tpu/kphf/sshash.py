@@ -267,22 +267,24 @@ class SSHash:
             cwords = np.minimum(words, revcomp(words, k))
             cw_sorted, first_idx = np.unique(cwords, return_index=True)
             kept_pos = cand[first_idx]
-            # size T2 until the max bucket is small (static probe bound)
-            n2 = len(cw_sorted)
-            T2 = 1 << max(6, int(np.ceil(np.log2(max(n2 * 2, 64)))))
-            for _ in range(8):
-                b2 = (_fold(cw_sorted) & np.uint32(T2 - 1)).astype(np.int64)
-                sizes = np.bincount(b2, minlength=T2)
-                if sizes.max() <= skew_bound_target or T2 >= (1 << 28):
-                    break
-                T2 <<= 1
-            order3 = np.argsort(b2, kind="stable")
-            skew_direct = {
-                "T": T2,
-                "bound": int(sizes.max()),
-                "prefix": np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64),
-                "pos": kept_pos[order3].astype(np.int64),
-            }
+            skew_direct = cls._place_skew_cuckoo(cw_sorted, kept_pos)
+            if skew_direct is None:  # fall back to bounded buckets
+                n2 = len(cw_sorted)
+                T2 = 1 << max(6, int(np.ceil(np.log2(max(n2 * 2, 64)))))
+                for _ in range(8):
+                    b2 = (_fold(cw_sorted) & np.uint32(T2 - 1)).astype(np.int64)
+                    sizes = np.bincount(b2, minlength=T2)
+                    if sizes.max() <= skew_bound_target or T2 >= (1 << 28):
+                        break
+                    T2 <<= 1
+                order3 = np.argsort(b2, kind="stable")
+                skew_direct = {
+                    "kind": "bucket",
+                    "T": T2,
+                    "bound": int(sizes.max()),
+                    "prefix": np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64),
+                    "pos": kept_pos[order3].astype(np.int64),
+                }
 
         self = cls(
             unitigs,
@@ -299,6 +301,66 @@ class SSHash:
         self.direct_T = T
         self.skew_direct = skew_direct
         return self
+
+    @staticmethod
+    def _place_skew_cuckoo(keys: np.ndarray, vals: np.ndarray, load: float = 0.4):
+        """Two-choice (cuckoo) placement of skew k-mers: each key lands in
+        one of two hashed slots, one key per slot — the skew query becomes
+        TWO fixed row gathers (no bucket bounds, no loop). Vectorized
+        random-walk insertion; returns None if placement fails (caller
+        falls back to bounded buckets).
+
+        Returns {"kind": "cuckoo", "T", "salt", "slot_pos": int64[T]
+        (-1 = empty), "slot_key": uint64[T]}.
+        """
+        from .boophf32 import fold_hash32, fold_hash32b, mix32
+
+        n = len(keys)
+        if n == 0:
+            return None
+        T2 = 1 << max(6, int(np.ceil(np.log2(max(n / load, 64)))))
+        for salt in range(4):
+            h1 = (fold_hash32(keys) & np.uint32(T2 - 1)).astype(np.int64)
+            h2 = (fold_hash32b(keys, salt) & np.uint32(T2 - 1)).astype(np.int64)
+            side = np.zeros(n, dtype=bool)
+            klo = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            ok = False
+            for rnd in range(512):
+                slot = np.where(side, h2, h1)
+                # ROUND-RANDOM priorities: every contender eventually wins
+                # somewhere, so stable-winner deadlocks cannot form
+                prio = mix32(klo ^ np.uint32((rnd * 2654435761) % (1 << 32)))
+                order = np.lexsort((prio, slot))
+                ss_ = slot[order]
+                first = np.ones(n, dtype=bool)
+                first[1:] = ss_[1:] != ss_[:-1]
+                winner = np.zeros(n, dtype=bool)
+                winner[order] = first
+                losers = ~winner
+                if not losers.any():
+                    ok = True
+                    break
+                # losers flip to their alternate slot (random half, to damp
+                # oscillation)
+                flip = losers & ((prio & np.uint32(1)) == 1)
+                if not flip.any():
+                    flip = losers
+                side = side ^ flip
+            if ok:
+                slot_pos = np.full(T2, -1, dtype=np.int64)
+                slot_key = np.zeros(T2, dtype=np.uint64)
+                slot_pos[slot] = vals
+                slot_key[slot] = keys
+                return {
+                    "kind": "cuckoo",
+                    "T": T2,
+                    "salt": salt,
+                    "slot_pos": slot_pos,
+                    "slot_key": slot_key,
+                    "pos": slot_pos,  # row-ordered positions (fusion uses this)
+                }
+            T2 <<= 1  # more room on retry
+        return None
 
     @classmethod
     def from_unitig_set_no_skew_index(
@@ -328,7 +390,7 @@ class SSHash:
     @property
     def n_kmers_in_skew_index(self) -> int:
         if self.skew_direct is not None:
-            return len(self.skew_direct["pos"])
+            return int((self.skew_direct["pos"] >= 0).sum())
         return len(self.skew_pos) if self.skew_pos is not None else 0
 
     def max_bucket(self) -> int:
@@ -353,7 +415,10 @@ class SSHash:
         if self.skew_mphf is not None:
             nb += self.skew_mphf.num_bits() + self.skew_pos.num_bits()
         if self.skew_direct is not None:
-            nb += 32 * len(self.skew_direct["prefix"]) + 128 * len(self.skew_direct["pos"])
+            sd = self.skew_direct
+            nb += 128 * len(sd["pos"])  # inline rows dominate
+            if "prefix" in sd:
+                nb += 32 * len(sd["prefix"])
         return nb
 
     def print_stats(self, log=print):
@@ -469,25 +534,37 @@ class SSHash:
             d["skew_pos"] = self.skew_pos.device_arrays()
         if self.skew_direct is not None:
             sd = self.skew_direct
-            p32 = sd["prefix"].astype(np.int32)
-            d["skew_prefix2"] = np.stack([p32[:-1], p32[1:]], axis=1)
-            spos = sd["pos"]
+            kind = sd.get("kind", "bucket")
+            spos_raw = sd["pos"]
+            valid = spos_raw >= 0
+            spos = np.where(valid, spos_raw, 0).astype(np.int64)
             uid = self.unitigs.pos_to_id(spos)
+            uid_field = np.where(valid, uid, 0xFFFFFFFF).astype(np.uint64)
             # inline skew rows: (pos|uid, start|end, w0, w1) — one gather
-            # per skew probe (the k-mer sits at pos exactly, spans <= 2 words)
+            # per skew probe (the k-mer sits at pos exactly, spans <= 2
+            # words). uid field 0xffffffff marks an empty (cuckoo) slot.
             wi = (spos * 2) >> 6
             wp = np.concatenate([self.unitigs.useq.words, np.zeros(1, dtype=np.uint64)])
             d["skew_inline"] = np.stack(
                 [
-                    spos.astype(np.uint64) | (uid.astype(np.uint64) << np.uint64(32)),
+                    spos.astype(np.uint64) | (uid_field << np.uint64(32)),
                     self.unitigs.accum[uid].astype(np.uint64)
                     | (self.unitigs.accum[uid + 1].astype(np.uint64) << np.uint64(32)),
-                    wp[wi],
-                    wp[wi + 1],
+                    np.where(valid, wp[wi], 0),
+                    np.where(valid, wp[wi + 1], 0),
                 ],
                 axis=1,
             )
-            d["meta"] = d["meta"].replace(skew_t=sd["T"], skew_bound=sd["bound"])
+            if kind == "cuckoo":
+                d["meta"] = d["meta"].replace(
+                    skew_t=sd["T"], skew_bound=2, skew_kind="cuckoo", skew_salt=sd["salt"]
+                )
+            else:
+                p32 = sd["prefix"].astype(np.int32)
+                d["skew_prefix2"] = np.stack([p32[:-1], p32[1:]], axis=1)
+                d["meta"] = d["meta"].replace(
+                    skew_t=sd["T"], skew_bound=sd["bound"], skew_kind="bucket"
+                )
         return d
 
 
@@ -736,7 +813,38 @@ def sshash_k2u(d: dict, fw_words, xp, mode: str = "full"):
             out["occ_word"] = out_ow
             out["occ_cnt"] = out_oc
         return out
-    if "skew_prefix2" in d:
+    if "skew_inline" in d and getattr(m, "skew_kind", "bucket") == "cuckoo":
+        # two-choice (cuckoo) skew: exactly TWO row gathers, no bounds
+        from .boophf32 import fold_hash32, fold_hash32b
+
+        t2m = np.uint32(m.skew_t - 1)
+        h1 = (fold_hash32(canon) & t2m).astype(xp.int64)
+        h2 = (fold_hash32b(canon, m.skew_salt) & t2m).astype(xp.int64)
+        m2k = U64((1 << (2 * k)) - 1)
+        m32 = U64(0xFFFFFFFF)
+        sfound = xp.zeros(xp.shape(fw), dtype=bool)
+        for slot in (h1, h2):
+            row = d["skew_inline"][slot]
+            uidf = row[..., 0] >> U64(32)
+            svalid = uidf != m32
+            kpos = (row[..., 0] & m32).astype(xp.int64)
+            r = ((kpos * 2) & 63).astype(xp.uint64)
+            hi_shift = (U64(64) - r) & U64(63)
+            hi = xp.where(r == 0, xp.zeros_like(row[..., 3]), row[..., 3] << hi_shift)
+            kw = ((row[..., 2] >> r) | hi) & m2k
+            mt = word_equivalency(fw, rc, kw, k)
+            hit = use_skew & (~sfound) & svalid & (mt > 0)
+            start = (row[..., 1] & m32).astype(xp.int64)
+            end = (row[..., 1] >> U64(32)).astype(xp.int64)
+            out_uid = xp.where(hit, uidf.astype(xp.int64), out_uid)
+            out_ulen = xp.where(hit, end - start, out_ulen)
+            out_pos = xp.where(hit, kpos - start, out_pos)
+            out_mt = xp.where(hit, mt, out_mt)
+            if fused and d["skew_inline"].shape[1] >= 6:
+                out_ow = xp.where(hit, row[..., 4], out_ow)
+                out_oc = xp.where(hit, row[..., 5].astype(xp.int64), out_oc)
+            sfound = sfound | hit
+    elif "skew_prefix2" in d:
         # direct-mapped skew: bounded ONE-row-gather probes
         from .boophf32 import fold_hash32
 
