@@ -30,7 +30,7 @@ def main():
     work = np.tile(kms, -(-N // len(kms)))[:N]
     rng.shuffle(work)
 
-    for skew, load in ((1, 0.25), (1, 0.125), (2, 0.125), (3, 0.25)):
+    for skew, load in ((2, 0.125), (2, 0.0625), (4, 0.125), (4, 0.0625)):
         ss = SSHash.from_unitig_set(
             base.k2u.unitigs, 15, skew_param=skew, engine="direct", bucket_load=load
         )
