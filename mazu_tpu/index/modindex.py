@@ -194,9 +194,15 @@ class ModIndex:
             off = self.u2pos.offsets
             first = cwords[np.clip(off[uid], 0, max(len(cwords) - 1, 0))]
             cnt = (off[uid + 1] - off[uid]).astype(np.uint64)
-            rows = pos_d["inline"]
+            rows = pos_d["inline"]  # u32 layout
             pos_d["inline"] = np.concatenate(
-                [rows, first[:, None], cnt[:, None]], axis=1
+                [
+                    rows,
+                    (first & np.uint64(0xFFFFFFFF)).astype(np.uint32)[:, None],
+                    (first >> np.uint64(32)).astype(np.uint32)[:, None],
+                    cnt.astype(np.uint32)[:, None],
+                ],
+                axis=1,
             )
             # same for the skew rows
             if "skew_inline" in d["k2u"]:
@@ -205,9 +211,15 @@ class ModIndex:
                 suid = ss.unitigs.pos_to_id(spos)
                 sfirst = cwords[np.clip(off[suid], 0, max(len(cwords) - 1, 0))]
                 scnt = (off[suid + 1] - off[suid]).astype(np.uint64)
-                srows = d["k2u"]["skew_inline"]
+                srows = d["k2u"]["skew_inline"]  # u32 layout
                 d["k2u"]["skew_inline"] = np.concatenate(
-                    [srows, sfirst[:, None], scnt[:, None]], axis=1
+                    [
+                        srows,
+                        (sfirst & np.uint64(0xFFFFFFFF)).astype(np.uint32)[:, None],
+                        (sfirst >> np.uint64(32)).astype(np.uint32)[:, None],
+                        scnt.astype(np.uint32)[:, None],
+                    ],
+                    axis=1,
                 )
         return d
 

@@ -487,7 +487,10 @@ class SSHash:
                 ],
                 axis=1,
             )
-            d["pos"] = {"inline": rows, "meta": meta(length=len(self.pos))}
+            # u32 row layout: measured 2x cheaper row gathers than u64 rows
+            # (cols: 0=mm_pos 1=uid 2=start 3=end 4..9=w0lo..w2hi)
+            rows32 = np.ascontiguousarray(rows).view(np.uint32).reshape(len(rows), -1)
+            d["pos"] = {"inline": rows32, "meta": meta(length=len(self.pos))}
         elif pos_kind == "records":
             # one row per occurrence: (mm_pos, uid, ustart, uend) int32 —
             # the whole probe needs just this row + one useq quad row
@@ -545,7 +548,7 @@ class SSHash:
             # words). uid field 0xffffffff marks an empty (cuckoo) slot.
             wi = (spos * 2) >> 6
             wp = np.concatenate([self.unitigs.useq.words, np.zeros(1, dtype=np.uint64)])
-            d["skew_inline"] = np.stack(
+            srows = np.stack(
                 [
                     spos.astype(np.uint64) | (uid_field << np.uint64(32)),
                     self.unitigs.accum[uid].astype(np.uint64)
@@ -554,6 +557,10 @@ class SSHash:
                     np.where(valid, wp[wi + 1], 0),
                 ],
                 axis=1,
+            )
+            # u32 rows (cols: 0=pos 1=uid 2=start 3=end 4..7=w0lo..w1hi)
+            d["skew_inline"] = (
+                np.ascontiguousarray(srows).view(np.uint32).reshape(len(srows), -1)
             )
             if kind == "cuckoo":
                 d["meta"] = d["meta"].replace(
@@ -655,10 +662,8 @@ def sshash_k2u(d: dict, fw_words, xp, mode: str = "full"):
     last_km_start = d["us"]["meta"].total_len - k
     rc_offset = k - offset - w
 
-    # fused layout: inline rows also carry (first_occ_word, occ_cnt)
-    fused = (
-        m.pos_kind == "inline" and d["pos"]["inline"].shape[1] >= 7
-    )
+    # fused layout: inline u32 rows also carry (occ_lo, occ_hi, occ_cnt)
+    fused = m.pos_kind == "inline" and d["pos"]["inline"].shape[1] >= 13
     zero = xp.zeros_like(ps)
     state = (
         xp.zeros(xp.shape(fw), dtype=bool),  # found
@@ -741,13 +746,18 @@ def sshash_k2u(d: dict, fw_words, xp, mode: str = "full"):
         and the useq words of the whole candidate window."""
         found, out_uid, out_ulen, out_pos, out_mt, out_ow, out_oc = state
         active = (~found) & (j < n_occs) & (~use_skew)
-        row = d["pos"]["inline"][xp.clip(ps + j, 0, n_pos - 1)]
-        m32 = U64(0xFFFFFFFF)
-        mm_pos = (row[..., 0] & m32).astype(xp.int64)
-        uid = (row[..., 0] >> U64(32)).astype(xp.int64)
-        start = (row[..., 1] & m32).astype(xp.int64)
-        end = (row[..., 1] >> U64(32)).astype(xp.int64)
-        q0, q1, q2 = row[..., 2], row[..., 3], row[..., 4]
+        row = d["pos"]["inline"][xp.clip(ps + j, 0, n_pos - 1)]  # u32 cols
+        mm_pos = row[..., 0].astype(xp.int64)
+        uid = row[..., 1].astype(xp.int64)
+        start = row[..., 2].astype(xp.int64)
+        end = row[..., 3].astype(xp.int64)
+
+        def _w64(lo, hi):
+            return lo.astype(xp.uint64) | (hi.astype(xp.uint64) << U64(32))
+
+        q0 = _w64(row[..., 4], row[..., 5])
+        q1 = _w64(row[..., 6], row[..., 7])
+        q2 = _w64(row[..., 8], row[..., 9])
 
         base = xp.clip(mm_pos - (k - w), 0, None)
         woff = ((base * 2) & 63).astype(xp.int64)
@@ -771,8 +781,8 @@ def sshash_k2u(d: dict, fw_words, xp, mode: str = "full"):
             out_pos = xp.where(hit, km_pos - start, out_pos)
             out_mt = xp.where(hit, mt, out_mt)
             if fused:
-                out_ow = xp.where(hit, row[..., 5], out_ow)
-                out_oc = xp.where(hit, row[..., 6].astype(xp.int64), out_oc)
+                out_ow = xp.where(hit, _w64(row[..., 10], row[..., 11]), out_ow)
+                out_oc = xp.where(hit, row[..., 12].astype(xp.int64), out_oc)
             found = found | hit
             active = active & (~hit)
         return found, out_uid, out_ulen, out_pos, out_mt, out_ow, out_oc
@@ -821,28 +831,33 @@ def sshash_k2u(d: dict, fw_words, xp, mode: str = "full"):
         h1 = (fold_hash32(canon) & t2m).astype(xp.int64)
         h2 = (fold_hash32b(canon, m.skew_salt) & t2m).astype(xp.int64)
         m2k = U64((1 << (2 * k)) - 1)
-        m32 = U64(0xFFFFFFFF)
         sfound = xp.zeros(xp.shape(fw), dtype=bool)
+
+        def _sw64(lo, hi):
+            return lo.astype(xp.uint64) | (hi.astype(xp.uint64) << U64(32))
+
         for slot in (h1, h2):
-            row = d["skew_inline"][slot]
-            uidf = row[..., 0] >> U64(32)
-            svalid = uidf != m32
-            kpos = (row[..., 0] & m32).astype(xp.int64)
+            row = d["skew_inline"][slot]  # u32 cols
+            uidf = row[..., 1]
+            svalid = uidf != np.uint32(0xFFFFFFFF)
+            kpos = row[..., 0].astype(xp.int64)
+            w0 = _sw64(row[..., 4], row[..., 5])
+            w1 = _sw64(row[..., 6], row[..., 7])
             r = ((kpos * 2) & 63).astype(xp.uint64)
             hi_shift = (U64(64) - r) & U64(63)
-            hi = xp.where(r == 0, xp.zeros_like(row[..., 3]), row[..., 3] << hi_shift)
-            kw = ((row[..., 2] >> r) | hi) & m2k
+            hi = xp.where(r == 0, xp.zeros_like(w1), w1 << hi_shift)
+            kw = ((w0 >> r) | hi) & m2k
             mt = word_equivalency(fw, rc, kw, k)
             hit = use_skew & (~sfound) & svalid & (mt > 0)
-            start = (row[..., 1] & m32).astype(xp.int64)
-            end = (row[..., 1] >> U64(32)).astype(xp.int64)
+            start = row[..., 2].astype(xp.int64)
+            end = row[..., 3].astype(xp.int64)
             out_uid = xp.where(hit, uidf.astype(xp.int64), out_uid)
             out_ulen = xp.where(hit, end - start, out_ulen)
             out_pos = xp.where(hit, kpos - start, out_pos)
             out_mt = xp.where(hit, mt, out_mt)
-            if fused and d["skew_inline"].shape[1] >= 6:
-                out_ow = xp.where(hit, row[..., 4], out_ow)
-                out_oc = xp.where(hit, row[..., 5].astype(xp.int64), out_oc)
+            if fused and d["skew_inline"].shape[1] >= 11:
+                out_ow = xp.where(hit, _sw64(row[..., 8], row[..., 9]), out_ow)
+                out_oc = xp.where(hit, row[..., 10].astype(xp.int64), out_oc)
             sfound = sfound | hit
     elif "skew_prefix2" in d:
         # direct-mapped skew: bounded ONE-row-gather probes
@@ -854,26 +869,31 @@ def sshash_k2u(d: dict, fw_words, xp, mode: str = "full"):
         c2 = spair[..., 1].astype(xp.int64) - s2
         n_srec = d["skew_inline"].shape[0]
         m2k = U64((1 << (2 * k)) - 1)
-        m32 = U64(0xFFFFFFFF)
         sfound = xp.zeros(xp.shape(fw), dtype=bool)
+
+        def _bw64(lo, hi):
+            return lo.astype(xp.uint64) | (hi.astype(xp.uint64) << U64(32))
+
         for j in range(d["meta"].skew_bound):
-            row = d["skew_inline"][xp.clip(s2 + j, 0, max(n_srec - 1, 0))]
-            kpos = (row[..., 0] & m32).astype(xp.int64)
+            row = d["skew_inline"][xp.clip(s2 + j, 0, max(n_srec - 1, 0))]  # u32
+            kpos = row[..., 0].astype(xp.int64)
+            w0 = _bw64(row[..., 4], row[..., 5])
+            w1 = _bw64(row[..., 6], row[..., 7])
             r = ((kpos * 2) & 63).astype(xp.uint64)
             hi_shift = (U64(64) - r) & U64(63)
-            hi = xp.where(r == 0, xp.zeros_like(row[..., 3]), row[..., 3] << hi_shift)
-            kw = ((row[..., 2] >> r) | hi) & m2k
+            hi = xp.where(r == 0, xp.zeros_like(w1), w1 << hi_shift)
+            kw = ((w0 >> r) | hi) & m2k
             mt = word_equivalency(fw, rc, kw, k)
             hit = use_skew & (~sfound) & (j < c2) & (mt > 0)
-            start = (row[..., 1] & m32).astype(xp.int64)
-            end = (row[..., 1] >> U64(32)).astype(xp.int64)
-            out_uid = xp.where(hit, (row[..., 0] >> U64(32)).astype(xp.int64), out_uid)
+            start = row[..., 2].astype(xp.int64)
+            end = row[..., 3].astype(xp.int64)
+            out_uid = xp.where(hit, row[..., 1].astype(xp.int64), out_uid)
             out_ulen = xp.where(hit, end - start, out_ulen)
             out_pos = xp.where(hit, kpos - start, out_pos)
             out_mt = xp.where(hit, mt, out_mt)
-            if fused and d["skew_inline"].shape[1] >= 6:
-                out_ow = xp.where(hit, row[..., 4], out_ow)
-                out_oc = xp.where(hit, row[..., 5].astype(xp.int64), out_oc)
+            if fused and d["skew_inline"].shape[1] >= 11:
+                out_ow = xp.where(hit, _bw64(row[..., 8], row[..., 9]), out_ow)
+                out_oc = xp.where(hit, row[..., 10].astype(xp.int64), out_oc)
             sfound = sfound | hit
     elif "skew_mphf" in d:
         h2 = mphf_lookup(d["skew_mphf"], canon, xp).astype(xp.int64)
