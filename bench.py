@@ -144,6 +144,68 @@ def main():
         s = out["ref_pos"].sum() + out["ref_id"].sum()
         return s + out["unitig_id"].sum() + out["pos"].sum(), out["mt"]
 
+    if mode == "reads":
+        # BASELINE config: streaming query driver over simulated 150bp reads
+        # (host k-merization via the native C++ lib + fused two-phase query)
+        from mazu_tpu.index.twophase import TwoPhaseIndexQuery
+        from mazu_tpu.index.validate import valid_kmer_windows
+        from mazu_tpu.kmer import codes_to_seq
+
+        rng2 = np.random.default_rng(1)
+        seq_codes = np.concatenate(
+            [
+                np.frombuffer(
+                    bytes(
+                        codes_to_seq(
+                            index.refs.seq.get_base(
+                                np.arange(
+                                    index.refs.prefix_sum[i], index.refs.prefix_sum[i + 1]
+                                )
+                            )
+                        ),
+                        "ascii",
+                    ),
+                    dtype=np.uint8,
+                )
+                for i in range(min(index.n_refs, 8))
+            ]
+        )
+        n_reads = int(os.environ.get("MAZU_BENCH_READS", 8192))
+        starts = rng2.integers(0, max(len(seq_codes) - 150, 1), n_reads)
+        reads = [seq_codes[s : s + 150].tobytes().decode() for s in starts]
+        tp = TwoPhaseIndexQuery(index)
+        log("compiling reads kernels...")
+
+        def one_pass():
+            words = np.concatenate([valid_kmer_windows(r, k)[1] for r in reads])
+            pad = 1 << int(np.ceil(np.log2(len(words))))
+            w = np.zeros(pad, dtype=np.uint64)
+            w[: len(words)] = words
+            chk, _ = tp.checksum_query(jnp.asarray(w), w)
+            return len(words), chk
+
+        t0 = time.time()
+        nq, chk = one_pass()
+        log(f"compile+first run {time.time()-t0:.1f}s ({nq} kmers from {n_reads} reads)")
+        iters = int(os.environ.get("MAZU_BENCH_ITERS", 10))
+        t0 = time.time()
+        for _ in range(iters):
+            nq, chk = one_pass()
+        dt = time.time() - t0
+        qps = nq * iters / dt
+        log(f"{iters} x {nq} read-kmers in {dt:.3f}s (chk={chk})")
+        print(
+            json.dumps(
+                {
+                    "metric": "read_kmer_queries_per_sec_per_chip",
+                    "value": qps,
+                    "unit": "queries/s",
+                    "vs_baseline": qps / 1e9,
+                }
+            )
+        )
+        return
+
     if mode == "2phase-full":
         # full two-phase query (k2u + projection), device-reduced checksums
         from mazu_tpu.index.twophase import TwoPhaseIndexQuery
