@@ -79,7 +79,7 @@ def build_index():
         log("fallback toy index")
     skew = int(os.environ.get("MAZU_BENCH_SKEW", 2))
     engine = os.environ.get("MAZU_BENCH_ENGINE", "direct")
-    load = float(os.environ.get("MAZU_BENCH_LOAD", 0.125))
+    load = float(os.environ.get("MAZU_BENCH_LOAD", 0.0625))
     sshash = SSHash.from_unitig_set(
         unitigs, w=15, skew_param=skew, engine=engine, bucket_load=load
     )

@@ -183,10 +183,15 @@ class ModIndex:
             # take the overflow phase. K2U and U2Pos stay modular — this is
             # a device-layout optimization computed at array-build time.
             pos_d = d["k2u"].get("pos", {})
-            assert "inline" in pos_d, "fused layout requires pos_kind='inline'"
+            assert "inline" in pos_d, "fused layout requires an inline row layout"
             ss = self.k2u
-            pos_arr = ss.pos.to_array().astype(np.int64)
-            uid = ss.unitigs.pos_to_id(pos_arr)
+            # uid per ROW comes from the row's own uid column (col 1 of the
+            # u32 layout) so this works for both occurrence-ordered inline
+            # rows and fixed-capacity bucket tables (sentinel rows clip to
+            # uid 0 and are never read — their verification self-rejects)
+            uid = np.minimum(
+                pos_d["inline"][:, 1].astype(np.int64), ss.unitigs.n_unitigs - 1
+            )
             if hasattr(self.u2pos.ctable, "to_array"):  # packed IntVector
                 cwords = self.u2pos.ctable.to_array()
             else:

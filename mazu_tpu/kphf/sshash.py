@@ -441,13 +441,20 @@ class SSHash:
         - ``pos_kind``: "packed" = minimal-width IntVector (parity);
           "flat32" = int32 array (1-gather fast path). Same defaults.
         """
-        if prefix_kind is None:
-            prefix_kind = "flat32" if self.hash32 else "ef"
         if pos_kind is None:
-            pos_kind = "inline" if self.hash32 else "packed"
+            # fixedcap (no bucket-bounds gather at all) needs the direct
+            # bucket table; fast32 keeps inline+prefix
+            pos_kind = (
+                "fixedcap" if self.direct_T else ("inline" if self.hash32 else "packed")
+            )
+        if prefix_kind is None:
+            if pos_kind == "fixedcap":
+                prefix_kind = "none"
+            else:
+                prefix_kind = "flat32" if self.hash32 else "ef"
         d = {
             "us": self.unitigs.device_arrays(
-                paired=pos_kind in ("flat32", "records", "inline")
+                paired=pos_kind in ("flat32", "records", "inline", "fixedcap")
             ),
             "meta": meta(
                 kind="sshash",
@@ -464,7 +471,48 @@ class SSHash:
         }
         if self.mphf is not None:
             d["mphf"] = self.mphf.device_arrays()
-        if pos_kind == "inline":
+        if pos_kind == "fixedcap":
+            # fixed-capacity buckets: bucket b's occurrence rows live at
+            # [b*B, (b+1)*B) — direct addressing, NO bucket-bounds gather.
+            # Slot validity rides in the uid field: 0xFFFFFFFF = empty,
+            # 0xFFFFFFFE in slot 0 = heavy bucket (resolve via skew).
+            assert self.direct_T, "fixedcap requires engine='direct'"
+            assert self.unitigs.total_len < (1 << 31)
+            B = max(1, self.probe_bound())
+            T = self.direct_T
+            cnt_b = self.occs_prefix_sum[1:] - self.occs_prefix_sum[:-1]
+            heavy_b = cnt_b > (self.skew_param or B)
+            pos_arr = self.pos.to_array().astype(np.int64)
+            occ_b = np.repeat(np.arange(T, dtype=np.int64), cnt_b)
+            within = np.arange(len(pos_arr)) - np.repeat(
+                self.occs_prefix_sum[:-1], cnt_b
+            )
+            keep = (within < B) & (~heavy_b[occ_b])
+            uid = self.unitigs.pos_to_id(pos_arr)
+            start = self.unitigs.accum[uid]
+            end = self.unitigs.accum[uid + 1]
+            base = np.maximum(pos_arr - (self.k - self.w), 0)
+            wi = (base * 2) >> 6
+            wp = np.concatenate([self.unitigs.useq.words, np.zeros(2, dtype=np.uint64)])
+            table = np.zeros((T * B, 5), dtype=np.uint64)
+            table[:, 0] = np.uint64(0xFFFFFFFF) << np.uint64(32)  # empty sentinel
+            dst = occ_b[keep] * B + within[keep]
+            table[dst, 0] = pos_arr[keep].astype(np.uint64) | (
+                uid[keep].astype(np.uint64) << np.uint64(32)
+            )
+            table[dst, 1] = start[keep].astype(np.uint64) | (
+                end[keep].astype(np.uint64) << np.uint64(32)
+            )
+            table[dst, 2] = wp[wi[keep]]
+            table[dst, 3] = wp[wi[keep] + 1]
+            table[dst, 4] = wp[wi[keep] + 2]
+            # heavy buckets: slot 0 carries the skew marker
+            hb = np.flatnonzero(heavy_b)
+            table[hb * B, 0] = np.uint64(0xFFFFFFFE) << np.uint64(32)
+            rows32 = np.ascontiguousarray(table).view(np.uint32).reshape(T * B, 10)
+            d["pos"] = {"inline": rows32, "meta": meta(length=T * B)}
+            d["meta"] = d["meta"].replace(cap=B)
+        elif pos_kind == "inline":
             # one u64[5] row per occurrence: (mm_pos|uid<<32, start|end<<32,
             # w0, w1, w2) where w0..w2 are the useq words covering the whole
             # candidate window — a probe is ONE row gather. ~40B/occurrence:
@@ -635,14 +683,25 @@ def sshash_k2u(d: dict, fw_words, xp, mode: str = "full"):
         from .boophf32 import fold_hash32
 
         hc = (fold_hash32(mm) & np.uint32(m.direct_t - 1)).astype(xp.int64)
-        if "flat2" in d.get("prefix", {}):
+        if m.pos_kind == "fixedcap":
+            # direct row addressing: bucket b's rows at [b*B, (b+1)*B) —
+            # no bucket-bounds gather. Slot 0's uid field flags heavy
+            # (skew) buckets; invalid slots self-reject in verification
+            # (their extents are start=end=0). The slot-0 gather CSEs with
+            # the j=0 probe gather.
+            B = m.cap
+            ps = hc * B
+            row0 = d["pos"]["inline"][ps]
+            n_occs = xp.full(xp.shape(hc), B, dtype=xp.int64)
+        elif "flat2" in d.get("prefix", {}):
             pair = d["prefix"]["flat2"][hc]
             ps = pair[..., 0].astype(xp.int64)
             pe = pair[..., 1].astype(xp.int64)
+            n_occs = pe - ps
         else:
             ps = _prefix_get(d, hc, xp)
             pe = _prefix_get(d, hc + 1, xp)
-        n_occs = pe - ps
+            n_occs = pe - ps
     else:
         h = mphf_lookup(d["mphf"], mm, xp).astype(xp.int64)
         hc = xp.clip(h, 0, None)
@@ -655,9 +714,14 @@ def sshash_k2u(d: dict, fw_words, xp, mode: str = "full"):
             pe = _prefix_get(d, hc + 1, xp)
         n_occs = xp.where(h < 0, xp.zeros_like(pe), pe - ps)
 
-    use_skew = (
-        (n_occs > m.skew_param) if m.skew_param >= 0 else xp.zeros_like(n_occs, dtype=bool)
-    )
+    if m.pos_kind == "fixedcap":
+        use_skew = row0[..., 1] == np.uint32(0xFFFFFFFE)
+    else:
+        use_skew = (
+            (n_occs > m.skew_param)
+            if m.skew_param >= 0
+            else xp.zeros_like(n_occs, dtype=bool)
+        )
 
     last_km_start = d["us"]["meta"].total_len - k
     rc_offset = k - offset - w
@@ -790,6 +854,7 @@ def sshash_k2u(d: dict, fw_words, xp, mode: str = "full"):
     probe_body = {
         "records": probe_body_records,
         "inline": probe_body_inline,
+        "fixedcap": probe_body_inline,  # same u32 row layout, direct-addressed
     }.get(m.pos_kind, probe_body_generic)
 
     if xp is np or m.probe_bound <= 8:
