@@ -173,16 +173,45 @@ def main():
         n_reads = int(os.environ.get("MAZU_BENCH_READS", 8192))
         starts = rng2.integers(0, max(len(seq_codes) - 150, 1), n_reads)
         reads = [seq_codes[s : s + 150].tobytes().decode() for s in starts]
+        use_run = os.environ.get("MAZU_BENCH_RUNSHARE", "1") == "1"
+        if use_run:
+            from mazu_tpu.index.twophase import ReadBatchQuery
+
+            rq = ReadBatchQuery(index)
         tp = TwoPhaseIndexQuery(index)
-        log("compiling reads kernels...")
+        log(f"compiling reads kernels (runshare={use_run})...")
+
+        def kmerize_all():
+            ws, nrs = [], []
+            for r in reads:
+                _, w_ = valid_kmer_windows(r, k)
+                ws.append(w_)
+                f = np.zeros(len(w_), dtype=bool)
+                if len(f):
+                    f[0] = True
+                nrs.append(f)
+            words = np.concatenate(ws)
+            nr = np.concatenate(nrs)
+            pad = (1 << int(np.ceil(np.log2(len(words))))) - len(words)
+            words = np.concatenate([words, np.zeros(pad, dtype=np.uint64)])
+            nr = np.concatenate([nr, np.ones(pad, dtype=bool)])
+            return words, nr, len(words) - pad
 
         def one_pass():
-            words = np.concatenate([valid_kmer_windows(r, k)[1] for r in reads])
-            pad = 1 << int(np.ceil(np.log2(len(words))))
-            w = np.zeros(pad, dtype=np.uint64)
-            w[: len(words)] = words
-            chk, _ = tp.checksum_query(jnp.asarray(w), w)
-            return len(words), chk
+            w, nr, n_real = kmerize_all()
+            if use_run:
+                chk, _ = rq.checksum_query(jnp.asarray(w), w, jnp.asarray(nr))
+            else:
+                chk, _ = tp.checksum_query(jnp.asarray(w), w)
+            return n_real, chk
+
+        # cross-check: runshare checksum equals the plain two-phase checksum
+        if use_run:
+            w0, nr0, _ = kmerize_all()
+            c1, _ = rq.checksum_query(jnp.asarray(w0), w0, jnp.asarray(nr0))
+            c2, _ = tp.checksum_query(jnp.asarray(w0), w0)
+            assert c1 == c2, (c1, c2)
+            log("runshare checksum parity OK")
 
         t0 = time.time()
         nq, chk = one_pass()

@@ -78,6 +78,97 @@ def _main_phase(arrays, fw, xp, small_occs: int):
     }
 
 
+def _project_fused(arrays, r, xp):
+    """Projection from fused k2u outputs (occ_word/occ_cnt) — zero gathers."""
+    from .unitig_table import decode_words
+
+    u2 = arrays["u2pos"]
+    k = arrays["meta"].k
+    hit = r["mt"] > 0
+    cnt = xp.where(hit, r["occ_cnt"], xp.zeros_like(r["occ_cnt"]))
+    overflow = r["use_skew"] | (cnt > 1)
+    ref_id, occ_pos, occ_o = decode_words(u2, r["occ_word"], xp)
+    kpos = r["pos"]
+    ulen = r["unitig_len"]
+    ref_pos = xp.where(occ_o == 1, kpos + occ_pos, occ_pos + (ulen - kpos) - k)
+    o_match = (r["mt"] == MATCH_IDENTITY).astype(xp.int32)
+    orient = xp.where(occ_o == 1, o_match, 1 - o_match)
+    valid = (hit & (cnt >= 1) & (~overflow))[:, None]
+    return {
+        **{kk: r[kk] for kk in ("unitig_id", "unitig_len", "pos", "mt")},
+        "n_occs": cnt,
+        "ref_id": ref_id[:, None],
+        "ref_pos": ref_pos[:, None],
+        "orient": orient[:, None],
+        "valid": valid,
+        "overflow": overflow,
+    }
+
+
+class ReadBatchQuery:
+    """Read-pipeline driver: run-sharing main kernel (consecutive k-mers
+    share bucket-row fetches) + fused projection + compact overflow pass.
+    Results identical to the plain path; main kernel issues no N-sized
+    gathers at all."""
+
+    def __init__(self, index: ModIndex, device=None):
+        import jax
+        import jax.numpy as jnp
+
+        from ..kphf.runshare import sshash_k2u_reads_runshare
+
+        self._jnp = jnp
+        self.max_occs = max(1, index.max_occs())
+        self.arrays = jax.device_put(index.device_arrays(fused=True), device)
+
+        @jax.jit
+        def main_chk(fw, new_read):
+            r = sshash_k2u_reads_runshare(self.arrays["k2u"], fw, new_read, jnp)
+            p = _project_fused(self.arrays, r, jnp)
+            s = (
+                jnp.where(p["valid"], p["ref_pos"], 0).sum()
+                + jnp.where(p["valid"], p["ref_id"], 0).sum()
+                + p["unitig_id"].sum()
+            )
+            ov = p["overflow"]
+            pad = (-ov.shape[0]) % 32
+            ovp = jnp.pad(ov, (0, pad)).reshape(-1, 32)
+            weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, :]
+            packed = (ovp.astype(jnp.uint32) * weights).sum(axis=1).astype(jnp.uint32)
+            return s, packed, r["run_overflow"]
+
+        @jax.jit
+        def full_chk(fw, n_real):
+            out = get_ref_pos_padded(self.arrays, fw, jnp, self.max_occs)
+            lane_ok = jnp.arange(fw.shape[0]) < n_real
+            v = out["valid"] & lane_ok[:, None]
+            return (
+                jnp.where(v, out["ref_pos"], 0).sum()
+                + jnp.where(v, out["ref_id"], 0).sum()
+                + jnp.where(lane_ok, out["unitig_id"], 0).sum()
+            )
+
+        self.main_chk = main_chk
+        self.full_chk = full_chk
+
+    def checksum_query(self, fw_dev, fw_host: np.ndarray, new_read_dev):
+        import jax
+
+        jnp = self._jnp
+        chk, packed, run_ovf = self.main_chk(fw_dev, new_read_dev)
+        assert not bool(jax.device_get(run_ovf)), "run budget exceeded (not a read batch?)"
+        packed = np.asarray(jax.device_get(packed))
+        bits = np.unpackbits(packed.view(np.uint8), bitorder="little")
+        lanes = np.flatnonzero(bits[: len(fw_host)])
+        total = int(jax.device_get(chk))
+        if len(lanes):
+            b = 1 << max(6, int(np.ceil(np.log2(len(lanes)))))
+            padded = np.zeros(b, dtype=np.uint64)
+            padded[: len(lanes)] = fw_host[lanes]
+            total += int(jax.device_get(self.full_chk(jnp.asarray(padded), len(lanes))))
+        return total, len(lanes)
+
+
 class TwoPhaseIndexQuery:
     def __init__(self, index: ModIndex, small_occs: int = 2, device=None, fused: bool | None = None):
         import jax

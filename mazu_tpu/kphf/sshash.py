@@ -727,7 +727,9 @@ def sshash_k2u(d: dict, fw_words, xp, mode: str = "full"):
     rc_offset = k - offset - w
 
     # fused layout: inline u32 rows also carry (occ_lo, occ_hi, occ_cnt)
-    fused = m.pos_kind == "inline" and d["pos"]["inline"].shape[1] >= 13
+    fused = (
+        m.pos_kind in ("inline", "fixedcap") and d["pos"]["inline"].shape[1] >= 13
+    )
     zero = xp.zeros_like(ps)
     state = (
         xp.zeros(xp.shape(fw), dtype=bool),  # found
