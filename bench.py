@@ -129,6 +129,9 @@ def main():
     }
     arrays = jax.device_put(host_arrays)
     max_occs = max(1, index.max_occs())
+    from mazu_tpu.pytree import tree_bytes
+
+    log(f"device footprint: {tree_bytes(host_arrays)/1e6:.1f} MB")
 
     @jax.jit
     def query(kms):

@@ -46,3 +46,13 @@ def device_put(tree):
     import jax
 
     return jax.device_put(tree)
+
+
+def tree_bytes(tree) -> int:
+    """Total bytes of all array leaves in a device pytree (the actual HBM
+    footprint of a chosen layout, as opposed to host-side num_bits())."""
+    import jax
+
+    return sum(
+        x.nbytes for x in jax.tree_util.tree_leaves(tree) if hasattr(x, "nbytes")
+    )
