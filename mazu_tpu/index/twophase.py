@@ -35,24 +35,7 @@ def _main_phase(arrays, fw, xp, small_occs: int):
     if "occ_cnt" in r:
         # fused layout: the probe row carried (first_occ_word, occ_cnt) —
         # single-occurrence lanes project with ZERO extra gathers
-        cnt = xp.where(hit, r["occ_cnt"], xp.zeros_like(r["occ_cnt"]))
-        overflow = r["use_skew"] | (cnt > 1)
-        ref_id, occ_pos, occ_o = decode_words(u2, r["occ_word"], xp)
-        kpos = r["pos"]
-        ulen = r["unitig_len"]
-        ref_pos = xp.where(occ_o == 1, kpos + occ_pos, occ_pos + (ulen - kpos) - k)
-        o_match = (r["mt"] == MATCH_IDENTITY).astype(xp.int32)
-        orient = xp.where(occ_o == 1, o_match, 1 - o_match)
-        valid = (hit & (cnt >= 1) & (~overflow))[:, None]
-        return {
-            **{kk: r[kk] for kk in ("unitig_id", "unitig_len", "pos", "mt")},
-            "n_occs": cnt,
-            "ref_id": ref_id[:, None],
-            "ref_pos": ref_pos[:, None],
-            "orient": orient[:, None],
-            "valid": valid,
-            "overflow": overflow,
-        }
+        return _project_fused(arrays, r, xp)
 
     uid = xp.where(hit, r["unitig_id"], xp.zeros_like(r["unitig_id"]))
     start = u2["offsets"][uid]
