@@ -442,11 +442,9 @@ class SSHash:
           "flat32" = int32 array (1-gather fast path). Same defaults.
         """
         if pos_kind is None:
-            # fixedcap (no bucket-bounds gather at all) needs the direct
-            # bucket table; fast32 keeps inline+prefix
-            pos_kind = (
-                "fixedcap" if self.direct_T else ("inline" if self.hash32 else "packed")
-            )
+            # inline+prefix measured faster than fixedcap (dense rows beat
+            # the sparse direct-addressed table: 13.3M vs 8.1M q/s on chip)
+            pos_kind = "inline" if self.hash32 else "packed"
         if prefix_kind is None:
             if pos_kind == "fixedcap":
                 prefix_kind = "none"
