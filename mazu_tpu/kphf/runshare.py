@@ -57,8 +57,10 @@ def sshash_k2u_reads_runshare(d: dict, fw_words, new_read, xp, budget_div: int =
     from .sshash import mphf_lookup  # noqa: F401 (direct only here)
 
     m = d["meta"]
-    assert m.pos_kind == "fixedcap" and m.direct_t
-    k, w, B = m.k, m.w, m.cap
+    assert m.direct_t and m.pos_kind in ("fixedcap", "inline")
+    fixedcap = m.pos_kind == "fixedcap"
+    k, w = m.k, m.w
+    B = m.cap if fixedcap else m.probe_bound
     fw = xp.asarray(fw_words)
     N = fw.shape[0]
     M = max(64, N // budget_div)
@@ -84,11 +86,19 @@ def sshash_k2u_reads_runshare(d: dict, fw_words, new_read, xp, budget_div: int =
     starts_h = xp.zeros((M,), dtype=xp.int64).at[rid].max(xp.where(run_start, hc, neg))
     rows_tbl = d["pos"]["inline"]
     K = rows_tbl.shape[1]
-    base_addr = xp.clip(starts_h, 0, None) * B
+    n_rows = rows_tbl.shape[0]
+    if fixedcap:
+        base_addr = xp.clip(starts_h, 0, None) * B
+        n_occs_m = xp.full((M,), B, dtype=xp.int32)
+    else:
+        pair = d["prefix"]["flat2"][xp.clip(starts_h, 0, None)]  # [M, 2]
+        base_addr = pair[..., 0].astype(xp.int64)
+        n_occs_m = (pair[..., 1] - pair[..., 0]).astype(xp.int32)
     fetched = []
     for j in range(B):
-        fetched.append(rows_tbl[base_addr + j])  # [M, K] u32 each
-    rows_m = xp.concatenate(fetched, axis=1)  # [M, B*K]
+        fetched.append(rows_tbl[xp.clip(base_addr + j, 0, n_rows - 1)])
+    fetched.append(n_occs_m[:, None].astype(rows_tbl.dtype))
+    rows_m = xp.concatenate(fetched, axis=1)  # [M, B*K + 1]
 
     # ---- scatter rows to run-start lanes + forward fill
     starts_i = xp.zeros((M,), dtype=xp.int64).at[rid].max(
@@ -99,12 +109,16 @@ def sshash_k2u_reads_runshare(d: dict, fw_words, new_read, xp, budget_div: int =
     slot_active = xp.arange(M, dtype=xp.int32) < n_runs.astype(xp.int32)
     dest = xp.where(slot_active, xp.clip(starts_i, 0, N - 1), N)
     buf = (
-        xp.zeros((N + 1, B * K), dtype=rows_tbl.dtype).at[dest].set(rows_m)[:N]
+        xp.zeros((N + 1, B * K + 1), dtype=rows_tbl.dtype).at[dest].set(rows_m)[:N]
     )
     filled = _forward_fill(xp, run_start, buf)
 
     # ---- per-k-mer verification (fully elementwise)
-    use_skew = filled[:, 1] == np.uint32(0xFFFFFFFE)
+    n_occs_f = filled[:, B * K].astype(xp.int32)
+    if fixedcap:
+        use_skew = filled[:, 1] == np.uint32(0xFFFFFFFE)
+    else:
+        use_skew = n_occs_f > m.skew_param
     m2k = U64((1 << (2 * k)) - 1)
     found = xp.zeros((N,), dtype=bool)
     zero = xp.zeros((N,), dtype=xp.int64)
@@ -128,7 +142,7 @@ def sshash_k2u_reads_runshare(d: dict, fw_words, new_read, xp, budget_div: int =
         q2 = w64(row[:, 8], row[:, 9])
         base = xp.clip(mm_pos - (k - w), 0, None)
         woff = ((base * 2) & 63).astype(xp.int64)
-        active = (~found) & (~use_skew)
+        active = (~found) & (~use_skew) & (j < n_occs_f)
         for cand_off in (offset, rc_offset):
             km_pos = mm_pos - cand_off
             delta = xp.clip(km_pos - base, 0, None)
