@@ -20,7 +20,6 @@ import numpy as np
 
 from .. import MATCH_IDENTITY
 from .modindex import ModIndex, get_ref_pos_padded
-from .unitig_table import decode_occs
 
 
 def _main_phase(arrays, fw, xp, small_occs: int):

@@ -12,7 +12,6 @@ All integers are little-endian (x86-produced files, "native-endian").
 
 from __future__ import annotations
 
-import io
 import json
 import os
 from dataclasses import dataclass, field

@@ -15,7 +15,7 @@ from ..bits.bitvector import bv_rank
 from ..containers.unitig_set import UnitigSet, us_get_kmer
 from ..kmer import canonicalize, revcomp, word_equivalency
 from ..pytree import meta
-from .boophf import BooPHF, boophf_lookup
+from .boophf import BooPHF
 
 
 class PFHash:

@@ -54,7 +54,6 @@ def sshash_k2u_reads_runshare(d: dict, fw_words, new_read, xp, budget_div: int =
     import jax.numpy as jnp
 
     from .boophf32 import fold_hash32
-    from .sshash import mphf_lookup  # noqa: F401 (direct only here)
 
     m = d["meta"]
     assert m.direct_t and m.pos_kind in ("fixedcap", "inline")

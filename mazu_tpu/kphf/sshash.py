@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..bits.bitvector import bv_rank
 from ..bits.elias_fano import EFVector, ef_get
 from ..bits.intvector import IntVector, iv_get
 from ..containers.unitig_set import UnitigSet, us_get_kmer
