@@ -40,6 +40,11 @@ class RefSeqCollection:
         return cls(sv, prefix_sum, names)
 
     @classmethod
+    def dummy(cls) -> "RefSeqCollection":
+        """Empty placeholder collection (parity: reference src/refseq.rs:23-29)."""
+        return cls(None, np.zeros(1, dtype=np.int64), [])
+
+    @classmethod
     def from_lens(cls, ref_lens, names=None) -> "RefSeqCollection":
         lens = np.asarray(ref_lens, dtype=np.int64)
         return cls(None, np.concatenate([[0], np.cumsum(lens)]), names)

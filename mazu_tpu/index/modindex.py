@@ -133,14 +133,39 @@ def get_ref_pos_csr(d: dict, fw_words, xp, budget: int):
     }
 
 
+def index_metadata(refs, decoys: int = 0) -> dict:
+    """Provenance record (parity: IndexMetadata, reference
+    src/index.rs:266-278): SHA-256 over reference names and over the decoded
+    sequences (when present), plus decoy counts."""
+    import hashlib
+
+    h_names = hashlib.sha256()
+    for n in refs.names:
+        h_names.update(n.encode())
+        h_names.update(b"\0")
+    h_seqs = hashlib.sha256()
+    if refs.has_seq:
+        h_seqs.update(np.ascontiguousarray(refs.seq.words).tobytes())
+    return {
+        "sha256_names": h_names.hexdigest(),
+        "sha256_seqs": h_seqs.hexdigest() if refs.has_seq else None,
+        "num_decoys": int(decoys),
+    }
+
+
 class ModIndex:
-    """Host-side modular index: K2U + U2Pos + refs + provenance."""
+    """Host-side modular index: K2U + U2Pos + refs + provenance
+    (BaseIndex-equivalent: version + type + metadata, reference
+    src/index.rs:221-300)."""
 
     def __init__(self, k2u, u2pos, refs, index_type: str = "Custom", metadata: dict | None = None):
+        from .. import __version__
+
         self.k2u = k2u
         self.u2pos = u2pos
         self.refs = refs
         self.index_type = index_type
+        self.version = __version__
         self.metadata = metadata or {}
 
     @property

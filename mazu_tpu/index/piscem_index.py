@@ -6,7 +6,7 @@ from __future__ import annotations
 from ..io.cuttlefish import CfFiles
 from ..kphf.pfhash import PFHash
 from ..kphf.sshash import SSHash
-from .modindex import ModIndex
+from .modindex import ModIndex, index_metadata
 from .spt import SPT
 
 
@@ -16,7 +16,10 @@ def piscem_index_from_spt(
     sshash = SSHash.from_unitig_set(
         spt.unitigs, w, skew_param=skew_param, seed=seed, engine=engine
     )
-    return ModIndex(sshash, spt.piscem_table(), spt.ref_seq_collection(), index_type="Piscem")
+    refs = spt.ref_seq_collection()
+    return ModIndex(
+        sshash, spt.piscem_table(), refs, index_type="Piscem", metadata=index_metadata(refs)
+    )
 
 
 def piscem_index_from_cf_prefix(
@@ -30,4 +33,7 @@ def pufferfish_dense_index_from_cf_prefix(prefix: str) -> ModIndex:
     """PufferfishDenseIndexDefault (reference src/index/defaults.rs:16-51)."""
     spt = SPT.from_cf(CfFiles(prefix))
     k2u = PFHash.from_unitig_set(spt.unitigs)
-    return ModIndex(k2u, spt.dense_table(), spt.ref_seq_collection(), index_type="PufferfishDense")
+    refs = spt.ref_seq_collection()
+    return ModIndex(
+        k2u, spt.dense_table(), refs, index_type="PufferfishDense", metadata=index_metadata(refs)
+    )

@@ -292,9 +292,13 @@ def _unflatten(flat: dict) -> dict:
 
 
 def save_index(index: ModIndex, path: str) -> None:
+    import json
+
     tree = {
         "format_version": np.int64(FORMAT_VERSION),
         "index_type": index.index_type,
+        "version": index.version,
+        "metadata_json": json.dumps(index.metadata),
         "k2u": _k2u_state(index.k2u),
         "u2pos": _u2pos_state(index.u2pos),
         "refs": _refs_state(index.refs),
@@ -308,13 +312,19 @@ def load_index(path: str) -> ModIndex:
     with np.load(path, allow_pickle=False) as z:
         flat = {k: z[k] for k in z.files}
     tree = _unflatten(flat)
+    import json
+
     assert int(tree["format_version"]) == FORMAT_VERSION
-    return ModIndex(
+    idx = ModIndex(
         _k2u_from(tree["k2u"]),
         _u2pos_from(tree["u2pos"]),
         _refs_from(tree["refs"]),
         index_type=str(tree["index_type"]),
+        metadata=json.loads(str(tree.get("metadata_json", "{}"))),
     )
+    if "version" in tree:
+        idx.version = str(tree["version"])
+    return idx
 
 
 def save_k2u(k2u, path: str) -> None:

@@ -140,6 +140,13 @@ def word_equivalency(fw, rc, target, k: int):
     return _where(fw == t, one, _where(rc == t, two, zero))
 
 
+def reverse_match_type(mt):
+    """Swap Identity <-> Twin, keep NoMatch — the match type of the same hit
+    as seen from the reverse-complement query (parity: K2UPos
+    ``reverse_match_type``, reference src/kphf/mod.rs:22-29)."""
+    return _where(mt == 0, mt, mt ^ np.uint8(3))  # 1 <-> 2 via xor 3
+
+
 # ----------------------------------------------------------------------------
 # Hashing for minimizer ordering
 # ----------------------------------------------------------------------------

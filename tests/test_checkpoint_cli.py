@@ -121,3 +121,29 @@ def test_read_mapper_and_cli_map():
                  "-s", "2", "--engine", "direct"]) == 0
     assert main(["index", "map", "-i", out, "-f", TINY_FA]) == 0
     os.unlink(out)
+
+
+def test_provenance_metadata_roundtrip(tmp_path):
+    """BaseIndex-style provenance (version/type/metadata incl. name hashes)
+    survives save/load (parity: reference src/index.rs:221-300)."""
+    from mazu_tpu import get_mazu_tpu_version
+    from mazu_tpu.index.modindex import index_metadata
+    idx = piscem_index_from_cf_prefix(TINY, 5, engine="direct")
+    idx.metadata = index_metadata(idx.refs)
+    assert idx.version == get_mazu_tpu_version()
+    p = str(tmp_path / "idx.npz")
+    save_index(idx, p)
+    back = load_index(p)
+    assert back.version == idx.version
+    assert back.index_type == idx.index_type
+    assert back.metadata["sha256_names"] == idx.metadata["sha256_names"]
+    assert back.metadata["num_decoys"] == 0
+
+
+def test_reverse_match_type():
+    import numpy as np
+
+    from mazu_tpu.kmer import reverse_match_type
+
+    mt = np.array([0, 1, 2, 1], dtype=np.uint8)
+    assert (reverse_match_type(mt) == np.array([0, 2, 1, 2])).all()
