@@ -195,7 +195,7 @@ class SSHash:
                 skew_mphf = mphf_cls.build(np.array([0], dtype=np.uint64), gamma=gamma)
                 skew_pos_iv = IntVector.from_array(np.array([0], dtype=np.uint64))
 
-        return cls(
+        self = cls(
             unitigs,
             w,
             mphf,
@@ -207,6 +207,8 @@ class SSHash:
             seed,
             hash32=hash32,
         )
+        self._max_bucket = int(mm_occs.max()) if len(mm_occs) else 0
+        return self
 
     @classmethod
     def _from_unitig_set_direct(
@@ -299,6 +301,7 @@ class SSHash:
         )
         self.direct_T = T
         self.skew_direct = skew_direct
+        self._max_bucket = int(bucket_counts.max()) if len(bucket_counts) else 0
         return self
 
     @staticmethod
@@ -329,7 +332,12 @@ class SSHash:
                 # ROUND-RANDOM priorities: every contender eventually wins
                 # somewhere, so stable-winner deadlocks cannot form
                 prio = mix32(klo ^ np.uint32((rnd * 2654435761) % (1 << 32)))
-                order = np.lexsort((prio, slot))
+                # single-key sort on packed (slot << 32 | prio) — same order
+                # as lexsort((prio, slot)) but ~4x faster
+                packed = (slot.astype(np.uint64) << np.uint64(32)) | prio.astype(
+                    np.uint64
+                )
+                order = np.argsort(packed)
                 ss_ = slot[order]
                 first = np.ones(n, dtype=bool)
                 first[1:] = ss_[1:] != ss_[:-1]
@@ -393,8 +401,10 @@ class SSHash:
         return len(self.skew_pos) if self.skew_pos is not None else 0
 
     def max_bucket(self) -> int:
-        d = self.occs_prefix_sum
-        return int((d[1:] - d[:-1]).max()) if len(d) > 1 else 0
+        if getattr(self, "_max_bucket", None) is None:
+            d = self.occs_prefix_sum
+            self._max_bucket = int((d[1:] - d[:-1]).max()) if len(d) > 1 else 0
+        return self._max_bucket
 
     def probe_bound(self) -> int:
         """Static bound of the candidate probe loop."""
