@@ -281,6 +281,62 @@ def main():
         )
         return
 
+    if mode == "fullc":
+        # one-kernel full query with ON-DEVICE compacted heavy phase:
+        # fused 3-gather main path + N/bdiv-lane padded overflow resolve,
+        # zero host round trips
+        from mazu_tpu.index.modindex import get_ref_pos_compact
+
+        bdiv = int(os.environ.get("MAZU_BENCH_BDIV", 4))
+        fused_host = index.device_arrays(fused=True)
+        fused_arrays = jax.device_put(fused_host)
+
+        @jax.jit
+        def query_c(kms):
+            out = get_ref_pos_compact(fused_arrays, kms, jnp, max_occs, bdiv)
+            s = out["ref_pos"].sum() + out["ref_id"].sum()
+            return s + out["unitig_id"].sum() + out["pos"].sum(), out["over_budget"]
+
+        d_work = jax.device_put(jnp.asarray(work))
+        log("compiling fullc kernel...")
+        t0 = time.time()
+        chk, ob = query_c(d_work)
+        chk = int(jax.device_get(chk))
+        assert not bool(jax.device_get(ob)), "over budget — raise MAZU_BENCH_BDIV"
+        log(f"compile+first run {time.time()-t0:.1f}s")
+        # parity vs the plain padded kernel on a sample (host numpy eval)
+        sample = work[:4096]
+        a = get_ref_pos_padded(host_arrays, sample, np, max_occs)
+        b = get_ref_pos_compact(fused_host, sample, np, max_occs, bdiv)
+        for key in ("unitig_id", "pos", "mt", "n_occs"):
+            np.testing.assert_array_equal(a[key], b[key], err_msg=key)
+        v = a["valid"]
+        for key in ("ref_id", "ref_pos", "orient"):
+            np.testing.assert_array_equal(
+                np.where(v, a[key], 0), np.where(v, b[key], 0), err_msg=key
+            )
+        log("parity OK")
+        iters = int(os.environ.get("MAZU_BENCH_ITERS", 10))
+        t0 = time.time()
+        for _ in range(iters):
+            chk2, _ = query_c(d_work)
+        chk2 = int(jax.device_get(chk2))
+        dt = time.time() - t0
+        assert chk2 == chk
+        qps = batch * iters / dt
+        log(f"{iters} iters x {batch} queries in {dt:.3f}s (chk={chk})")
+        print(
+            json.dumps(
+                {
+                    "metric": "kmer_queries_per_sec_per_chip_yeast_chr01",
+                    "value": qps,
+                    "unit": "queries/s",
+                    "vs_baseline": qps / 1e9,
+                }
+            )
+        )
+        return
+
     if mode == "2phase":
         # host-driven two-phase k2u (includes host round trips + compaction)
         from mazu_tpu.kphf.sshash import TwoPhaseSSHash

@@ -83,6 +83,73 @@ def get_ref_pos_padded(d: dict, fw_words, xp, max_occs: int):
     }
 
 
+def _scatter_set(base, idx, upd, xp):
+    if xp is np:
+        b = base.copy()
+        b[idx] = upd
+        return b
+    return base.at[idx].set(upd)
+
+
+def get_ref_pos_compact(d: dict, fw_words, xp, max_occs: int, budget_div: int = 4):
+    """One-kernel full query with an ON-DEVICE compacted heavy phase.
+
+    Main phase: fused-row k2u main path (no skew-structure gathers) +
+    zero-gather projection for single-occurrence unitigs — the common case
+    costs 3 row gathers total. Heavy lanes (skew bucket or multi-occurrence
+    unitig) are compacted on device (cumsum rank + scatter, no host round
+    trip) into an M = N/budget_div sub-batch resolved by the full padded
+    pipeline, then scattered back. Results are exactly get_ref_pos_padded's
+    unless ``over_budget`` is set (caller falls back; cannot happen when
+    budget_div <= 1/overflow-rate).
+
+    Requires ``ModIndex.device_arrays(fused=True)`` arrays.
+    """
+    from ..kphf.sshash import sshash_k2u
+    from .twophase import _project_fused
+
+    fw = xp.asarray(fw_words)
+    N = fw.shape[0]
+    M = max(64, N // budget_div)
+    r = sshash_k2u(d["k2u"], fw, xp, mode="main")
+    assert "occ_cnt" in r, "compact path requires fused device arrays"
+    p = _project_fused(d, r, xp)
+    overflow = p["overflow"]
+
+    ovf_i = overflow.astype(xp.int32)
+    n_ovf = ovf_i.sum()
+    rank = xp.cumsum(ovf_i) - 1
+    in_budget = overflow & (rank < M)
+    over_budget = n_ovf > M
+    slot = xp.where(in_budget, rank, M)
+    lanes = xp.zeros((M + 1,), dtype=xp.int64)
+    if xp is np:
+        np.maximum.at(lanes, slot, np.arange(N, dtype=np.int64))
+        lanes = lanes[:M]
+    else:
+        lanes = lanes.at[slot].max(xp.arange(N, dtype=xp.int64))[:M]
+    out2 = get_ref_pos_padded(d, fw[lanes], xp, max_occs)
+
+    # merge: main-phase single-occ results padded to max_occs width, then
+    # phase-2 rows scattered over their lanes (unused slots -> row N)
+    pad2 = [(0, 0), (0, max_occs - 1)]
+    full = {
+        kk: r[kk] for kk in ("unitig_id", "unitig_len", "pos", "mt")
+    }
+    full["n_occs"] = p["n_occs"]
+    full["ref_id"] = xp.pad(p["ref_id"], pad2)
+    full["ref_pos"] = xp.pad(p["ref_pos"], pad2)
+    full["orient"] = xp.pad(p["orient"], pad2)
+    full["valid"] = xp.pad(p["valid"], pad2)
+    slot_real = xp.arange(M) < xp.minimum(n_ovf, M)
+    dest = xp.where(slot_real, lanes, N)
+    for kk in ("unitig_id", "unitig_len", "pos", "mt", "n_occs", "ref_id", "ref_pos", "orient", "valid"):
+        base = xp.concatenate([full[kk], xp.zeros_like(full[kk][:1])], axis=0)
+        full[kk] = _scatter_set(base, dest, out2[kk], xp)[:N]
+    full["over_budget"] = over_budget
+    return full
+
+
 def get_ref_pos_csr(d: dict, fw_words, xp, budget: int):
     """Batched get_ref_pos with EXACT (CSR) occurrence materialization.
 
