@@ -291,11 +291,26 @@ def main():
         fused_host = index.device_arrays(fused=True)
         fused_arrays = jax.device_put(fused_host)
 
+        def _chk_c(out, xp):
+            m_, ov, p2, sr = out["main"], out["overflow"], out["phase2"], out["slot_real"]
+            s = (
+                xp.where(m_["valid"], m_["ref_pos"], 0).sum()
+                + xp.where(m_["valid"], m_["ref_id"], 0).sum()
+                + xp.where(~ov, m_["unitig_id"], 0).sum()
+                + xp.where(~ov, m_["pos"], 0).sum()
+            )
+            v2 = p2["valid"] & sr[:, None]
+            return s + (
+                xp.where(v2, p2["ref_pos"], 0).sum()
+                + xp.where(v2, p2["ref_id"], 0).sum()
+                + xp.where(sr, p2["unitig_id"], 0).sum()
+                + xp.where(sr, p2["pos"], 0).sum()
+            )
+
         @jax.jit
         def query_c(kms):
-            out = get_ref_pos_compact(fused_arrays, kms, jnp, max_occs, bdiv)
-            s = out["ref_pos"].sum() + out["ref_id"].sum()
-            return s + out["unitig_id"].sum() + out["pos"].sum(), out["over_budget"]
+            out = get_ref_pos_compact(fused_arrays, kms, jnp, max_occs, bdiv, merge=False)
+            return _chk_c(out, jnp), out["over_budget"]
 
         d_work = jax.device_put(jnp.asarray(work))
         log("compiling fullc kernel...")
@@ -304,7 +319,8 @@ def main():
         chk = int(jax.device_get(chk))
         assert not bool(jax.device_get(ob)), "over budget — raise MAZU_BENCH_BDIV"
         log(f"compile+first run {time.time()-t0:.1f}s")
-        # parity vs the plain padded kernel on a sample (host numpy eval)
+        # parity vs the plain padded kernel on a sample (host numpy eval):
+        # merged outputs AND the split-checksum formula
         sample = work[:4096]
         a = get_ref_pos_padded(host_arrays, sample, np, max_occs)
         b = get_ref_pos_compact(fused_host, sample, np, max_occs, bdiv)
@@ -315,6 +331,14 @@ def main():
             np.testing.assert_array_equal(
                 np.where(v, a[key], 0), np.where(v, b[key], 0), err_msg=key
             )
+        c = get_ref_pos_compact(fused_host, sample, np, max_occs, bdiv, merge=False)
+        want_chk = (
+            np.where(v, a["ref_pos"], 0).sum()
+            + np.where(v, a["ref_id"], 0).sum()
+            + a["unitig_id"].sum()
+            + a["pos"].sum()
+        )
+        np.testing.assert_equal(int(_chk_c(c, np)), int(want_chk))
         log("parity OK")
         iters = int(os.environ.get("MAZU_BENCH_ITERS", 10))
         t0 = time.time()

@@ -91,7 +91,9 @@ def _scatter_set(base, idx, upd, xp):
     return base.at[idx].set(upd)
 
 
-def get_ref_pos_compact(d: dict, fw_words, xp, max_occs: int, budget_div: int = 4):
+def get_ref_pos_compact(
+    d: dict, fw_words, xp, max_occs: int, budget_div: int = 4, merge: bool = True
+):
     """One-kernel full query with an ON-DEVICE compacted heavy phase.
 
     Main phase: fused-row k2u main path (no skew-structure gathers) +
@@ -129,6 +131,22 @@ def get_ref_pos_compact(d: dict, fw_words, xp, max_occs: int, budget_div: int = 
     else:
         lanes = lanes.at[slot].max(xp.arange(N, dtype=xp.int64))[:M]
     out2 = get_ref_pos_padded(d, fw[lanes], xp, max_occs)
+    slot_real = xp.arange(M) < xp.minimum(n_ovf, M)
+
+    if not merge:
+        # zero-scatter form: main (exact for non-overflow lanes) + the
+        # compacted phase-2 block with its lane map — the serving/bench
+        # path reduces or consumes both pieces without materializing
+        # [N, max_occs] merged tensors (wide row scatters cost per
+        # ELEMENT on TPU and would dominate the whole query)
+        return {
+            "main": {**{kk: r[kk] for kk in ("unitig_id", "unitig_len", "pos", "mt")}, **p},
+            "overflow": overflow,
+            "lanes": lanes,
+            "slot_real": slot_real,
+            "phase2": out2,
+            "over_budget": over_budget,
+        }
 
     # merge: main-phase single-occ results padded to max_occs width, then
     # phase-2 rows scattered over their lanes (unused slots -> row N)
@@ -141,7 +159,6 @@ def get_ref_pos_compact(d: dict, fw_words, xp, max_occs: int, budget_div: int = 
     full["ref_pos"] = xp.pad(p["ref_pos"], pad2)
     full["orient"] = xp.pad(p["orient"], pad2)
     full["valid"] = xp.pad(p["valid"], pad2)
-    slot_real = xp.arange(M) < xp.minimum(n_ovf, M)
     dest = xp.where(slot_real, lanes, N)
     for kk in ("unitig_id", "unitig_len", "pos", "mt", "n_occs", "ref_id", "ref_pos", "orient", "valid"):
         base = xp.concatenate([full[kk], xp.zeros_like(full[kk][:1])], axis=0)

@@ -69,3 +69,33 @@ def test_compact_over_budget_flag():
     want = get_ref_pos_padded(arrays, work, np, mo)
     if not bool(got["over_budget"]):
         np.testing.assert_array_equal(want["mt"], got["mt"])
+
+
+def test_compact_merge_false_checksum():
+    """Split (zero-scatter) form must reproduce the padded checksum."""
+    index = piscem_index_from_cf_prefix(CHR7, 15, engine="direct")
+    arrays = index.device_arrays(fused=True)
+    mo = max(1, index.max_occs())
+    work = _workload(index, 2048)
+    a = get_ref_pos_padded(arrays, work, np, mo)
+    c = get_ref_pos_compact(arrays, work, np, mo, 4, merge=False)
+    assert not bool(c["over_budget"])
+    v = a["valid"]
+    want = (
+        np.where(v, a["ref_pos"], 0).sum()
+        + np.where(v, a["ref_id"], 0).sum()
+        + a["unitig_id"].sum()
+    )
+    m_, ov, p2, sr = c["main"], c["overflow"], c["phase2"], c["slot_real"]
+    got = (
+        np.where(m_["valid"], m_["ref_pos"], 0).sum()
+        + np.where(m_["valid"], m_["ref_id"], 0).sum()
+        + np.where(~ov, m_["unitig_id"], 0).sum()
+    )
+    v2 = p2["valid"] & sr[:, None]
+    got += (
+        np.where(v2, p2["ref_pos"], 0).sum()
+        + np.where(v2, p2["ref_id"], 0).sum()
+        + np.where(sr, p2["unitig_id"], 0).sum()
+    )
+    assert int(got) == int(want)
