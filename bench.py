@@ -288,6 +288,8 @@ def main():
         from mazu_tpu.index.modindex import get_ref_pos_compact
 
         bdiv = int(os.environ.get("MAZU_BENCH_BDIV", 4))
+        plim_env = os.environ.get("MAZU_BENCH_PROBE_LIMIT")
+        plim = int(plim_env) if plim_env else None
         fused_host = index.device_arrays(fused=True)
         fused_arrays = jax.device_put(fused_host)
 
@@ -309,7 +311,7 @@ def main():
 
         @jax.jit
         def query_c(kms):
-            out = get_ref_pos_compact(fused_arrays, kms, jnp, max_occs, bdiv, merge=False)
+            out = get_ref_pos_compact(fused_arrays, kms, jnp, max_occs, bdiv, merge=False, probe_limit=plim)
             return _chk_c(out, jnp), out["over_budget"]
 
         d_work = jax.device_put(jnp.asarray(work))
@@ -323,7 +325,7 @@ def main():
         # merged outputs AND the split-checksum formula
         sample = work[:4096]
         a = get_ref_pos_padded(host_arrays, sample, np, max_occs)
-        b = get_ref_pos_compact(fused_host, sample, np, max_occs, bdiv)
+        b = get_ref_pos_compact(fused_host, sample, np, max_occs, bdiv, probe_limit=plim)
         for key in ("unitig_id", "pos", "mt", "n_occs"):
             np.testing.assert_array_equal(a[key], b[key], err_msg=key)
         v = a["valid"]
@@ -331,7 +333,7 @@ def main():
             np.testing.assert_array_equal(
                 np.where(v, a[key], 0), np.where(v, b[key], 0), err_msg=key
             )
-        c = get_ref_pos_compact(fused_host, sample, np, max_occs, bdiv, merge=False)
+        c = get_ref_pos_compact(fused_host, sample, np, max_occs, bdiv, merge=False, probe_limit=plim)
         want_chk = (
             np.where(v, a["ref_pos"], 0).sum()
             + np.where(v, a["ref_id"], 0).sum()

@@ -92,7 +92,13 @@ def _scatter_set(base, idx, upd, xp):
 
 
 def get_ref_pos_compact(
-    d: dict, fw_words, xp, max_occs: int, budget_div: int = 4, merge: bool = True
+    d: dict,
+    fw_words,
+    xp,
+    max_occs: int,
+    budget_div: int = 4,
+    merge: bool = True,
+    probe_limit: int | None = None,
 ):
     """One-kernel full query with an ON-DEVICE compacted heavy phase.
 
@@ -113,10 +119,10 @@ def get_ref_pos_compact(
     fw = xp.asarray(fw_words)
     N = fw.shape[0]
     M = max(64, N // budget_div)
-    r = sshash_k2u(d["k2u"], fw, xp, mode="main")
+    r = sshash_k2u(d["k2u"], fw, xp, mode="main", probe_limit=probe_limit)
     assert "occ_cnt" in r, "compact path requires fused device arrays"
     p = _project_fused(d, r, xp)
-    overflow = p["overflow"]
+    overflow = p["overflow"] | r["unresolved"]
 
     ovf_i = overflow.astype(xp.int32)
     n_ovf = ovf_i.sum()

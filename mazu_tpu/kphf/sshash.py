@@ -659,7 +659,7 @@ def _map_hit(d: dict, km_pos, xp):
     return uid, end - start, upos, end_ok
 
 
-def sshash_k2u(d: dict, fw_words, xp, mode: str = "full"):
+def sshash_k2u(d: dict, fw_words, xp, mode: str = "full", probe_limit: int | None = None):
     """Batched SSHash k2u (parity: reference src/kphf/sshash.rs:471-554).
 
     Returns dict(unitig_id, unitig_len, pos, mt) with mt==0 for misses.
@@ -866,9 +866,16 @@ def sshash_k2u(d: dict, fw_words, xp, mode: str = "full"):
         "fixedcap": probe_body_inline,  # same u32 row layout, direct-addressed
     }.get(m.pos_kind, probe_body_generic)
 
-    if xp is np or m.probe_bound <= 8:
+    bound = m.probe_bound
+    if mode == "main" and probe_limit is not None:
+        # shallow main probe: only the first ``probe_limit`` candidate rows
+        # are checked batch-wide; lanes left unresolved with more
+        # occurrences are reported via ``unresolved`` for the caller's
+        # compacted overflow pass (see get_ref_pos_compact)
+        bound = min(bound, probe_limit)
+    if xp is np or bound <= 8:
         # small static bound: unroll (avoids while_loop lowering entirely)
-        for j in range(m.probe_bound):
+        for j in range(bound):
             state = probe_body(j, state)
     else:
         import jax.lax as lax
@@ -878,7 +885,7 @@ def sshash_k2u(d: dict, fw_words, xp, mode: str = "full"):
         # single trace of the body instead of a probe_bound-times-unrolled HLO
         dyn_bound = xp.minimum(
             xp.max(xp.where(use_skew, xp.zeros_like(n_occs), n_occs)),
-            m.probe_bound,
+            bound,
         ).astype(xp.int32)
         state = lax.fori_loop(0, dyn_bound, probe_body, state)
 
@@ -892,6 +899,9 @@ def sshash_k2u(d: dict, fw_words, xp, mode: str = "full"):
             "pos": out_pos,
             "mt": out_mt,
             "use_skew": use_skew,
+            # lanes the shallow probe could not settle: no hit found but
+            # candidate rows beyond the probed depth exist
+            "unresolved": (~found) & (~use_skew) & (n_occs > bound),
         }
         if fused:
             out["occ_word"] = out_ow

@@ -99,3 +99,22 @@ def test_compact_merge_false_checksum():
         + np.where(sr, p2["unitig_id"], 0).sum()
     )
     assert int(got) == int(want)
+
+
+@pytest.mark.parametrize("plim", [1, 2])
+def test_compact_probe_limit(plim):
+    """Shallow main probe + overflow pass must stay exact."""
+    index = piscem_index_from_cf_prefix(CHR7, 15, engine="direct")
+    arrays = index.device_arrays(fused=True)
+    mo = max(1, index.max_occs())
+    work = _workload(index, 2048, seed=3)
+    want = get_ref_pos_padded(arrays, work, np, mo)
+    got = get_ref_pos_compact(arrays, work, np, mo, 2, probe_limit=plim)
+    assert not bool(got["over_budget"])
+    for kk in ("unitig_id", "pos", "mt", "n_occs"):
+        np.testing.assert_array_equal(want[kk], got[kk], err_msg=kk)
+    v = want["valid"]
+    for kk in ("ref_id", "ref_pos"):
+        np.testing.assert_array_equal(
+            np.where(v, want[kk], 0), np.where(v, got[kk], 0), err_msg=kk
+        )
