@@ -226,6 +226,26 @@ def main():
         dt = time.time() - t0
         qps = nq * iters / dt
         log(f"{iters} x {nq} read-kmers in {dt:.3f}s (chk={chk})")
+        # kernel-only rate: words pre-staged on device (the end-to-end rate
+        # above includes host k-merization + host->device transfer, which on
+        # the tunneled bench chip runs at ~27 MB/s and dominates; a local
+        # chip pays neither)
+        w0, nr0, n_real0 = kmerize_all()
+        wd, nrd = jax.device_put(jnp.asarray(w0)), jax.device_put(jnp.asarray(nr0))
+        dev_pass = (
+            (lambda: rq.checksum_query(wd, w0, nrd))
+            if use_run
+            else (lambda: tp.checksum_query(wd, w0))
+        )
+        dev_pass()
+        t0 = time.time()
+        for _ in range(iters):
+            dev_pass()
+        dt_k = time.time() - t0
+        log(
+            f"kernel-only: {iters} x {n_real0} in {dt_k:.3f}s "
+            f"-> {n_real0 * iters / dt_k / 1e6:.2f} M read-kmers/s"
+        )
         print(
             json.dumps(
                 {
