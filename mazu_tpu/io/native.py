@@ -100,3 +100,31 @@ def kmerize(codes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
         words.ctypes.data_as(ctypes.c_void_p),
     )
     return pos[:cnt].copy(), words[:cnt].copy()
+
+
+def minimizer_scan32(useq_words: np.ndarray, kpos: np.ndarray, k: int, w: int, seed: int):
+    """Canonical minimizers (hash32 ordering) of the k-mers at ``kpos`` in a
+    packed 2-bit useq. Returns (mm u64, offset i32, is_fw bool) with exact
+    parity vs kmer.canonical_minimizer_batch; None when no native lib."""
+    lib = _load()
+    if lib is None:
+        return None
+    words = np.ascontiguousarray(useq_words, dtype=np.uint64)
+    words = np.concatenate([words, np.zeros(1, dtype=np.uint64)])  # read guard
+    kpos = np.ascontiguousarray(kpos, dtype=np.int64)
+    n = len(kpos)
+    mm = np.empty(n, dtype=np.uint64)
+    off = np.empty(n, dtype=np.int32)
+    isfw = np.empty(n, dtype=np.uint8)
+    lib.minimizer_scan32(
+        words.ctypes.data_as(ctypes.c_void_p),
+        kpos.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(n),
+        ctypes.c_int(k),
+        ctypes.c_int(w),
+        ctypes.c_uint32(seed & 0xFFFFFFFF),
+        mm.ctypes.data_as(ctypes.c_void_p),
+        off.ctypes.data_as(ctypes.c_void_p),
+        isfw.ctypes.data_as(ctypes.c_void_p),
+    )
+    return mm, off, isfw.astype(bool)

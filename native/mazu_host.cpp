@@ -84,3 +84,60 @@ void revcomp_words(uint64_t* words, int64_t n, int k) {
 }
 
 }  // extern "C"
+
+
+extern "C" {
+
+// murmur3 fmix32 (parity: mazu_tpu/kphf/boophf32.py mix32)
+static inline uint32_t mz_mix32(uint32_t x) {
+    x ^= x >> 16; x *= 0x85EBCA6Bu;
+    x ^= x >> 13; x *= 0xC2B2AE35u;
+    return x ^ (x >> 16);
+}
+
+static inline uint64_t mz_revcomp(uint64_t v, int k) {
+    uint64_t x = ~v;
+    x = ((x >> 2) & 0x3333333333333333ull) | ((x & 0x3333333333333333ull) << 2);
+    x = ((x >> 4) & 0x0F0F0F0F0F0F0F0Full) | ((x & 0x0F0F0F0F0F0F0F0Full) << 4);
+    x = ((x >> 8) & 0x00FF00FF00FF00FFull) | ((x & 0x00FF00FF00FF00FFull) << 8);
+    x = ((x >> 16) & 0x0000FFFF0000FFFFull) | ((x & 0x0000FFFF0000FFFFull) << 16);
+    x = (x >> 32) | (x << 32);
+    return x >> (64 - 2 * k);
+}
+
+// Canonical minimizers of the k-mers starting at kpos[] in the packed
+// 2-bit useq (parity: mazu_tpu/kmer.py canonical_minimizer_batch with
+// hash32 ordering: strict-< leftmost-win scan over the canonical word's
+// k-w+1 windows; offset j if forward-canonical else k-w-j).
+void minimizer_scan32(const uint64_t* useq_words, const int64_t* kpos,
+                      int64_t n, int k, int w, uint32_t seed32,
+                      uint64_t* mm_out, int32_t* off_out, uint8_t* isfw_out) {
+    const int n_win = k - w + 1;
+    const uint64_t mk = (k == 32) ? ~0ull : ((1ull << (2 * k)) - 1);
+    const uint64_t mw = (1ull << (2 * w)) - 1;
+    for (int64_t i = 0; i < n; i++) {
+        const int64_t bit = kpos[i] * 2;
+        const int64_t wi = bit >> 6;
+        const int r = (int)(bit & 63);
+        uint64_t lo = useq_words[wi];
+        uint64_t hi = useq_words[wi + 1];
+        uint64_t g = r ? ((lo >> r) | (hi << (64 - r))) : lo;
+        g &= mk;
+        const uint64_t rc = mz_revcomp(g, k);
+        const bool is_fw = g <= rc;
+        const uint64_t c = is_fw ? g : rc;
+        uint64_t best_mv = c & mw;
+        uint32_t best_sc = mz_mix32((uint32_t)best_mv ^ seed32);
+        int best_j = 0;
+        for (int j = 1; j < n_win; j++) {
+            const uint64_t mv = (c >> (2 * j)) & mw;
+            const uint32_t sc = mz_mix32((uint32_t)mv ^ seed32);
+            if (sc < best_sc) { best_sc = sc; best_mv = mv; best_j = j; }
+        }
+        mm_out[i] = best_mv;
+        off_out[i] = is_fw ? best_j : (k - w - best_j);
+        isfw_out[i] = is_fw ? 1 : 0;
+    }
+}
+
+}  // extern "C"
