@@ -126,7 +126,9 @@ def get_ref_pos_compact(
 
     ovf_i = overflow.astype(xp.int32)
     n_ovf = ovf_i.sum()
-    rank = xp.cumsum(ovf_i) - 1
+    from ..ops.scan import prefix_sum
+
+    rank = prefix_sum(ovf_i, xp) - 1
     in_budget = overflow & (rank < M)
     over_budget = n_ovf > M
     slot = xp.where(in_budget, rank, M)
@@ -191,7 +193,9 @@ def get_ref_pos_csr(d: dict, fw_words, xp, budget: int):
     uid = xp.where(hit, r["unitig_id"], xp.zeros_like(r["unitig_id"]))
     start = u2["offsets"][uid]
     cnt = xp.where(hit, u2["offsets"][uid + 1] - start, xp.zeros_like(start))
-    occ_start = xp.cumsum(cnt) - cnt
+    from ..ops.scan import prefix_sum
+
+    occ_start = prefix_sum(cnt.astype(xp.int32), xp, inclusive=False).astype(cnt.dtype)
     total = occ_start[-1] + cnt[-1] if cnt.shape[0] else xp.int64(0)
 
     # flat slot j belongs to query qid[j] = searchsorted(occ_start, j, 'right')-1
