@@ -80,16 +80,24 @@ def build_index():
     skew = int(os.environ.get("MAZU_BENCH_SKEW", 2))
     engine = os.environ.get("MAZU_BENCH_ENGINE", "direct")
     load = float(os.environ.get("MAZU_BENCH_LOAD", 0.0625))
-    sshash = SSHash.from_unitig_set(
-        unitigs, w=15, skew_param=skew, engine=engine, bucket_load=load
-    )
-    log(
-        f"sshash: engine={engine} skew={skew} probe_bound={sshash.probe_bound()} "
-        f"skew_kmers={sshash.n_kmers_in_skew_index} bits/kmer={sshash.num_bits()/sshash.n_kmers:.2f}"
-    )
+    if engine == "cuckoo":
+        from mazu_tpu.kphf.kcdict import KCDict
+
+        k2u = KCDict.from_unitig_set(unitigs, occ_table=u2pos)
+        log(
+            f"kcdict: buckets={k2u.T} bits/kmer={k2u.num_bits()/k2u.n_kmers:.2f}"
+        )
+    else:
+        k2u = SSHash.from_unitig_set(
+            unitigs, w=15, skew_param=skew, engine=engine, bucket_load=load
+        )
+        log(
+            f"sshash: engine={engine} skew={skew} probe_bound={k2u.probe_bound()} "
+            f"skew_kmers={k2u.n_kmers_in_skew_index} bits/kmer={k2u.num_bits()/k2u.n_kmers:.2f}"
+        )
     from mazu_tpu.index.modindex import ModIndex
 
-    return ModIndex(sshash, u2pos, refs, index_type="Piscem-bench")
+    return ModIndex(k2u, u2pos, refs, index_type="Piscem-bench")
 
 
 def main():
@@ -122,7 +130,11 @@ def main():
     from mazu_tpu.kphf.sshash import sshash_k2u
 
     host_arrays = {
-        "k2u": index.k2u.device_arrays(prefix_kind=prefix_kind),
+        "k2u": (
+            index.k2u.device_arrays(prefix_kind=prefix_kind)
+            if hasattr(index.k2u, "occs_prefix_sum")
+            else index.k2u.device_arrays()
+        ),
         "u2pos": index.u2pos.device_arrays(),
         "refs": index.refs.device_arrays(),
         "meta": index.device_arrays()["meta"],

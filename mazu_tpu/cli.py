@@ -43,7 +43,7 @@ def _build_parser():
             f.add_argument("-s", "--skew-param", type=int, default=DEFAULT_SKEW)
             f.add_argument(
                 "--engine",
-                choices=["parity", "fast32", "direct"],
+                choices=["parity", "fast32", "direct", "cuckoo"],
                 default="parity",
                 help="query arithmetic engine (direct/fast32 = TPU-native)",
             )
@@ -69,7 +69,7 @@ def _build_parser():
             f.add_argument("-s", "--skew-param", type=int, default=DEFAULT_SKEW)
             f.add_argument(
                 "--engine",
-                choices=["parity", "fast32", "direct"],
+                choices=["parity", "fast32", "direct", "cuckoo"],
                 default="parity",
             )
     for cmd in ("validate", "stats"):

@@ -36,6 +36,10 @@ def k2u_batch(d: dict, fw_words, xp):
         from ..kphf.sampled import sampled_k2u
 
         return sampled_k2u(d["k2u"], fw_words, xp)
+    if kind == "kcdict":
+        from ..kphf.kcdict import kcdict_k2u
+
+        return kcdict_k2u(d["k2u"], fw_words, xp)
     raise ValueError(kind)
 
 
@@ -294,6 +298,8 @@ class ModIndex:
             "refs": self.refs.device_arrays(),
             "meta": meta(k=self.k, index_type=self.index_type),
         }
+        if fused and d["k2u"]["meta"].kind == "kcdict":
+            return d  # kcdict rows already carry the fused occurrence data
         if fused:
             # Fusion pass: append each occurrence-row's unitig's FIRST
             # encoded reference occurrence + occurrence count to the inline

@@ -13,12 +13,18 @@ from .spt import SPT
 def piscem_index_from_spt(
     spt: SPT, w: int, skew_param: int | None, seed: int = 0, engine: str = "parity"
 ) -> ModIndex:
-    sshash = SSHash.from_unitig_set(
-        spt.unitigs, w, skew_param=skew_param, seed=seed, engine=engine
-    )
+    table = spt.piscem_table()
+    if engine == "cuckoo":
+        from ..kphf.kcdict import KCDict
+
+        k2u = KCDict.from_unitig_set(spt.unitigs, occ_table=table)
+    else:
+        k2u = SSHash.from_unitig_set(
+            spt.unitigs, w, skew_param=skew_param, seed=seed, engine=engine
+        )
     refs = spt.ref_seq_collection()
     return ModIndex(
-        sshash, spt.piscem_table(), refs, index_type="Piscem", metadata=index_metadata(refs)
+        k2u, table, refs, index_type="Piscem", metadata=index_metadata(refs)
     )
 
 

@@ -23,10 +23,16 @@ from .modindex import ModIndex, get_ref_pos_padded
 
 
 def _main_phase(arrays, fw, xp, small_occs: int):
-    from ..kphf.sshash import sshash_k2u
     from .unitig_table import decode_words, fetch_occ_block
 
-    r = sshash_k2u(arrays["k2u"], fw, xp, mode="main")
+    if arrays["k2u"]["meta"].kind == "kcdict":
+        from ..kphf.kcdict import kcdict_k2u
+
+        r = kcdict_k2u(arrays["k2u"], fw, xp, mode="main")
+    else:
+        from ..kphf.sshash import sshash_k2u
+
+        r = sshash_k2u(arrays["k2u"], fw, xp, mode="main")
     u2 = arrays["u2pos"]
     hit = r["mt"] > 0
     k = arrays["meta"].k

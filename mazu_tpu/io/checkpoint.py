@@ -108,6 +108,16 @@ def _mphf_from(d):
 
 
 def _k2u_state(k2u) -> dict:
+    from ..kphf.kcdict import KCDict
+
+    if isinstance(k2u, KCDict):
+        return {
+            "kind": "kcdict",
+            "us": _us_state(k2u.unitigs),
+            "table": k2u.table,
+            "T": np.int64(k2u.T),
+            "salt": np.int64(k2u.salt),
+        }
     if isinstance(k2u, SSHash):
         d = {
             "kind": "sshash",
@@ -162,6 +172,10 @@ def _k2u_state(k2u) -> dict:
 
 def _k2u_from(d):
     kind = str(d["kind"])
+    if kind == "kcdict":
+        from ..kphf.kcdict import KCDict
+
+        return KCDict(_us_from(d["us"]), d["table"], int(d["T"]), int(d["salt"]))
     if kind == "sshash":
         sp = int(d["skew_param"])
         ss = SSHash(

@@ -1,0 +1,248 @@
+"""KCDict: cuckoo-addressed canonical k-mer dictionary (speed-king K2U).
+
+A TPU-native alternative to SSHash/PFHash (same K2U contract as reference
+src/kphf/mod.rs:58-66) built for the measured cost model of XLA gathers:
+only random-base gather ISSUES cost (~10-14 ns each); consecutive bytes are
+nearly free; scatters and multi-structure probes are poison.
+
+Design: two-choice cuckoo table of buckets with S=2 slots. Each slot
+stores the canonical k-mer itself plus everything the full query needs:
+
+    slot u32[8]: klo, khi, uid, upos, ulen, occ_lo, occ_hi, occ_cnt
+
+A bucket row is [S*8] u32 (64B). The query is:
+
+    canon -> h1, h2 (two u32 hashes)  [no minimizer scan at all]
+    row1 = table[h1]; row2 = table[h2]          (2 random gathers)
+    compare canon against the S*2 stored k-mers  (elementwise)
+
+Misses simply match nothing — there is no skew index, no MPHF, no
+verification fetch into useq, and no overflow path: the cuckoo build
+guarantees every key is in one of its two buckets. Single-occurrence
+unitigs (occ_word/occ_cnt ride the slot) project with zero extra gathers.
+
+Space: ~(64/S loaded) bytes per k-mer — a deliberate speed-for-space trade
+(the parity engines keep ~9 bits/k-mer; see STATUS.md trade-off table).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..containers.unitig_set import UnitigSet
+from ..kmer import revcomp, word_equivalency
+from ..pytree import meta
+from .boophf32 import fold_hash32, fold_hash32b, mix32
+
+U64 = np.uint64
+U32 = np.uint32
+SLOTS = 2  # slots per bucket
+SW = 8  # u32 words per slot
+
+
+class KCDict:
+    def __init__(self, unitigs: UnitigSet, table: np.ndarray, T: int, salt: int):
+        self.unitigs = unitigs
+        self.table = table  # u32 [T, SLOTS*SW]
+        self.T = int(T)
+        self.salt = int(salt)
+
+    # ----------------------------------------------------------------- build
+    @classmethod
+    def from_unitig_set(
+        cls, unitigs: UnitigSet, load: float = 0.65, occ_table=None
+    ) -> "KCDict":
+        """Host build: enumerate every canonical k-mer with its unitig
+        mapping, then two-choice bucket placement (round-randomized parallel
+        cuckoo, same scheme as SSHash._place_skew_cuckoo).
+
+        ``occ_table``: optional U2Pos table; when given, each slot carries
+        the unitig's first encoded occurrence + count (fused projection).
+        """
+        k = unitigs.k
+        assert unitigs.total_len < (1 << 31)
+        kpos = unitigs.kmer_start_positions()
+        words = unitigs.get_kmer_u64(kpos)
+        canon = np.minimum(words, revcomp(words, k))
+        canon_is_useq = canon == words  # stored orientation flag (bit 31 of khi)
+        uid = unitigs.pos_to_id(kpos)
+        start = unitigs.accum[uid]
+        ulen = unitigs.accum[uid + 1] - start
+        upos = kpos - start
+
+        n = len(canon)
+        n_buckets = 1 << max(6, int(np.ceil(np.log2(max(n / (SLOTS * load), 64)))))
+        placed = _place_two_choice(canon, n_buckets)
+        while placed is None:
+            n_buckets <<= 1
+            placed = _place_two_choice(canon, n_buckets)
+        bucket, slot, salt = placed
+
+        table = np.zeros((n_buckets, SLOTS * SW), dtype=np.uint32)
+        # empty slots: klo=0xFFFFFFFF with khi&0x7FFFFFFF=0x7FFFFFFF can never
+        # match a canonical k-mer for k <= 31 (high word < 2^30; and an
+        # all-ones low word implies the canonical form would be all-A)
+        table[:, 0::SW] = U32(0xFFFFFFFF)
+        table[:, 1::SW] = U32(0xFFFFFFFF)
+        col = slot * SW
+        if occ_table is not None:
+            if hasattr(occ_table.ctable, "to_array"):
+                cwords = occ_table.ctable.to_array()
+            else:
+                cwords = np.asarray(occ_table.ctable)
+            off = occ_table.offsets
+            first = cwords[np.clip(off[uid], 0, max(len(cwords) - 1, 0))]
+            cnt = (off[uid + 1] - off[uid]).astype(np.uint32)
+        else:
+            first = np.zeros(n, dtype=np.uint64)
+            cnt = np.zeros(n, dtype=np.uint32)
+        cols = [
+            (canon & U64(0xFFFFFFFF)).astype(U32),
+            (canon >> U64(32)).astype(U32) | (canon_is_useq.astype(U32) << U32(31)),
+            uid.astype(U32),
+            upos.astype(U32),
+            ulen.astype(U32),
+            (first & U64(0xFFFFFFFF)).astype(U32),
+            (first >> U64(32)).astype(U32),
+            cnt,
+        ]
+        for j, c in enumerate(cols):
+            table[bucket, col + j] = c
+        return cls(unitigs, table, n_buckets, salt)
+
+    @property
+    def k(self) -> int:
+        return self.unitigs.k
+
+    @property
+    def n_kmers(self) -> int:
+        return self.unitigs.n_kmers
+
+    def num_bits(self) -> int:
+        return 64 + self.unitigs.num_bits() + 8 * self.table.nbytes
+
+    def print_stats(self, log=print):
+        log(f"kmers: {self.n_kmers}")
+        log(f"buckets: {self.T} x {SLOTS} slots")
+        log(f"bits / kmer: {self.num_bits() / self.n_kmers:.3f}")
+
+    def device_arrays(self) -> dict:
+        return {
+            "table": self.table,
+            "us": self.unitigs.device_arrays(),
+            "meta": meta(
+                kind="kcdict", k=self.k, t=self.T, salt=self.salt, fused=True
+            ),
+        }
+
+
+def _place_two_choice(keys: np.ndarray, n_buckets: int):
+    """Round-randomized parallel two-choice placement with SLOTS slots per
+    bucket. Returns (bucket i64[n], slot i64[n], salt) or None."""
+    n = len(keys)
+    klo = (keys & U64(0xFFFFFFFF)).astype(U32)
+    for salt in range(4):
+        h1 = (fold_hash32(keys) & U32(n_buckets - 1)).astype(np.int64)
+        h2 = (fold_hash32b(keys, salt) & U32(n_buckets - 1)).astype(np.int64)
+        side = np.zeros(n, dtype=bool)
+        for rnd in range(512):
+            b = np.where(side, h2, h1)
+            prio = mix32(klo ^ U32((rnd * 2654435761) % (1 << 32)))
+            packed = (b.astype(U64) << U64(32)) | prio.astype(U64)
+            order = np.argsort(packed)
+            bs = b[order]
+            # winners: the first SLOTS entries of each bucket run (sorted)
+            run_start = np.ones(n, dtype=bool)
+            run_start[1:] = bs[1:] != bs[:-1]
+            run_id = np.cumsum(run_start) - 1
+            starts = np.flatnonzero(run_start)
+            within = np.arange(n) - starts[run_id]
+            winner_sorted = within < SLOTS
+            winner = np.zeros(n, dtype=bool)
+            winner[order] = winner_sorted
+            slot = np.zeros(n, dtype=np.int64)
+            slot[order] = np.where(winner_sorted, within, 0)
+            losers = ~winner
+            if not losers.any():
+                return np.where(side, h2, h1), slot, salt
+            flip = losers & ((prio & U32(1)) == 1)
+            if not flip.any():
+                flip = losers
+            side = side ^ flip
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Batched device query
+# ---------------------------------------------------------------------------
+
+
+def kcdict_k2u(d: dict, fw_words, xp, mode: str = "full"):
+    """Batched K2U: two random row gathers, elementwise compare, fused
+    occurrence projection data. Returns the sshash_k2u-compatible dict
+    (unitig_id, unitig_len, pos, mt, occ_word, occ_cnt; use_skew is always
+    False — there is no skew structure)."""
+    m = d["meta"]
+    k = m.k
+    if xp is not np:
+        import jax
+
+        d = jax.tree_util.tree_map(xp.asarray, d)
+    fw = xp.asarray(fw_words)
+    rc = revcomp(fw, k)
+    canon = xp.minimum(fw, rc)
+
+    tm = np.uint32(m.t - 1)
+    h1 = (fold_hash32(canon) & tm).astype(xp.int64)
+    h2 = (fold_hash32b(canon, m.salt) & tm).astype(xp.int64)
+
+    zero = xp.zeros(xp.shape(canon), dtype=xp.int64)
+    found = xp.zeros(xp.shape(canon), dtype=bool)
+    out_uid, out_ulen, out_pos, out_oc = zero, zero, zero, zero
+    out_mt = xp.zeros(xp.shape(canon), dtype=xp.uint8)
+    out_ow = xp.zeros(xp.shape(canon), dtype=xp.uint64)
+
+    clo = (canon & U64(0xFFFFFFFF)).astype(xp.uint32)
+    chi = (canon >> U64(32)).astype(xp.uint32)
+    is_fw_canon = fw == canon
+
+    for h in (h1, h2):
+        row = d["table"][h]  # [N, SLOTS*SW] u32
+        for s in range(SLOTS):
+            c = s * SW
+            khi = row[..., c + 1]
+            hit = (
+                (~found)
+                & (row[..., c + 0] == clo)
+                & ((khi & np.uint32(0x7FFFFFFF)) == chi)
+            )
+            # IDENTITY when the query's fw orientation matches the k-mer as
+            # written in useq (parity: word_equivalency vs the useq word);
+            # bit 31 of khi records whether canonical == useq orientation
+            canon_is_useq = (khi >> np.uint32(31)) != 0
+            mt = xp.where(
+                is_fw_canon == canon_is_useq, xp.uint8(1), xp.uint8(2)
+            )
+            out_uid = xp.where(hit, row[..., c + 2].astype(xp.int64), out_uid)
+            out_pos = xp.where(hit, row[..., c + 3].astype(xp.int64), out_pos)
+            out_ulen = xp.where(hit, row[..., c + 4].astype(xp.int64), out_ulen)
+            ow = row[..., c + 5].astype(xp.uint64) | (
+                row[..., c + 6].astype(xp.uint64) << U64(32)
+            )
+            out_ow = xp.where(hit, ow, out_ow)
+            out_oc = xp.where(hit, row[..., c + 7].astype(xp.int64), out_oc)
+            out_mt = xp.where(hit, mt, out_mt)
+            found = found | hit
+
+    out = {
+        "unitig_id": out_uid,
+        "unitig_len": out_ulen,
+        "pos": out_pos,
+        "mt": out_mt,
+        "occ_word": out_ow,
+        "occ_cnt": out_oc,
+    }
+    if mode == "main":
+        out["use_skew"] = xp.zeros(xp.shape(canon), dtype=bool)
+        out["unresolved"] = xp.zeros(xp.shape(canon), dtype=bool)
+    return out
