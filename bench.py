@@ -129,16 +129,23 @@ def main():
     from mazu_tpu.kphf.boophf import boophf_lookup
     from mazu_tpu.kphf.sshash import sshash_k2u
 
-    host_arrays = {
-        "k2u": (
-            index.k2u.device_arrays(prefix_kind=prefix_kind)
-            if hasattr(index.k2u, "occs_prefix_sum")
-            else index.k2u.device_arrays()
-        ),
-        "u2pos": index.u2pos.device_arrays(),
-        "refs": index.refs.device_arrays(),
-        "meta": index.device_arrays()["meta"],
-    }
+    fused_bench = os.environ.get("MAZU_BENCH_FUSED", "1") == "1" and not prefix_kind
+    if fused_bench:
+        try:
+            host_arrays = index.device_arrays(fused=True)
+        except AssertionError:  # engine without inline rows (parity/EF modes)
+            fused_bench = False
+    if not fused_bench:
+        host_arrays = {
+            "k2u": (
+                index.k2u.device_arrays(prefix_kind=prefix_kind)
+                if hasattr(index.k2u, "occs_prefix_sum")
+                else index.k2u.device_arrays()
+            ),
+            "u2pos": index.u2pos.device_arrays(),
+            "refs": index.refs.device_arrays(),
+            "meta": index.device_arrays()["meta"],
+        }
     arrays = jax.device_put(host_arrays)
     max_occs = max(1, index.max_occs())
     from mazu_tpu.pytree import tree_bytes

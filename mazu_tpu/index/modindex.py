@@ -56,10 +56,16 @@ def get_ref_pos_padded(d: dict, fw_words, xp, max_occs: int):
     r = k2u_batch(d, fw_words, xp)
     u2 = d["u2pos"]
     hit = r["mt"] > 0
-    uid = xp.where(hit, r["unitig_id"], xp.zeros_like(r["unitig_id"]))
-    start = u2["offsets"][uid]
-    cnt = u2["offsets"][uid + 1] - start
-    cnt = xp.where(hit, cnt, xp.zeros_like(cnt))
+    if "occ_start" in r:
+        # fused rows carry the unitig's ctable start + count: the padded
+        # projection needs NO offsets gathers at all
+        start = r["occ_start"]
+        cnt = xp.where(hit, r["occ_cnt"], xp.zeros_like(r["occ_cnt"]))
+    else:
+        uid = xp.where(hit, r["unitig_id"], xp.zeros_like(r["unitig_id"]))
+        start = u2["offsets"][uid]
+        cnt = u2["offsets"][uid + 1] - start
+        cnt = xp.where(hit, cnt, xp.zeros_like(cnt))
 
     from .unitig_table import fetch_occ_block
 
@@ -331,6 +337,7 @@ class ModIndex:
                     (first & np.uint64(0xFFFFFFFF)).astype(np.uint32)[:, None],
                     (first >> np.uint64(32)).astype(np.uint32)[:, None],
                     cnt.astype(np.uint32)[:, None],
+                    off[uid].astype(np.uint32)[:, None],
                 ],
                 axis=1,
             )
@@ -348,6 +355,7 @@ class ModIndex:
                         (sfirst & np.uint64(0xFFFFFFFF)).astype(np.uint32)[:, None],
                         (sfirst >> np.uint64(32)).astype(np.uint32)[:, None],
                         scnt.astype(np.uint32)[:, None],
+                        off[suid].astype(np.uint32)[:, None],
                     ],
                     axis=1,
                 )

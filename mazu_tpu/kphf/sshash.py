@@ -743,9 +743,12 @@ def sshash_k2u(d: dict, fw_words, xp, mode: str = "full", probe_limit: int | Non
     rc_offset = k - offset - w
 
     # fused layout: inline u32 rows also carry (occ_lo, occ_hi, occ_cnt)
+    # and (width >= 14) the unitig's ctable start — occ_cnt and occ_start
+    # ride PACKED in one int64 state slot (cnt | start << 32)
     fused = (
         m.pos_kind in ("inline", "fixedcap") and d["pos"]["inline"].shape[1] >= 13
     )
+    fused14 = fused and d["pos"]["inline"].shape[1] >= 14
     zero = xp.zeros_like(ps)
     state = (
         xp.zeros(xp.shape(fw), dtype=bool),  # found
@@ -864,7 +867,10 @@ def sshash_k2u(d: dict, fw_words, xp, mode: str = "full", probe_limit: int | Non
             out_mt = xp.where(hit, mt, out_mt)
             if fused:
                 out_ow = xp.where(hit, _w64(row[..., 10], row[..., 11]), out_ow)
-                out_oc = xp.where(hit, row[..., 12].astype(xp.int64), out_oc)
+                oc = row[..., 12].astype(xp.int64)
+                if fused14:
+                    oc = oc | (row[..., 13].astype(xp.int64) << 32)
+                out_oc = xp.where(hit, oc, out_oc)
             found = found | hit
             active = active & (~hit)
         return found, out_uid, out_ulen, out_pos, out_mt, out_ow, out_oc
@@ -914,7 +920,11 @@ def sshash_k2u(d: dict, fw_words, xp, mode: str = "full", probe_limit: int | Non
         }
         if fused:
             out["occ_word"] = out_ow
-            out["occ_cnt"] = out_oc
+            if fused14:
+                out["occ_cnt"] = out_oc & 0xFFFFFFFF
+                out["occ_start"] = out_oc >> 32
+            else:
+                out["occ_cnt"] = out_oc
         return out
     if "skew_inline" in d and getattr(m, "skew_kind", "bucket") == "cuckoo":
         # two-choice (cuckoo) skew: exactly TWO row gathers, no bounds
@@ -950,7 +960,10 @@ def sshash_k2u(d: dict, fw_words, xp, mode: str = "full", probe_limit: int | Non
             out_mt = xp.where(hit, mt, out_mt)
             if fused and d["skew_inline"].shape[1] >= 11:
                 out_ow = xp.where(hit, _sw64(row[..., 8], row[..., 9]), out_ow)
-                out_oc = xp.where(hit, row[..., 10].astype(xp.int64), out_oc)
+                oc = row[..., 10].astype(xp.int64)
+                if fused14 and d["skew_inline"].shape[1] >= 12:
+                    oc = oc | (row[..., 11].astype(xp.int64) << 32)
+                out_oc = xp.where(hit, oc, out_oc)
             sfound = sfound | hit
     elif "skew_prefix2" in d:
         # direct-mapped skew: bounded ONE-row-gather probes
@@ -986,7 +999,10 @@ def sshash_k2u(d: dict, fw_words, xp, mode: str = "full", probe_limit: int | Non
             out_mt = xp.where(hit, mt, out_mt)
             if fused and d["skew_inline"].shape[1] >= 11:
                 out_ow = xp.where(hit, _bw64(row[..., 8], row[..., 9]), out_ow)
-                out_oc = xp.where(hit, row[..., 10].astype(xp.int64), out_oc)
+                oc = row[..., 10].astype(xp.int64)
+                if fused14 and d["skew_inline"].shape[1] >= 12:
+                    oc = oc | (row[..., 11].astype(xp.int64) << 32)
+                out_oc = xp.where(hit, oc, out_oc)
             sfound = sfound | hit
     elif "skew_mphf" in d:
         h2 = mphf_lookup(d["skew_mphf"], canon, xp).astype(xp.int64)
@@ -1010,7 +1026,11 @@ def sshash_k2u(d: dict, fw_words, xp, mode: str = "full", probe_limit: int | Non
     }
     if fused:
         out["occ_word"] = out_ow
-        out["occ_cnt"] = out_oc
+        if fused14:
+            out["occ_cnt"] = out_oc & 0xFFFFFFFF
+            out["occ_start"] = out_oc >> 32
+        else:
+            out["occ_cnt"] = out_oc
     return out
 
 
