@@ -62,21 +62,28 @@ def test_random_unitig_sets_all_engines(trial):
     us = UnitigSet.from_seqs(seqs, k)
     skew = int(rng.choice([0, 2, 5]))
 
+    pos = us.kmer_start_positions()
+    kms = us.get_kmer_u64(pos)
+    # add misses + rc queries (misses drawn within 2k bits: the K2U contract)
+    queries = np.concatenate(
+        [kms, revcomp(kms, k), rng.integers(0, 1 << min(2 * k, 62), 20, dtype=np.uint64)]
+    )
     results = {}
     for engine in ("parity", "fast32", "direct"):
         ss = SSHash.from_unitig_set(us, w, skew_param=skew, engine=engine)
         validate_k2u_self(ss)
-        pos = us.kmer_start_positions()
-        kms = us.get_kmer_u64(pos)
-        # add misses + rc queries
-        queries = np.concatenate(
-            [kms, revcomp(kms, k), rng.integers(0, 1 << min(2 * k, 62), 20, dtype=np.uint64)]
-        )
         r = sshash_k2u(ss.device_arrays(), queries, np)
         results[engine] = {kk: np.asarray(v) for kk, v in r.items() if kk != "use_skew"}
 
+    from mazu_tpu.kphf.kcdict import KCDict, kcdict_k2u
+
+    kc = KCDict.from_unitig_set(us)
+    validate_k2u_self(kc)
+    rk = kcdict_k2u(kc.device_arrays(), queries, np)
+    results["cuckoo"] = {kk: np.asarray(v) for kk, v in rk.items()}
+
     # all engines agree on every query (including misses)
-    for eng in ("fast32", "direct"):
+    for eng in ("fast32", "direct", "cuckoo"):
         for key in ("unitig_id", "unitig_len", "pos", "mt"):
             hit = results["parity"]["mt"] > 0
             np.testing.assert_array_equal(
