@@ -350,6 +350,90 @@ def main():
         )
         return
 
+    if mode == "2phase-pipe2":
+        # pipelined two-phase, phase-2 words DEVICE-RESIDENT: the host
+        # uploads only the compacted lane indices (~200 KB vs 2 MB of
+        # words); the phase-2 kernel gathers its sub-batch from the chunk
+        # already on device. Transfers (bitmap down + lanes up) overlap
+        # the async-dispatched mains of later chunks.
+        from mazu_tpu.index.twophase import TwoPhaseIndexQuery
+
+        CH = int(os.environ.get("MAZU_BENCH_CHUNKS", 8))
+        tp = TwoPhaseIndexQuery(index)
+        rng3 = np.random.default_rng(7)
+        chunks_host = []
+        for i in range(CH):
+            c = work.copy()
+            rng3.shuffle(c)
+            chunks_host.append(c)
+        d_chunks = [jax.device_put(jnp.asarray(c)) for c in chunks_host]
+        M2 = 1 << int(np.ceil(np.log2(max(batch // 4, 64))))
+
+        from mazu_tpu.index.modindex import get_ref_pos_padded as _grp
+
+        @jax.jit
+        def full_by_lanes(chunk, lanes, n_real):
+            out = _grp(tp.arrays, chunk[lanes], jnp, max_occs)
+            lane_ok = jnp.arange(M2) < n_real
+            v = out["valid"] & lane_ok[:, None]
+            return (
+                jnp.where(v, out["ref_pos"], 0).sum()
+                + jnp.where(v, out["ref_id"], 0).sum()
+                + jnp.where(lane_ok, out["unitig_id"], 0).sum()
+            )
+
+        log(f"compiling 2phase-pipe2 kernels (CH={CH}, phase2 width {M2})...")
+        t0 = time.time()
+        tp.checksum_query(d_chunks[0], chunks_host[0])
+        full_by_lanes(d_chunks[0], jnp.zeros(M2, dtype=jnp.int32), 0)
+        log(f"compile {time.time()-t0:.1f}s")
+
+        def pipeline():
+            mains = [tp._main_chk(d) for d in d_chunks]  # async submits
+            subs = []
+            for i in range(CH):
+                chk, packed = mains[i]
+                packed = np.asarray(jax.device_get(packed))
+                bits = np.unpackbits(packed.view(np.uint8), bitorder="little")
+                lanes = np.flatnonzero(bits[:batch]).astype(np.int32)
+                assert len(lanes) <= M2, "phase2 overflow"
+                lp = np.zeros(M2, dtype=np.int32)
+                lp[: len(lanes)] = lanes
+                subs.append(
+                    (chk, full_by_lanes(d_chunks[i], jnp.asarray(lp), len(lanes)))
+                )
+            total = 0
+            for chk, sub in subs:
+                total += int(jax.device_get(chk)) + int(jax.device_get(sub))
+            return total
+
+        t0 = time.time()
+        chk0 = pipeline()
+        log(f"first pipelined pass {time.time()-t0:.1f}s (chk={chk0})")
+        serial = sum(
+            tp.checksum_query(d_chunks[i], chunks_host[i])[0] for i in range(CH)
+        )
+        assert chk0 == serial, (chk0, serial)
+        log("pipeline parity OK")
+        iters = int(os.environ.get("MAZU_BENCH_ITERS", 5))
+        t0 = time.time()
+        for _ in range(iters):
+            chk0 = pipeline()
+        dt = time.time() - t0
+        qps = batch * CH * iters / dt
+        log(f"{iters} x {CH}x{batch} queries in {dt:.3f}s (chk={chk0})")
+        print(
+            json.dumps(
+                {
+                    "metric": "kmer_queries_per_sec_per_chip_yeast_chr01",
+                    "value": qps,
+                    "unit": "queries/s",
+                    "vs_baseline": qps / 1e9,
+                }
+            )
+        )
+        return
+
     if mode == "2phase-full":
         # full two-phase query (k2u + projection), device-reduced checksums
         from mazu_tpu.index.twophase import TwoPhaseIndexQuery
