@@ -104,7 +104,7 @@ def main():
     t0 = time.time()
     index = build_index()
     k = index.k
-    mode = os.environ.get("MAZU_BENCH_MODE", "full")  # full | k2u | mphf
+    mode = os.environ.get("MAZU_BENCH_MODE", "2phase-pipe2")  # headline: pipelined exact full query
     # None -> engine-appropriate default (flat32 for fast32, ef for parity)
     prefix_kind = os.environ.get("MAZU_BENCH_PREFIX") or None
 
@@ -403,7 +403,16 @@ def main():
         t0 = time.time()
         tp.checksum_query(d_chunks[0], chunks_host[0])  # builds tp._main_chk
         tp._main_chk_fn = tp._main_chk
-        all_mains(d_stack)
+        # size check BEFORE compiling phase2: resize M2 to fit the worst chunk
+        _, ps0 = all_mains(d_stack)
+        pa0 = np.asarray(jax.device_get(ps0))
+        worst = max(
+            int(np.unpackbits(pa0[i].view(np.uint8), bitorder="little")[:batch].sum())
+            for i in range(CH)
+        )
+        if worst > M2:
+            M2 = 1 << int(np.ceil(np.log2(worst + 1)))
+            log(f"phase2 width resized to {M2} (worst chunk overflow {worst})")
         all_phase2(
             d_stack,
             jnp.zeros((CH, M2), jnp.int32),
