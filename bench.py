@@ -195,7 +195,10 @@ def main():
         n_reads = int(os.environ.get("MAZU_BENCH_READS", 8192))
         starts = rng2.integers(0, max(len(seq_codes) - 150, 1), n_reads)
         reads = [seq_codes[s : s + 150].tobytes().decode() for s in starts]
-        use_run = os.environ.get("MAZU_BENCH_RUNSHARE", "1") == "1"
+        # runshare measured SLOWER on TPU (XLA scatter ~75ns/update dominates its
+        # compacted-fetch savings): 1.31M vs 2.16M kernel-only read-kmers/s.
+        # The design is kept for scatter-capable backends; default off.
+        use_run = os.environ.get("MAZU_BENCH_RUNSHARE", "0") == "1"
         if use_run:
             from mazu_tpu.index.twophase import ReadBatchQuery
 
