@@ -387,9 +387,14 @@ def main():
             return ss, ps  # [CH], [CH, words]
 
         @jax.jit
-        def all_phase2(stack, lanes_all, n_reals, main_sums):
+        def all_phase2(stack, deltas_all, n_reals, main_sums):
+            from mazu_tpu.ops.scan import prefix_sum
+
             def step(carry, xs):
-                chunk, lanes, n_real = xs
+                chunk, deltas, n_real = xs
+                # lanes travel as u16 DELTAS (half the upload bytes of i32);
+                # reconstruct with the MXU prefix scan
+                lanes = prefix_sum(deltas.astype(jnp.int32), jnp) - 1
                 out = _grp(tp.arrays, chunk[lanes], jnp, max_occs)
                 lane_ok = jnp.arange(M2) < n_real
                 v = out["valid"] & lane_ok[:, None]
@@ -399,7 +404,7 @@ def main():
                     + jnp.where(lane_ok, out["unitig_id"], 0).sum()
                 )
                 return carry + s, 0
-            tot, _ = jax.lax.scan(step, jnp.int64(0), (stack, lanes_all, n_reals))
+            tot, _ = jax.lax.scan(step, jnp.int64(0), (stack, deltas_all, n_reals))
             return tot + main_sums.sum()
 
         log(f"compiling 2phase-pipe2 kernels (CH={CH}, phase2 width {M2})...")
@@ -418,7 +423,7 @@ def main():
             log(f"phase2 width resized to {M2} (worst chunk overflow {worst})")
         all_phase2(
             d_stack,
-            jnp.zeros((CH, M2), jnp.int32),
+            jnp.zeros((CH, M2), jnp.uint16),
             jnp.zeros(CH, jnp.int32),
             jnp.zeros(CH, jnp.int64),
         )
@@ -430,18 +435,20 @@ def main():
             # tunnel RPC floor is paid ~3x per CH x 1M queries
             ss, ps = all_mains(d_stack)
             pa = np.asarray(jax.device_get(ps))
-            lanes_all = np.zeros((CH, M2), dtype=np.int32)
+            deltas_all = np.zeros((CH, M2), dtype=np.uint16)
             n_reals = np.zeros(CH, dtype=np.int32)
             for i in range(CH):
                 bits = np.unpackbits(pa[i].view(np.uint8), bitorder="little")
-                lanes = np.flatnonzero(bits[:batch]).astype(np.int32)
+                lanes = np.flatnonzero(bits[:batch]).astype(np.int64)
                 assert len(lanes) <= M2, "phase2 overflow"
-                lanes_all[i, : len(lanes)] = lanes
+                d_ = np.diff(lanes, prepend=-1)
+                assert len(d_) == 0 or d_.max() < 65536, "lane gap > u16"
+                deltas_all[i, : len(lanes)] = d_.astype(np.uint16)
                 n_reals[i] = len(lanes)
             return int(
                 jax.device_get(
                     all_phase2(
-                        d_stack, jnp.asarray(lanes_all), jnp.asarray(n_reals), ss
+                        d_stack, jnp.asarray(deltas_all), jnp.asarray(n_reals), ss
                     )
                 )
             )
