@@ -147,3 +147,20 @@ def test_reverse_match_type():
 
     mt = np.array([0, 1, 2, 1], dtype=np.uint8)
     assert (reverse_match_type(mt) == np.array([0, 2, 1, 2])).all()
+
+
+def test_kcdict_checkpoint_roundtrip():
+    from mazu_tpu.index.modindex import get_ref_pos_padded
+
+    idx = piscem_index_from_cf_prefix(TINY, 5, engine="cuckoo")
+    p = _tmp()
+    save_index(idx, p)
+    back = load_index(p)
+    assert back.k2u.__class__.__name__ == "KCDict"
+    us = idx.k2u.unitigs
+    kms = us.get_kmer_u64(us.kmer_start_positions())
+    a = get_ref_pos_padded(idx.device_arrays(fused=True), kms, np, max(1, idx.max_occs()))
+    b = get_ref_pos_padded(back.device_arrays(fused=True), kms, np, max(1, back.max_occs()))
+    np.testing.assert_array_equal(a["mt"], b["mt"])
+    np.testing.assert_array_equal(a["ref_pos"], b["ref_pos"])
+    os.unlink(p)
