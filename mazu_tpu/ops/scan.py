@@ -38,10 +38,14 @@ def prefix_sum(x, xp, inclusive: bool = True):
         s = xp.cumsum(x)
         return s if inclusive else s - x
 
+    import jax
+
     dt = x.dtype
     tri = _tri(xp, np.float32)
     xb = x.reshape(n // _B, _B).astype(xp.float32)
-    intra = xb @ tri  # [n/B, B] inclusive in-block scans
+    # HIGHEST precision: true-f32 matmul passes — the TPU default feeds the
+    # MXU bfloat16 INPUTS, which silently rounds integer values > 256
+    intra = jax.numpy.matmul(xb, tri, precision=jax.lax.Precision.HIGHEST)
     totals = intra[:, -1]  # [n/B]
     off = prefix_sum(totals, xp, inclusive=False)
     s = (intra + off[:, None]).reshape(-1)
