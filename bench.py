@@ -362,7 +362,8 @@ def main():
         from mazu_tpu.index.twophase import TwoPhaseIndexQuery
 
         CH = int(os.environ.get("MAZU_BENCH_CHUNKS", 8))
-        tp = TwoPhaseIndexQuery(index)
+        plim_env = os.environ.get("MAZU_BENCH_PLIM")
+        tp = TwoPhaseIndexQuery(index, probe_limit=int(plim_env) if plim_env else None)
         rng3 = np.random.default_rng(7)
         chunks_host = []
         for i in range(CH):

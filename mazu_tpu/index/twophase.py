@@ -22,7 +22,7 @@ from .. import MATCH_IDENTITY
 from .modindex import ModIndex, get_ref_pos_padded
 
 
-def _main_phase(arrays, fw, xp, small_occs: int):
+def _main_phase(arrays, fw, xp, small_occs: int, probe_limit: int | None = None):
     from .unitig_table import decode_words, fetch_occ_block
 
     if arrays["k2u"]["meta"].kind == "kcdict":
@@ -32,7 +32,7 @@ def _main_phase(arrays, fw, xp, small_occs: int):
     else:
         from ..kphf.sshash import sshash_k2u
 
-        r = sshash_k2u(arrays["k2u"], fw, xp, mode="main")
+        r = sshash_k2u(arrays["k2u"], fw, xp, mode="main", probe_limit=probe_limit)
     u2 = arrays["u2pos"]
     hit = r["mt"] > 0
     k = arrays["meta"].k
@@ -40,7 +40,10 @@ def _main_phase(arrays, fw, xp, small_occs: int):
     if "occ_cnt" in r:
         # fused layout: the probe row carried (first_occ_word, occ_cnt) —
         # single-occurrence lanes project with ZERO extra gathers
-        return _project_fused(arrays, r, xp)
+        p = _project_fused(arrays, r, xp)
+        if "unresolved" in r:
+            p["overflow"] = p["overflow"] | r["unresolved"]
+        return p
 
     uid = xp.where(hit, r["unitig_id"], xp.zeros_like(r["unitig_id"]))
     start = u2["offsets"][uid]
@@ -158,7 +161,14 @@ class ReadBatchQuery:
 
 
 class TwoPhaseIndexQuery:
-    def __init__(self, index: ModIndex, small_occs: int = 2, device=None, fused: bool | None = None):
+    def __init__(
+        self,
+        index: ModIndex,
+        small_occs: int = 2,
+        device=None,
+        fused: bool | None = None,
+        probe_limit: int | None = None,
+    ):
         import jax
         import jax.numpy as jnp
 
@@ -172,9 +182,11 @@ class TwoPhaseIndexQuery:
             )
         self.arrays = jax.device_put(index.device_arrays(fused=fused), device)
 
+        self.probe_limit = probe_limit
+
         @jax.jit
         def main(fw):
-            return _main_phase(self.arrays, fw, jnp, self.small_occs)
+            return _main_phase(self.arrays, fw, jnp, self.small_occs, probe_limit)
 
         @jax.jit
         def full(fw):
@@ -194,7 +206,7 @@ class TwoPhaseIndexQuery:
 
             @jax.jit
             def main_chk(fw):
-                r = _main_phase(self.arrays, fw, jnp, self.small_occs)
+                r = _main_phase(self.arrays, fw, jnp, self.small_occs, self.probe_limit)
                 s = (
                     jnp.where(r["valid"], r["ref_pos"], 0).sum()
                     + jnp.where(r["valid"], r["ref_id"], 0).sum()
