@@ -362,8 +362,9 @@ def main():
         from mazu_tpu.index.twophase import TwoPhaseIndexQuery
 
         CH = int(os.environ.get("MAZU_BENCH_CHUNKS", 8))
-        plim_env = os.environ.get("MAZU_BENCH_PLIM")
-        tp = TwoPhaseIndexQuery(index, probe_limit=int(plim_env) if plim_env else None)
+        plim_env = os.environ.get("MAZU_BENCH_PLIM", "1")  # 0 = full-depth main
+        plim = int(plim_env) if plim_env and plim_env != "0" else None
+        tp = TwoPhaseIndexQuery(index, probe_limit=plim)
         rng3 = np.random.default_rng(7)
         chunks_host = []
         for i in range(CH):
