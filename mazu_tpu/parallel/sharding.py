@@ -214,3 +214,184 @@ def make_bucket_sharded_query(ss, mesh, data_axis: str = "data", bucket_axis: st
         return smapped(shared, stacked, kms)
 
     return query
+
+
+def make_alltoall_sharded_query(ss, mesh, bucket_axis: str = "bucket", cap_factor: float = 2.0):
+    """Minimizer-bucket-sharded SSHash k2u with ALL_TO_ALL query routing.
+
+    The broadcast+psum variant above makes every shard scan every query
+    (compute = N x S). Here each query is ROUTED to the single shard that
+    owns its bucket (MoE-style dispatch): per-shard send buffers of
+    capacity ``cap = cap_factor * N / S**2`` per destination, one
+    all_to_all out, local resolution (~N/S queries per shard), one
+    all_to_all back. Total compute stays N; the collectives ride ICI.
+
+    Queries are sharded over ``bucket_axis`` (1-D mesh). Returns a jitted
+    fn kms[N] -> k2u dict + ``routed_ok`` (False where a destination's
+    capacity overflowed — caller re-queries those lanes via the replicated
+    path; with cap_factor 2 this needs adversarial skew to happen).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..containers.unitig_set import us_get_kmer
+    from ..kmer import canonical_minimizer_batch, revcomp, word_equivalency
+    from ..kphf.boophf32 import fold_hash32
+    from ..kphf.sshash import _map_hit, mphf_lookup
+
+    S = mesh.shape[bucket_axis]
+    shared, stacked = shard_sshash_buckets(ss, S)
+    m = shared["meta"]
+    k, w = m.k, m.w
+    probe_bound = m.probe_bound
+    n_min = len(ss.occs_prefix_sum) - 1
+    bounds = np.linspace(0, n_min, S + 1).astype(np.int64)
+    bounds_d = bounds
+
+    shared = jax.device_put(shared, NamedSharding(mesh, P()))
+    stacked = jax.device_put(stacked, NamedSharding(mesh, P(bucket_axis)))
+
+    SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def _resolve_local(stk, kms, slot_real):
+        """Full local k2u for queries whose bucket this shard owns."""
+        prefix = stk["prefix"][0]
+        posarr = stk["pos"][0]
+        lo = stk["lo"][0, 0]
+        hi = stk["hi"][0, 0]
+        fw = kms
+        rc = revcomp(fw, k)
+        mm, offset, _isfw, _canon = canonical_minimizer_batch(
+            jnp, fw, k, w, m.seed, hash32=m.hash32
+        )
+        offset = offset.astype(jnp.int64)
+        if m.direct_t:
+            h = (fold_hash32(mm) & np.uint32(m.direct_t - 1)).astype(jnp.int64)
+        else:
+            h = mphf_lookup(shared["mphf"], mm, jnp).astype(jnp.int64)
+        mine = slot_real & (h >= lo) & (h < hi)
+        hl = jnp.clip(h - lo, 0, prefix.shape[0] - 2)
+        ps = prefix[hl]
+        pe = prefix[hl + 1]
+        n_occs = jnp.where(mine, pe - ps, 0)
+        use_skew = (n_occs > m.skew_param) if m.skew_param >= 0 else jnp.zeros_like(mine)
+        last_km_start = shared["us"]["meta"].total_len - k
+        rc_offset = k - offset - w
+        zero = ps * 0
+        state = (mine != mine, zero, zero, zero, zero.astype(jnp.uint8))
+
+        def probe_body(j, state):
+            found, o_uid, o_ulen, o_pos, o_mt = state
+            active = (~found) & (j < n_occs) & (~use_skew)
+            mm_pos = posarr[jnp.clip(ps + j, 0, posarr.shape[0] - 1)]
+            for cand_off in (offset, rc_offset):
+                km_pos = mm_pos - cand_off
+                in_range = (mm_pos >= cand_off) & (km_pos <= last_km_start)
+                km_pos_c = jnp.clip(km_pos, 0, max(last_km_start, 0))
+                kw = us_get_kmer(shared["us"], km_pos_c, jnp)
+                mt = word_equivalency(fw, rc, kw, k)
+                uid, ulen, upos, end_ok = _map_hit(
+                    {"us": shared["us"], "meta": m}, km_pos_c, jnp
+                )
+                hit = active & in_range & (mt > 0) & end_ok
+                o_uid = jnp.where(hit, uid, o_uid)
+                o_ulen = jnp.where(hit, ulen, o_ulen)
+                o_pos = jnp.where(hit, upos, o_pos)
+                o_mt = jnp.where(hit, mt, o_mt)
+                found = found | hit
+                active = active & (~hit)
+            return found, o_uid, o_ulen, o_pos, o_mt
+
+        dyn_bound = jnp.minimum(
+            jnp.max(jnp.where(use_skew, jnp.zeros_like(n_occs), n_occs)), probe_bound
+        ).astype(jnp.int32)
+        state = jax.lax.fori_loop(0, dyn_bound, probe_body, state)
+        _found, o_uid, o_ulen, o_pos, o_mt = state
+        out = dict(unitig_id=o_uid, unitig_len=o_ulen, pos=o_pos, mt=o_mt)
+
+        if "skew_mphf" in shared:
+            canon = jnp.minimum(fw, rc)
+            h2 = mphf_lookup(shared["skew_mphf"], canon, jnp).astype(jnp.int64)
+            from ..bits.intvector import iv_get
+
+            n_skew = shared["skew_pos"]["meta"].length
+            sp = iv_get(shared["skew_pos"], jnp.clip(h2, 0, n_skew - 1), jnp).astype(jnp.int64)
+            sp = jnp.clip(sp, 0, max(last_km_start, 0))
+            kw = us_get_kmer(shared["us"], sp, jnp)
+            mt = word_equivalency(fw, rc, kw, k)
+            uid, ulen, upos, end_ok = _map_hit({"us": shared["us"], "meta": m}, sp, jnp)
+            hit = mine & use_skew & (h2 >= 0) & (mt > 0) & end_ok
+            out["unitig_id"] = jnp.where(hit, uid, out["unitig_id"])
+            out["unitig_len"] = jnp.where(hit, ulen, out["unitig_len"])
+            out["pos"] = jnp.where(hit, upos, out["pos"])
+            out["mt"] = jnp.where(hit, mt, out["mt"])
+        return out
+
+    def shard_fn(shared_, stk, kms_local):
+        n_local = kms_local.shape[0]
+        cap = min(n_local, max(32, int(cap_factor * n_local / S)))
+        fw = kms_local
+        rc = revcomp(fw, k)
+        mm, _off, _isfw, _canon = canonical_minimizer_batch(
+            jnp, fw, k, w, m.seed, hash32=m.hash32
+        )
+        if m.direct_t:
+            h = (fold_hash32(mm) & np.uint32(m.direct_t - 1)).astype(jnp.int64)
+        else:
+            h = mphf_lookup(shared["mphf"], mm, jnp).astype(jnp.int64)
+        dest = jnp.clip(
+            jnp.searchsorted(jnp.asarray(bounds_d[1:-1]), h, side="right"), 0, S - 1
+        )
+        # slot within my send-buffer row for dest d: rank among my queries
+        # with the same destination
+        onehot = (dest[:, None] == jnp.arange(S)[None, :]).astype(jnp.int32)
+        pos_in_dest = jnp.cumsum(onehot, axis=0) - 1  # [n, S]
+        slot = jnp.take_along_axis(pos_in_dest, dest[:, None], axis=1)[:, 0]
+        ok = slot < cap
+        send = jnp.full((S, cap), SENTINEL, dtype=jnp.uint64)
+        send = send.at[dest, slot].set(kms_local, mode="drop")
+        # all_to_all: recv[s] = what shard s sent me
+        recv = jax.lax.all_to_all(
+            send[None], bucket_axis, split_axis=1, concat_axis=1, tiled=False
+        )[0]
+        kms_in = recv.reshape(S * cap)
+        real = kms_in != SENTINEL
+        r = _resolve_local(stk, jnp.where(real, kms_in, jnp.uint64(0)), real)
+        # pack results and route back
+        packed = jnp.stack(
+            [
+                r["unitig_id"],
+                r["unitig_len"],
+                r["pos"],
+                r["mt"].astype(jnp.int64),
+            ],
+            axis=-1,
+        ).reshape(S, cap, 4)
+        back = jax.lax.all_to_all(
+            packed[None], bucket_axis, split_axis=1, concat_axis=1, tiled=False
+        )[0]
+        # my query i's result: back[dest_i, slot_i]
+        sl = jnp.clip(slot, 0, cap - 1)
+        mine_back = back[dest, sl]  # [n, 4]
+        ok_i = ok
+        return {
+            "unitig_id": jnp.where(ok_i, mine_back[:, 0], 0),
+            "unitig_len": jnp.where(ok_i, mine_back[:, 1], 0),
+            "pos": jnp.where(ok_i, mine_back[:, 2], 0),
+            "mt": jnp.where(ok_i, mine_back[:, 3], 0).astype(jnp.uint8),
+            "routed_ok": ok_i,
+        }
+
+    smapped = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(bucket_axis), P(bucket_axis)),
+        out_specs=P(bucket_axis),
+    )
+
+    @jax.jit
+    def query(kms):
+        return smapped(shared, stacked, kms)
+
+    return query
