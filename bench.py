@@ -291,7 +291,7 @@ def main():
         # compaction.
         from mazu_tpu.index.twophase import TwoPhaseIndexQuery
 
-        CH = int(os.environ.get("MAZU_BENCH_CHUNKS", 8))
+        CH = int(os.environ.get("MAZU_BENCH_CHUNKS", 16))
         tp = TwoPhaseIndexQuery(index)
         chunks_host = []
         rng3 = np.random.default_rng(7)
@@ -361,7 +361,7 @@ def main():
         # the async-dispatched mains of later chunks.
         from mazu_tpu.index.twophase import TwoPhaseIndexQuery
 
-        CH = int(os.environ.get("MAZU_BENCH_CHUNKS", 8))
+        CH = int(os.environ.get("MAZU_BENCH_CHUNKS", 16))
         plim_env = os.environ.get("MAZU_BENCH_PLIM", "1")  # 0 = full-depth main
         plim = int(plim_env) if plim_env and plim_env != "0" else None
         tp = TwoPhaseIndexQuery(index, probe_limit=plim)
