@@ -82,7 +82,42 @@ def _build_parser():
     return p
 
 
+def _load_index_arg(path):
+    """Load an index argument: .npz checkpoint, or a pufferfish (C++) index
+    DIRECTORY (dense or sparse, auto-detected from info.json)."""
+    import os as _os
+
+    from .err import IndexLoad
+
+    if _os.path.isdir(path):
+        import json as _json
+
+        from .io.pf1_index import load_dense_index, load_sparse_index
+
+        info = _os.path.join(path, "info.json")
+        if not _os.path.exists(info):
+            raise IndexLoad(f"{path}: directory without info.json (not a pf1 index)")
+        with open(info) as f:
+            sampling = _json.load(f).get("sampling_type", "dense")
+        return (load_sparse_index if sampling == "sparse" else load_dense_index)(path)
+    if not _os.path.exists(path):
+        raise IndexLoad(f"{path}: no such file")
+    from .io.checkpoint import load_index
+
+    return load_index(path)
+
+
 def main(argv=None):
+    from .err import MazuError
+
+    try:
+        return _main(argv)
+    except (MazuError, FileNotFoundError, IsADirectoryError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+
+def _main(argv=None):
     args = _build_parser().parse_args(argv)
     logging.basicConfig(
         level=logging.INFO if args.verbose else logging.WARNING,
@@ -111,7 +146,7 @@ def main(argv=None):
             save_index(idx, args.output)
             print(f"wrote {args.output}")
         elif args.cmd == "validate-fasta":
-            idx = load_index(args.index)
+            idx = _load_index_arg(args.index)
             if args.streaming:
                 from .index.streaming import validate_fasta_streaming
 
@@ -126,7 +161,7 @@ def main(argv=None):
 
             from .index.mapping import ReadMapper
 
-            idx = load_index(args.index)
+            idx = _load_index_arg(args.index)
             mapper = ReadMapper(idx)
             t = _t.time()
             results = mapper.map_fasta(args.fasta)

@@ -164,3 +164,29 @@ def test_kcdict_checkpoint_roundtrip():
     np.testing.assert_array_equal(a["mt"], b["mt"])
     np.testing.assert_array_equal(a["ref_pos"], b["ref_pos"])
     os.unlink(p)
+
+
+def test_cli_validate_pf1_directory(capsys):
+    """validate-fasta accepts a pufferfish C++ index DIRECTORY directly."""
+    from mazu_tpu.cli import main as cli_main
+
+    rc = cli_main(
+        [
+            "index",
+            "validate-fasta",
+            "-i",
+            os.path.join(TEST_DATA, "pf1", "small_txome_index"),
+            "-f",
+            os.path.join(TEST_DATA, "pf1", "small_txome.fa"),
+        ]
+    )
+    assert not rc
+    assert "valid" in capsys.readouterr().out
+
+
+def test_cli_missing_index_clean_error(capsys):
+    from mazu_tpu.cli import main as cli_main
+
+    rc = cli_main(["index", "validate-fasta", "-i", "/tmp/nope.npz", "-f", "x.fa"])
+    assert rc == 1
+    assert "no such file" in capsys.readouterr().err
