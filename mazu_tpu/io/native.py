@@ -30,7 +30,7 @@ def _load():
     try:
         if (not os.path.exists(_SO)) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
             subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _SO, _SRC],
+                ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC", "-o", _SO, _SRC],
                 check=True,
                 capture_output=True,
             )

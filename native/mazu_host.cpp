@@ -115,6 +115,7 @@ void minimizer_scan32(const uint64_t* useq_words, const int64_t* kpos,
     const int n_win = k - w + 1;
     const uint64_t mk = (k == 32) ? ~0ull : ((1ull << (2 * k)) - 1);
     const uint64_t mw = (1ull << (2 * w)) - 1;
+#pragma omp parallel for schedule(static)
     for (int64_t i = 0; i < n; i++) {
         const int64_t bit = kpos[i] * 2;
         const int64_t wi = bit >> 6;
