@@ -130,9 +130,10 @@ def main():
     from mazu_tpu.kphf.sshash import sshash_k2u
 
     fused_bench = os.environ.get("MAZU_BENCH_FUSED", "1") == "1" and not prefix_kind
+    pos_kind_env = os.environ.get("MAZU_BENCH_POS") or None
     if fused_bench:
         try:
-            host_arrays = index.device_arrays(fused=True)
+            host_arrays = index.device_arrays(fused=True, pos_kind=pos_kind_env)
         except AssertionError:  # engine without inline rows (parity/EF modes)
             fused_bench = False
     if not fused_bench:
@@ -364,7 +365,7 @@ def main():
         CH = int(os.environ.get("MAZU_BENCH_CHUNKS", 16))
         plim_env = os.environ.get("MAZU_BENCH_PLIM", "1")  # 0 = full-depth main
         plim = int(plim_env) if plim_env and plim_env != "0" else None
-        tp = TwoPhaseIndexQuery(index, probe_limit=plim)
+        tp = TwoPhaseIndexQuery(index, probe_limit=plim, pos_kind=pos_kind_env)
         rng3 = np.random.default_rng(7)
         chunks_host = []
         for i in range(CH):

@@ -297,9 +297,13 @@ class ModIndex:
     def max_occs(self) -> int:
         return self.u2pos.max_occs()
 
-    def device_arrays(self, fused: bool = False) -> dict:
+    def device_arrays(self, fused: bool = False, pos_kind: str | None = None) -> dict:
         d = {
-            "k2u": self.k2u.device_arrays(),
+            "k2u": (
+                self.k2u.device_arrays(pos_kind=pos_kind)
+                if pos_kind is not None
+                else self.k2u.device_arrays()
+            ),
             "u2pos": self.u2pos.device_arrays(),
             "refs": self.refs.device_arrays(),
             "meta": meta(k=self.k, index_type=self.index_type),
@@ -331,16 +335,20 @@ class ModIndex:
             first = cwords[np.clip(off[uid], 0, max(len(cwords) - 1, 0))]
             cnt = (off[uid + 1] - off[uid]).astype(np.uint64)
             rows = pos_d["inline"]  # u32 layout
-            pos_d["inline"] = np.concatenate(
-                [
-                    rows,
-                    (first & np.uint64(0xFFFFFFFF)).astype(np.uint32)[:, None],
-                    (first >> np.uint64(32)).astype(np.uint32)[:, None],
-                    cnt.astype(np.uint32)[:, None],
-                    off[uid].astype(np.uint32)[:, None],
-                ],
-                axis=1,
-            )
+            extra = [
+                rows,
+                (first & np.uint64(0xFFFFFFFF)).astype(np.uint32)[:, None],
+                (first >> np.uint64(32)).astype(np.uint32)[:, None],
+                cnt.astype(np.uint32)[:, None],
+                off[uid].astype(np.uint32)[:, None],
+            ]
+            if rows.shape[1] == 8:  # inline2: embed the SECOND occurrence too
+                second = cwords[
+                    np.clip(off[uid] + 1, 0, max(len(cwords) - 1, 0))
+                ] * (cnt >= 2)
+                extra.append((second & np.uint64(0xFFFFFFFF)).astype(np.uint32)[:, None])
+                extra.append((second >> np.uint64(32)).astype(np.uint32)[:, None])
+            pos_d["inline"] = np.concatenate(extra, axis=1)
             # same for the skew rows
             if "skew_inline" in d["k2u"]:
                 spos_raw = ss.skew_direct["pos"]

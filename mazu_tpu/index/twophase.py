@@ -70,27 +70,46 @@ def _main_phase(arrays, fw, xp, small_occs: int, probe_limit: int | None = None)
 
 
 def _project_fused(arrays, r, xp):
-    """Projection from fused k2u outputs (occ_word/occ_cnt) — zero gathers."""
+    """Projection from fused k2u outputs (occ_word/occ_cnt) — zero gathers.
+    With the inline2 layout (occ_word2 present) the row carries the first
+    TWO occurrences: cnt <= 2 lanes complete without overflow."""
     from .unitig_table import decode_words
 
     u2 = arrays["u2pos"]
     k = arrays["meta"].k
     hit = r["mt"] > 0
     cnt = xp.where(hit, r["occ_cnt"], xp.zeros_like(r["occ_cnt"]))
-    overflow = r["use_skew"] | (cnt > 1)
-    ref_id, occ_pos, occ_o = decode_words(u2, r["occ_word"], xp)
+    width = 2 if "occ_word2" in r else 1
+    overflow = r["use_skew"] | (cnt > width)
     kpos = r["pos"]
     ulen = r["unitig_len"]
-    ref_pos = xp.where(occ_o == 1, kpos + occ_pos, occ_pos + (ulen - kpos) - k)
     o_match = (r["mt"] == MATCH_IDENTITY).astype(xp.int32)
-    orient = xp.where(occ_o == 1, o_match, 1 - o_match)
-    valid = (hit & (cnt >= 1) & (~overflow))[:, None]
+
+    def proj(word):
+        ref_id, occ_pos, occ_o = decode_words(u2, word, xp)
+        ref_pos = xp.where(occ_o == 1, kpos + occ_pos, occ_pos + (ulen - kpos) - k)
+        orient = xp.where(occ_o == 1, o_match, 1 - o_match)
+        return ref_id, ref_pos, orient
+
+    r1, p1, o1 = proj(r["occ_word"])
+    base_valid = hit & (~overflow)
+    if width == 2:
+        r2, p2, o2 = proj(r["occ_word2"])
+        ref_id = xp.stack([r1, r2], axis=1)
+        ref_pos = xp.stack([p1, p2], axis=1)
+        orient = xp.stack([o1, o2], axis=1)
+        valid = xp.stack([base_valid & (cnt >= 1), base_valid & (cnt >= 2)], axis=1)
+    else:
+        ref_id = r1[:, None]
+        ref_pos = p1[:, None]
+        orient = o1[:, None]
+        valid = (base_valid & (cnt >= 1))[:, None]
     return {
         **{kk: r[kk] for kk in ("unitig_id", "unitig_len", "pos", "mt")},
         "n_occs": cnt,
-        "ref_id": ref_id[:, None],
-        "ref_pos": ref_pos[:, None],
-        "orient": orient[:, None],
+        "ref_id": ref_id,
+        "ref_pos": ref_pos,
+        "orient": orient,
         "valid": valid,
         "overflow": overflow,
     }
@@ -168,6 +187,7 @@ class TwoPhaseIndexQuery:
         device=None,
         fused: bool | None = None,
         probe_limit: int | None = None,
+        pos_kind: str | None = None,
     ):
         import jax
         import jax.numpy as jnp

@@ -470,7 +470,7 @@ class SSHash:
                 prefix_kind = "flat32" if self.hash32 else "ef"
         d = {
             "us": self.unitigs.device_arrays(
-                paired=pos_kind in ("flat32", "records", "inline", "fixedcap")
+                paired=pos_kind in ("flat32", "records", "inline", "inline2", "fixedcap")
             ),
             "meta": meta(
                 kind="sshash",
@@ -553,6 +553,38 @@ class SSHash:
             )
             # u32 row layout: measured 2x cheaper row gathers than u64 rows
             # (cols: 0=mm_pos 1=uid 2=start 3=end 4..9=w0lo..w2hi)
+            rows32 = np.ascontiguousarray(rows).view(np.uint32).reshape(len(rows), -1)
+            d["pos"] = {"inline": rows32, "meta": meta(length=len(self.pos))}
+        elif pos_kind == "inline2":
+            # PRE-ALIGNED inline rows: the candidate window (2k-w bases,
+            # <= 64 for k<=31) is re-packed to start at bit 0 of TWO u64
+            # words — 2 columns fewer than "inline", leaving room for the
+            # fusion pass to embed the unitig's SECOND occurrence as well
+            # (cnt<=2 lanes then project with zero extra gathers).
+            # u32 cols: 0=mm_pos 1=uid 2=start 3=end 4..7=W0lo..W1hi
+            assert self.unitigs.total_len < (1 << 31)
+            pos_arr = self.pos.to_array().astype(np.int64)
+            uid = self.unitigs.pos_to_id(pos_arr)
+            start = self.unitigs.accum[uid]
+            end = self.unitigs.accum[uid + 1]
+            base = np.maximum(pos_arr - (self.k - self.w), 0)
+            wi = (base * 2) >> 6
+            r = ((base * 2) & 63).astype(np.uint64)
+            wp = np.concatenate([self.unitigs.useq.words, np.zeros(2, dtype=np.uint64)])
+            q0, q1, q2 = wp[wi], wp[wi + 1], wp[wi + 2]
+            hs = (np.uint64(64) - r) & np.uint64(63)
+            nz = r != 0
+            W0 = (q0 >> r) | np.where(nz, q1 << hs, 0)
+            W1 = (q1 >> r) | np.where(nz, q2 << hs, 0)
+            rows = np.stack(
+                [
+                    pos_arr.astype(np.uint64) | (uid.astype(np.uint64) << np.uint64(32)),
+                    start.astype(np.uint64) | (end.astype(np.uint64) << np.uint64(32)),
+                    W0,
+                    W1,
+                ],
+                axis=1,
+            )
             rows32 = np.ascontiguousarray(rows).view(np.uint32).reshape(len(rows), -1)
             d["pos"] = {"inline": rows32, "meta": meta(length=len(self.pos))}
         elif pos_kind == "records":
@@ -747,8 +779,10 @@ def sshash_k2u(d: dict, fw_words, xp, mode: str = "full", probe_limit: int | Non
     # ride PACKED in one int64 state slot (cnt | start << 32)
     fused = (
         m.pos_kind in ("inline", "fixedcap") and d["pos"]["inline"].shape[1] >= 13
+    ) or (m.pos_kind == "inline2" and d["pos"]["inline"].shape[1] >= 14)
+    fused14 = fused and (
+        d["pos"]["inline"].shape[1] >= (14 if m.pos_kind != "inline2" else 12)
     )
-    fused14 = fused and d["pos"]["inline"].shape[1] >= 14
     zero = xp.zeros_like(ps)
     state = (
         xp.zeros(xp.shape(fw), dtype=bool),  # found
@@ -757,7 +791,8 @@ def sshash_k2u(d: dict, fw_words, xp, mode: str = "full", probe_limit: int | Non
         zero,  # pos
         xp.zeros(xp.shape(fw), dtype=xp.uint8),  # mt
         xp.zeros(xp.shape(fw), dtype=xp.uint64),  # occ_word (fused)
-        zero,  # occ_cnt (fused)
+        zero,  # occ_cnt (fused; inline2 packs cnt | occ_start << 32)
+        xp.zeros(xp.shape(fw), dtype=xp.uint64),  # occ_word2 (inline2 fused)
     )
 
     n_pos = d["pos"]["meta"].length
@@ -768,7 +803,7 @@ def sshash_k2u(d: dict, fw_words, xp, mode: str = "full", probe_limit: int | Non
         k-mers. A valid candidate provably lies in the record's unitig
         (mm_pos in [km_pos, km_pos+k) and km_pos+k <= unitig end), so no
         rank/extent lookups are needed."""
-        found, out_uid, out_ulen, out_pos, out_mt, out_ow, out_oc = state
+        found, out_uid, out_ulen, out_pos, out_mt, out_ow, out_oc, out_ow2 = state
         active = (~found) & (j < n_occs) & (~use_skew)
         rec = d["pos"]["records"][xp.clip(ps + j, 0, n_pos - 1)]
         mm_pos = rec[..., 0].astype(xp.int64)
@@ -804,10 +839,10 @@ def sshash_k2u(d: dict, fw_words, xp, mode: str = "full", probe_limit: int | Non
             out_mt = xp.where(hit, mt, out_mt)
             found = found | hit
             active = active & (~hit)
-        return found, out_uid, out_ulen, out_pos, out_mt, out_ow, out_oc
+        return found, out_uid, out_ulen, out_pos, out_mt, out_ow, out_oc, out_ow2
 
     def probe_body_generic(j, state):
-        found, out_uid, out_ulen, out_pos, out_mt, out_ow, out_oc = state
+        found, out_uid, out_ulen, out_pos, out_mt, out_ow, out_oc, out_ow2 = state
         active = (~found) & (j < n_occs) & (~use_skew)
         mm_pos = _pos_get(d, xp.clip(ps + j, 0, n_pos - 1), xp)
         for cand_off in (offset, rc_offset):
@@ -824,12 +859,12 @@ def sshash_k2u(d: dict, fw_words, xp, mode: str = "full", probe_limit: int | Non
             out_mt = xp.where(hit, mt, out_mt)
             found = found | hit
             active = active & (~hit)
-        return found, out_uid, out_ulen, out_pos, out_mt, out_ow, out_oc
+        return found, out_uid, out_ulen, out_pos, out_mt, out_ow, out_oc, out_ow2
 
     def probe_body_inline(j, state):
         """ONE-row-gather probe: the occurrence row carries ids, extents,
         and the useq words of the whole candidate window."""
-        found, out_uid, out_ulen, out_pos, out_mt, out_ow, out_oc = state
+        found, out_uid, out_ulen, out_pos, out_mt, out_ow, out_oc, out_ow2 = state
         active = (~found) & (j < n_occs) & (~use_skew)
         row = d["pos"]["inline"][xp.clip(ps + j, 0, n_pos - 1)]  # u32 cols
         mm_pos = row[..., 0].astype(xp.int64)
@@ -873,11 +908,56 @@ def sshash_k2u(d: dict, fw_words, xp, mode: str = "full", probe_limit: int | Non
                 out_oc = xp.where(hit, oc, out_oc)
             found = found | hit
             active = active & (~hit)
-        return found, out_uid, out_ulen, out_pos, out_mt, out_ow, out_oc
+        return found, out_uid, out_ulen, out_pos, out_mt, out_ow, out_oc, out_ow2
+
+    def probe_body_inline2(j, state):
+        """Pre-aligned ONE-row-gather probe; fused rows also carry the
+        unitig's first TWO encoded occurrences (cols 8..13: occ1_lo,
+        occ1_hi, cnt, occ_start, occ2_lo, occ2_hi)."""
+        found, out_uid, out_ulen, out_pos, out_mt, out_ow, out_oc, out_ow2 = state
+        active = (~found) & (j < n_occs) & (~use_skew)
+        row = d["pos"]["inline"][xp.clip(ps + j, 0, n_pos - 1)]  # u32 cols
+        mm_pos = row[..., 0].astype(xp.int64)
+        uid = row[..., 1].astype(xp.int64)
+        start = row[..., 2].astype(xp.int64)
+        end = row[..., 3].astype(xp.int64)
+
+        def _w64(lo, hi):
+            return lo.astype(xp.uint64) | (hi.astype(xp.uint64) << U64(32))
+
+        W0 = _w64(row[..., 4], row[..., 5])
+        W1 = _w64(row[..., 6], row[..., 7])
+        base = xp.clip(mm_pos - (k - w), 0, None)
+        m2k = U64((1 << (2 * k)) - 1)
+        for cand_off in (offset, rc_offset):
+            km_pos = mm_pos - cand_off
+            delta = xp.clip(km_pos - base, 0, None)
+            r = (2 * delta).astype(xp.uint64)
+            hi_shift = (U64(64) - r) & U64(63)
+            hi = xp.where(r == 0, xp.zeros_like(W1), W1 << hi_shift)
+            kw = ((W0 >> r) | hi) & m2k
+            mt = word_equivalency(fw, rc, kw, k)
+            valid = active & (km_pos >= start) & (km_pos + k <= end)
+            hit = valid & (mt > 0)
+            out_uid = xp.where(hit, uid, out_uid)
+            out_ulen = xp.where(hit, end - start, out_ulen)
+            out_pos = xp.where(hit, km_pos - start, out_pos)
+            out_mt = xp.where(hit, mt, out_mt)
+            if fused:
+                out_ow = xp.where(hit, _w64(row[..., 8], row[..., 9]), out_ow)
+                oc = row[..., 10].astype(xp.int64) | (
+                    row[..., 11].astype(xp.int64) << 32
+                )
+                out_oc = xp.where(hit, oc, out_oc)
+                out_ow2 = xp.where(hit, _w64(row[..., 12], row[..., 13]), out_ow2)
+            found = found | hit
+            active = active & (~hit)
+        return found, out_uid, out_ulen, out_pos, out_mt, out_ow, out_oc, out_ow2
 
     probe_body = {
         "records": probe_body_records,
         "inline": probe_body_inline,
+        "inline2": probe_body_inline2,
         "fixedcap": probe_body_inline,  # same u32 row layout, direct-addressed
     }.get(m.pos_kind, probe_body_generic)
 
@@ -904,7 +984,7 @@ def sshash_k2u(d: dict, fw_words, xp, mode: str = "full", probe_limit: int | Non
         ).astype(xp.int32)
         state = lax.fori_loop(0, dyn_bound, probe_body, state)
 
-    found, out_uid, out_ulen, out_pos, out_mt, out_ow, out_oc = state
+    found, out_uid, out_ulen, out_pos, out_mt, out_ow, out_oc, out_ow2 = state
 
     # skew path (reference src/kphf/sshash.rs:415-433)
     if mode == "main":
@@ -925,6 +1005,8 @@ def sshash_k2u(d: dict, fw_words, xp, mode: str = "full", probe_limit: int | Non
                 out["occ_start"] = out_oc >> 32
             else:
                 out["occ_cnt"] = out_oc
+            if m.pos_kind == "inline2":
+                out["occ_word2"] = out_ow2
         return out
     if "skew_inline" in d and getattr(m, "skew_kind", "bucket") == "cuckoo":
         # two-choice (cuckoo) skew: exactly TWO row gathers, no bounds
@@ -1031,6 +1113,8 @@ def sshash_k2u(d: dict, fw_words, xp, mode: str = "full", probe_limit: int | Non
             out["occ_start"] = out_oc >> 32
         else:
             out["occ_cnt"] = out_oc
+        if m.pos_kind == "inline2":
+            out["occ_word2"] = out_ow2
     return out
 
 

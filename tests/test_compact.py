@@ -118,3 +118,77 @@ def test_compact_probe_limit(plim):
         np.testing.assert_array_equal(
             np.where(v, want[kk], 0), np.where(v, got[kk], 0), err_msg=kk
         )
+
+
+def test_inline2_layout_equals_inline():
+    """Pre-aligned inline2 rows (fused first TWO occurrences) must agree
+    exactly with the inline layout, padded and two-phase."""
+    import jax.numpy as jnp
+
+    from mazu_tpu.index.twophase import TwoPhaseIndexQuery
+
+    index = piscem_index_from_cf_prefix(CHR7, 15, engine="direct")
+    work = _workload(index, 4096, seed=11)
+    mo = max(1, index.max_occs())
+    a = get_ref_pos_padded(index.device_arrays(fused=True), work, np, mo)
+    b = get_ref_pos_padded(
+        index.device_arrays(fused=True, pos_kind="inline2"), work, np, mo
+    )
+    for kk in ("mt", "unitig_id", "unitig_len", "pos", "n_occs"):
+        np.testing.assert_array_equal(a[kk], b[kk], err_msg=kk)
+    v = a["valid"]
+    for kk in ("ref_id", "ref_pos", "orient"):
+        np.testing.assert_array_equal(
+            np.where(v, a[kk], 0), np.where(v, b[kk], 0), err_msg=kk
+        )
+    t1 = TwoPhaseIndexQuery(index)
+    t2 = TwoPhaseIndexQuery(index, pos_kind="inline2")
+    assert t1.get_ref_pos_eager(work[:512]) == t2.get_ref_pos_eager(work[:512])
+
+
+def test_inline2_multi_occ_projection():
+    """A reference with DUPLICATED sequences exercises cnt==2 fused
+    projection from the embedded second occurrence."""
+    from mazu_tpu.index.piscem_index import piscem_index_from_spt
+    from mazu_tpu.index.spt import SPT
+    from mazu_tpu.containers.unitig_set import UnitigSet
+
+    rng = np.random.default_rng(5)
+    seqs = ["".join(rng.choice(list("ACGT"), 120)) for _ in range(6)]
+    us = UnitigSet.from_seqs(seqs, 21)
+    n = us.n_unitigs
+    # each unitig occurs TWICE: on ref i and on ref i+n (duplicated refs)
+    names = [f"r{i}" for i in range(2 * n)]
+    spt = SPT(
+        us,
+        names,
+        np.concatenate([np.arange(n), np.arange(n)]).astype(np.int64),
+        np.concatenate([np.arange(2 * n)]).astype(np.int64),
+        np.zeros(2 * n, dtype=np.int64),
+        np.ones(2 * n, dtype=np.int64),
+        np.concatenate([us.unitig_len(np.arange(n))] * 2).astype(np.int64),
+    )
+    idx = piscem_index_from_spt(spt, 11, 8, engine="direct")
+    kms = us.get_kmer_u64(us.kmer_start_positions())
+    mo = max(1, idx.max_occs())
+    assert mo >= 2
+    a = get_ref_pos_padded(idx.device_arrays(fused=True), kms, np, mo)
+    b = get_ref_pos_padded(idx.device_arrays(fused=True, pos_kind="inline2"), kms, np, mo)
+    v = a["valid"]
+    assert v[:, 1].any()  # cnt==2 lanes exist
+    for kk in ("mt", "n_occs"):
+        np.testing.assert_array_equal(a[kk], b[kk], err_msg=kk)
+    for kk in ("ref_id", "ref_pos", "orient"):
+        np.testing.assert_array_equal(
+            np.where(v, a[kk], 0), np.where(v, b[kk], 0), err_msg=kk
+        )
+    # the fused main phase must NOT overflow cnt==2 lanes under inline2
+    from mazu_tpu.kphf.sshash import sshash_k2u
+    from mazu_tpu.index.twophase import _project_fused
+
+    arr2 = idx.device_arrays(fused=True, pos_kind="inline2")
+    r = sshash_k2u(arr2["k2u"], kms, np, mode="main")
+    p = _project_fused(arr2, r, np)
+    two = (a["n_occs"] == 2) & (a["mt"] > 0)
+    assert two.any()
+    assert not (p["overflow"] & two & ~r["use_skew"]).any()
