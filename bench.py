@@ -397,7 +397,7 @@ def main():
                 chunk, deltas, n_real = xs
                 # lanes travel as u16 DELTAS (half the upload bytes of i32);
                 # reconstruct with the MXU prefix scan
-                lanes = prefix_sum(deltas.astype(jnp.int32), jnp) - 1
+                lanes = prefix_sum(deltas.astype(jnp.int32), jnp, max_value=(1 << 16) - 1) - 1
                 out = _grp(tp.arrays, chunk[lanes], jnp, max_occs)
                 lane_ok = jnp.arange(M2) < n_real
                 v = out["valid"] & lane_ok[:, None]

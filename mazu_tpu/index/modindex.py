@@ -138,7 +138,7 @@ def get_ref_pos_compact(
     n_ovf = ovf_i.sum()
     from ..ops.scan import prefix_sum
 
-    rank = prefix_sum(ovf_i, xp) - 1
+    rank = prefix_sum(ovf_i, xp, max_value=1) - 1
     in_budget = overflow & (rank < M)
     over_budget = n_ovf > M
     slot = xp.where(in_budget, rank, M)

@@ -3,10 +3,18 @@
 XLA lowers 1-D cumsum on TPU as a sequence of shifted adds, each forcing a
 lane relayout — measured ~28 ms for 1M int32 on a v5e regardless of the
 algorithm (jnp.cumsum, Hillis-Steele, associative_scan all equal). The MXU
-does the same job as two small triangular matmuls: reshape to [N/B, B],
-in-block inclusive scan = x @ upper_triangular_ones (fp32 is exact for
-values < 2^24), then a hierarchical scan of the block totals. ~1000x less
-wall time; used by every compaction/ranking kernel in the query path.
+does the same job as triangular matmuls: reshape to [N/B, B], in-block
+inclusive scan = x @ upper_triangular_ones, then a hierarchical scan of
+block totals. ~8x less wall time; used by the compaction/ranking kernels
+in the query path.
+
+EXACTNESS CONTRACT: float32 matmul passes (precision=HIGHEST — the TPU
+default would feed the MXU bf16 inputs) are exact only while every
+intermediate stays below 2^24. The caller therefore passes ``max_value``
+(a static bound on the input elements); the matmul path engages per level
+only while ``256 * level_max < 2^24``, falling back to plain cumsum
+otherwise. Without ``max_value`` the op is always plain cumsum (correct,
+slow on TPU).
 """
 
 from __future__ import annotations
@@ -14,6 +22,7 @@ from __future__ import annotations
 import numpy as np
 
 _B = 256
+_EXACT = 1 << 24
 
 
 def _tri(xp, dtype):
@@ -22,10 +31,11 @@ def _tri(xp, dtype):
     return xp.asarray((i[:, None] <= i[None, :]).astype(dtype))
 
 
-def prefix_sum(x, xp, inclusive: bool = True):
-    """Inclusive (default) or exclusive prefix sum of int32/int64 ``x``
-    along axis 0. Exact while intermediate sums stay below 2^24 per 256-block
-    hierarchy level (total below 2^48); integer inputs only."""
+def prefix_sum(x, xp, inclusive: bool = True, max_value: int | None = None):
+    """Inclusive (default) or exclusive prefix sum of integer ``x`` along
+    axis 0. ``max_value``: static upper bound on the elements — enables the
+    MXU fast path (see module docstring). The TOTAL must fit the input
+    dtype regardless."""
     if xp is np:
         s = np.cumsum(x)
         if inclusive:
@@ -33,8 +43,13 @@ def prefix_sum(x, xp, inclusive: bool = True):
         return (s - x).astype(x.dtype)
 
     n = x.shape[0]
-    if n <= _B or n % _B or n > (1 << 24):
-        # small, ragged, or beyond exact-f32 range: plain cumsum
+    if (
+        max_value is None
+        or n <= _B
+        or n % _B
+        or max_value <= 0
+        or max_value * _B >= _EXACT
+    ):
         s = xp.cumsum(x)
         return s if inclusive else s - x
 
@@ -46,8 +61,8 @@ def prefix_sum(x, xp, inclusive: bool = True):
     # HIGHEST precision: true-f32 matmul passes — the TPU default feeds the
     # MXU bfloat16 INPUTS, which silently rounds integer values > 256
     intra = jax.numpy.matmul(xb, tri, precision=jax.lax.Precision.HIGHEST)
-    totals = intra[:, -1]  # [n/B]
-    off = prefix_sum(totals, xp, inclusive=False)
+    intra = intra.astype(dt)  # block sums < 2^24: exact in f32, exact cast
+    totals = intra[:, -1]  # [n/B], elements <= B * max_value
+    off = prefix_sum(totals, xp, inclusive=False, max_value=max_value * _B)
     s = (intra + off[:, None]).reshape(-1)
-    s = s.astype(dt)
     return s if inclusive else s - x

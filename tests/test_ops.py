@@ -1,0 +1,23 @@
+"""ops.prefix_sum: exactness across sizes/dtypes (the MXU matmul path must
+be integer-exact — enforced HIGHEST matmul precision)."""
+
+import numpy as np
+import pytest
+
+from mazu_tpu.ops.scan import prefix_sum
+
+
+@pytest.mark.parametrize("n", [1, 255, 256, 4096, 12345, 1 << 18])
+@pytest.mark.parametrize("hi", [2, 1000, 65536])
+def test_prefix_sum_exact(n, hi):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(n + hi)
+    x = rng.integers(0, hi, n).astype(np.int32)
+    want = np.cumsum(x).astype(np.int32)
+    got = np.asarray(prefix_sum(jnp.asarray(x), jnp, max_value=hi))
+    np.testing.assert_array_equal(want, got)
+    got_ex = np.asarray(prefix_sum(jnp.asarray(x), jnp, inclusive=False, max_value=hi))
+    np.testing.assert_array_equal(want - x, got_ex)
+    # numpy path
+    np.testing.assert_array_equal(want, prefix_sum(x, np))
