@@ -6,11 +6,14 @@ only random-base gather ISSUES cost (~10-14 ns each); consecutive bytes are
 nearly free; scatters and multi-structure probes are poison.
 
 Design: two-choice cuckoo table of buckets with S=2 slots. Each slot
-stores the canonical k-mer itself plus everything the full query needs:
+stores the canonical k-mer itself plus everything the full query needs.
+Slim layout (unitig lengths < 2^24; the norm):
 
-    slot u32[8]: klo, khi, uid, upos, ulen, occ_lo, occ_hi, occ_cnt
+    slot u32[7]: klo, khi|flag, uid, upos24|ulen_lo8, ulen_hi16|cnt16,
+                 occ_lo, occ_hi            -> 56B buckets (fast-gather)
 
-A bucket row is [S*8] u32 (64B). The query is:
+Wide fallback (giant unitigs): slot u32[8] with separate upos/ulen/cnt
+(64B buckets). The query is:
 
     canon -> h1, h2 (two u32 hashes)  [no minimizer scan at all]
     row1 = table[h1]; row2 = table[h2]          (2 random gathers)
@@ -37,15 +40,18 @@ from .boophf32 import fold_hash32, fold_hash32b, mix32
 U64 = np.uint64
 U32 = np.uint32
 SLOTS = 2  # slots per bucket
-SW = 8  # u32 words per slot
 
 
 class KCDict:
     def __init__(self, unitigs: UnitigSet, table: np.ndarray, T: int, salt: int):
         self.unitigs = unitigs
-        self.table = table  # u32 [T, SLOTS*SW]
+        self.table = table  # u32 [T, SLOTS*sw]
         self.T = int(T)
         self.salt = int(salt)
+
+    @property
+    def slot_words(self) -> int:
+        return self.table.shape[1] // SLOTS
 
     # ----------------------------------------------------------------- build
     @classmethod
@@ -78,13 +84,6 @@ class KCDict:
             placed = _place_two_choice(canon, n_buckets)
         bucket, slot, salt = placed
 
-        table = np.zeros((n_buckets, SLOTS * SW), dtype=np.uint32)
-        # empty slots: klo=0xFFFFFFFF with khi&0x7FFFFFFF=0x7FFFFFFF can never
-        # match a canonical k-mer for k <= 31 (high word < 2^30; and an
-        # all-ones low word implies the canonical form would be all-A)
-        table[:, 0::SW] = U32(0xFFFFFFFF)
-        table[:, 1::SW] = U32(0xFFFFFFFF)
-        col = slot * SW
         if occ_table is not None:
             if hasattr(occ_table.ctable, "to_array"):
                 cwords = occ_table.ctable.to_array()
@@ -92,20 +91,47 @@ class KCDict:
                 cwords = np.asarray(occ_table.ctable)
             off = occ_table.offsets
             first = cwords[np.clip(off[uid], 0, max(len(cwords) - 1, 0))]
-            cnt = (off[uid + 1] - off[uid]).astype(np.uint32)
+            cnt = (off[uid + 1] - off[uid]).astype(np.uint64)
         else:
             first = np.zeros(n, dtype=np.uint64)
-            cnt = np.zeros(n, dtype=np.uint32)
-        cols = [
-            (canon & U64(0xFFFFFFFF)).astype(U32),
-            (canon >> U64(32)).astype(U32) | (canon_is_useq.astype(U32) << U32(31)),
-            uid.astype(U32),
-            upos.astype(U32),
-            ulen.astype(U32),
-            (first & U64(0xFFFFFFFF)).astype(U32),
-            (first >> U64(32)).astype(U32),
-            cnt,
-        ]
+            cnt = np.zeros(n, dtype=np.uint64)
+        khi = (canon >> U64(32)).astype(U32) | (canon_is_useq.astype(U32) << U32(31))
+        klo = (canon & U64(0xFFFFFFFF)).astype(U32)
+        slim = bool((ulen < (1 << 24)).all())
+        if slim:
+            cnt16 = np.minimum(cnt, 0xFFFF).astype(U32)  # clamp: >width always
+            A = (upos.astype(U32) & U32(0xFFFFFF)) | (
+                (ulen.astype(U32) & U32(0xFF)) << U32(24)
+            )
+            B = ((ulen.astype(U32) >> U32(8)) & U32(0xFFFF)) | (cnt16 << U32(16))
+            cols = [
+                klo,
+                khi,
+                uid.astype(U32),
+                A,
+                B,
+                (first & U64(0xFFFFFFFF)).astype(U32),
+                (first >> U64(32)).astype(U32),
+            ]
+        else:
+            cols = [
+                klo,
+                khi,
+                uid.astype(U32),
+                upos.astype(U32),
+                ulen.astype(U32),
+                (first & U64(0xFFFFFFFF)).astype(U32),
+                (first >> U64(32)).astype(U32),
+                np.minimum(cnt, 0xFFFFFFFF).astype(U32),
+            ]
+        sw = len(cols)
+        table = np.zeros((n_buckets, SLOTS * sw), dtype=np.uint32)
+        # empty slots: klo=0xFFFFFFFF with khi&0x7FFFFFFF=0x7FFFFFFF can never
+        # match a canonical k-mer for k <= 31 (high word < 2^30; and an
+        # all-ones low word implies the canonical form would be all-A)
+        table[:, 0::sw] = U32(0xFFFFFFFF)
+        table[:, 1::sw] = U32(0xFFFFFFFF)
+        col = slot * sw
         for j, c in enumerate(cols):
             table[bucket, col + j] = c
         return cls(unitigs, table, n_buckets, salt)
@@ -131,7 +157,12 @@ class KCDict:
             "table": self.table,
             "us": self.unitigs.device_arrays(),
             "meta": meta(
-                kind="kcdict", k=self.k, t=self.T, salt=self.salt, fused=True
+                kind="kcdict",
+                k=self.k,
+                t=self.T,
+                salt=self.salt,
+                fused=True,
+                sw=self.slot_words,
             ),
         }
 
@@ -206,10 +237,11 @@ def kcdict_k2u(d: dict, fw_words, xp, mode: str = "full"):
     chi = (canon >> U64(32)).astype(xp.uint32)
     is_fw_canon = fw == canon
 
+    sw = getattr(m, "sw", 8)
     for h in (h1, h2):
-        row = d["table"][h]  # [N, SLOTS*SW] u32
+        row = d["table"][h]  # [N, SLOTS*sw] u32
         for s in range(SLOTS):
-            c = s * SW
+            c = s * sw
             khi = row[..., c + 1]
             hit = (
                 (~found)
@@ -224,13 +256,28 @@ def kcdict_k2u(d: dict, fw_words, xp, mode: str = "full"):
                 is_fw_canon == canon_is_useq, xp.uint8(1), xp.uint8(2)
             )
             out_uid = xp.where(hit, row[..., c + 2].astype(xp.int64), out_uid)
-            out_pos = xp.where(hit, row[..., c + 3].astype(xp.int64), out_pos)
-            out_ulen = xp.where(hit, row[..., c + 4].astype(xp.int64), out_ulen)
-            ow = row[..., c + 5].astype(xp.uint64) | (
-                row[..., c + 6].astype(xp.uint64) << U64(32)
-            )
+            if sw == 7:  # slim: upos24|ulen_lo8, ulen_hi16|cnt16
+                A = row[..., c + 3]
+                B = row[..., c + 4]
+                upos = (A & np.uint32(0xFFFFFF)).astype(xp.int64)
+                ulen = ((A >> np.uint32(24)).astype(xp.int64)) | (
+                    (B & np.uint32(0xFFFF)).astype(xp.int64) << 8
+                )
+                cnt = (B >> np.uint32(16)).astype(xp.int64)
+                ow = row[..., c + 5].astype(xp.uint64) | (
+                    row[..., c + 6].astype(xp.uint64) << U64(32)
+                )
+            else:
+                upos = row[..., c + 3].astype(xp.int64)
+                ulen = row[..., c + 4].astype(xp.int64)
+                cnt = row[..., c + 7].astype(xp.int64)
+                ow = row[..., c + 5].astype(xp.uint64) | (
+                    row[..., c + 6].astype(xp.uint64) << U64(32)
+                )
+            out_pos = xp.where(hit, upos, out_pos)
+            out_ulen = xp.where(hit, ulen, out_ulen)
             out_ow = xp.where(hit, ow, out_ow)
-            out_oc = xp.where(hit, row[..., c + 7].astype(xp.int64), out_oc)
+            out_oc = xp.where(hit, cnt, out_oc)
             out_mt = xp.where(hit, mt, out_mt)
             found = found | hit
 
