@@ -1,0 +1,178 @@
+"""PipelinedIndexQuery: the production serving driver.
+
+Batched-RPC pipelined two-phase full query (the design behind the headline
+bench): CH query batches are staged on device; ONE dispatch runs all main
+phases (shallow fused probe, ~2 random gathers/lane), ONE readback moves
+the packed overflow bitmaps, the host compacts lanes (u16 deltas), ONE
+upload + ONE dispatch resolves every flagged lane through the full padded
+pipeline. Per CH x N queries the host-device round-trip cost is ~3 RPCs
+regardless of CH.
+
+Results are returned split (main + compacted overflow), exactly covering
+every query:
+  - main: fused-projection padded results, exact for non-overflow lanes
+  - overflow: per chunk, (lanes, padded full results for those lanes)
+
+``checksum`` mode reduces everything on device (used by bench.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .modindex import ModIndex, get_ref_pos_padded
+from .twophase import TwoPhaseIndexQuery
+
+
+class PipelinedIndexQuery:
+    def __init__(
+        self,
+        index: ModIndex,
+        batch: int,
+        n_chunks: int = 8,
+        m2: int | None = None,
+        probe_limit: int | None = 1,
+        device=None,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        self._jax = jax
+        self._jnp = jnp
+        self.batch = int(batch)
+        self.CH = int(n_chunks)
+        self.M2 = int(m2 or max(8192, -(-batch // 8 // 8192) * 8192))
+        self.max_occs = max(1, index.max_occs())
+        self.tp = TwoPhaseIndexQuery(index, probe_limit=probe_limit, device=device)
+        # build the lazily-created packed-bitmap main kernel
+        z = np.zeros(self.batch, dtype=np.uint64)
+        self.tp.checksum_query(jnp.asarray(z), z)
+        self._main_chk = self.tp._main_chk
+        self._compiled = {}
+
+    def _fns(self):
+        if "all" in self._compiled:
+            return self._compiled["all"]
+        jax, jnp = self._jax, self._jnp
+        tp, M2, CH, mo = self.tp, self.M2, self.CH, self.max_occs
+
+        @jax.jit
+        def all_mains(stack):
+            def step(_, chunk):
+                s, packed = self._main_chk(chunk)
+                return 0, (s, packed)
+
+            _, (ss, ps) = jax.lax.scan(step, 0, stack)
+            return ss, ps
+
+        @jax.jit
+        def all_phase2(stack, deltas_all, n_reals):
+            from ..ops.scan import prefix_sum
+
+            def step(_, xs):
+                chunk, deltas, n_real = xs
+                lanes = prefix_sum(
+                    deltas.astype(jnp.int32), jnp, max_value=(1 << 16) - 1
+                ) - 1
+                out = get_ref_pos_padded(tp.arrays, chunk[lanes], jnp, mo)
+                keep = {
+                    kk: out[kk]
+                    for kk in (
+                        "unitig_id",
+                        "unitig_len",
+                        "pos",
+                        "mt",
+                        "n_occs",
+                        "ref_id",
+                        "ref_pos",
+                        "orient",
+                        "valid",
+                    )
+                }
+                keep["lanes"] = lanes
+                return 0, keep
+
+            _, outs = jax.lax.scan(step, 0, (stack, deltas_all, n_reals))
+            return outs
+
+        self._compiled["all"] = (all_mains, all_phase2)
+        return self._compiled["all"]
+
+    def query_batches(self, batches: list[np.ndarray]):
+        """Process up to ``n_chunks`` equal-size query batches in one
+        pipelined pass. Returns (mains, overflows):
+
+        - mains[i]: fused main-phase padded dict for batch i (fields exact
+          where ``~overflow``)
+        - overflows[i]: (lane_indices, full padded dict rows) resolving
+          every flagged lane of batch i exactly.
+        """
+        jax, jnp = self._jax, self._jnp
+        assert len(batches) <= self.CH
+        CH = len(batches)
+        for b in batches:
+            assert len(b) == self.batch
+        stack = jax.device_put(jnp.asarray(np.stack(batches)))
+        all_mains, all_phase2 = self._fns()
+        if CH != self.CH:
+            # partial final group: pad with the first batch (discarded)
+            pad = [batches[0]] * (self.CH - CH)
+            stack = jax.device_put(jnp.asarray(np.stack(list(batches) + pad)))
+        _, ps = all_mains(stack)
+        # main RESULTS need a second pass through tp.main (cheap, still on
+        # device) — the checksum kernel only returns reductions
+        mains = [
+            {k: np.asarray(v) for k, v in jax.device_get(self.tp.main(stack[i])).items()}
+            for i in range(CH)
+        ]
+        pa = np.asarray(jax.device_get(ps))
+        deltas_all = np.zeros((self.CH, self.M2), dtype=np.uint16)
+        n_reals = np.zeros(self.CH, dtype=np.int32)
+        lanes_host = []
+        for i in range(CH):
+            bits = np.unpackbits(pa[i].view(np.uint8), bitorder="little")
+            lanes = np.flatnonzero(bits[: self.batch]).astype(np.int64)
+            assert len(lanes) <= self.M2, "phase-2 capacity exceeded; raise m2"
+            d_ = np.diff(lanes, prepend=-1)
+            deltas_all[i, : len(lanes)] = d_.astype(np.uint16)
+            n_reals[i] = len(lanes)
+            lanes_host.append(lanes)
+        outs = jax.device_get(
+            all_phase2(stack, jnp.asarray(deltas_all), jnp.asarray(n_reals))
+        )
+        overflows = []
+        for i in range(CH):
+            n = int(n_reals[i])
+            rows = {k: np.asarray(v[i])[:n] for k, v in outs.items() if k != "lanes"}
+            overflows.append((lanes_host[i], rows))
+        return mains, overflows
+
+    def get_ref_pos_eager(self, fw_words: np.ndarray) -> list:
+        """Merged per-query hit lists (None for misses) for ONE batch —
+        same answer shape as ModIndex.get_ref_pos_eager."""
+        assert len(fw_words) == self.batch
+        mains, overflows = self.query_batches([fw_words])
+        r, (lanes, s) = mains[0], overflows[0]
+        lane_pos = {int(q): i for i, q in enumerate(lanes)}
+        out = []
+        for q in range(self.batch):
+            if q in lane_pos:
+                src, row = s, lane_pos[q]
+            else:
+                src, row = r, q
+            if src["mt"][row] == 0:
+                out.append(None)
+                continue
+            n = int(src["n_occs"][row])
+            width = src["ref_id"].shape[1]
+            out.append(
+                [
+                    (
+                        int(src["ref_id"][row, j]),
+                        int(src["ref_pos"][row, j]),
+                        int(src["orient"][row, j]),
+                    )
+                    for j in range(min(n, width))
+                ]
+            )
+        return out
