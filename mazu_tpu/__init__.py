@@ -32,7 +32,7 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 
 def get_mazu_tpu_version() -> str:
