@@ -382,15 +382,15 @@ def main():
         d_stack = jax.device_put(jnp.stack([jnp.asarray(c) for c in chunks_host]))
 
         @jax.jit
-        def all_mains(stack):
+        def all_mains(arrays, stack):
             def step(_, chunk):
-                s, packed = tp._main_chk_fn(chunk)
+                s, packed = tp._main_chk_a(arrays, chunk)
                 return 0, (s, packed)
             _, (ss, ps) = jax.lax.scan(step, 0, stack)
             return ss, ps  # [CH], [CH, words]
 
         @jax.jit
-        def all_phase2(stack, deltas_all, n_reals, main_sums):
+        def all_phase2(arrays, stack, deltas_all, n_reals, main_sums):
             from mazu_tpu.ops.scan import prefix_sum
 
             def step(carry, xs):
@@ -398,7 +398,7 @@ def main():
                 # lanes travel as u16 DELTAS (half the upload bytes of i32);
                 # reconstruct with the MXU prefix scan
                 lanes = prefix_sum(deltas.astype(jnp.int32), jnp, max_value=(1 << 16) - 1) - 1
-                out = _grp(tp.arrays, chunk[lanes], jnp, max_occs)
+                out = _grp(arrays, chunk[lanes], jnp, max_occs)
                 lane_ok = jnp.arange(M2) < n_real
                 v = out["valid"] & lane_ok[:, None]
                 s = (
@@ -413,9 +413,8 @@ def main():
         log(f"compiling 2phase-pipe2 kernels (CH={CH}, phase2 width {M2})...")
         t0 = time.time()
         tp.checksum_query(d_chunks[0], chunks_host[0])  # builds tp._main_chk
-        tp._main_chk_fn = tp._main_chk
         # size check BEFORE compiling phase2: resize M2 to fit the worst chunk
-        _, ps0 = all_mains(d_stack)
+        _, ps0 = all_mains(tp.arrays, d_stack)
         pa0 = np.asarray(jax.device_get(ps0))
         worst = max(
             int(np.unpackbits(pa0[i].view(np.uint8), bitorder="little")[:batch].sum())
@@ -432,6 +431,7 @@ def main():
             M2 = 1 << int(np.ceil(np.log2(worst + 1)))
             log(f"phase2 width resized to {M2} (worst chunk overflow {worst})")
         all_phase2(
+            tp.arrays,
             d_stack,
             jnp.zeros((CH, M2), jnp.uint16),
             jnp.zeros(CH, jnp.int32),
@@ -443,7 +443,7 @@ def main():
             # ONE dispatch for all mains, ONE bitmap readback, ONE lane
             # upload, ONE phase-2 dispatch, ONE scalar readback — the
             # tunnel RPC floor is paid ~3x per CH x 1M queries
-            ss, ps = all_mains(d_stack)
+            ss, ps = all_mains(tp.arrays, d_stack)
             pa = np.asarray(jax.device_get(ps))
             deltas_all = np.zeros((CH, M2), dtype=np.uint16)
             n_reals = np.zeros(CH, dtype=np.int32)
@@ -458,7 +458,7 @@ def main():
             return int(
                 jax.device_get(
                     all_phase2(
-                        d_stack, jnp.asarray(deltas_all), jnp.asarray(n_reals), ss
+                        tp.arrays, d_stack, jnp.asarray(deltas_all), jnp.asarray(n_reals), ss
                     )
                 )
             )

@@ -57,16 +57,16 @@ class PipelinedIndexQuery:
         tp, M2, CH, mo = self.tp, self.M2, self.CH, self.max_occs
 
         @jax.jit
-        def all_mains(stack):
+        def all_mains(arrays, stack):
             def step(_, chunk):
-                s, packed = self._main_chk(chunk)
+                s, packed = tp._main_chk_a(arrays, chunk)
                 return 0, (s, packed)
 
             _, (ss, ps) = jax.lax.scan(step, 0, stack)
             return ss, ps
 
         @jax.jit
-        def all_phase2(stack, deltas_all, n_reals):
+        def all_phase2(arrays, stack, deltas_all, n_reals):
             from ..ops.scan import prefix_sum
 
             def step(_, xs):
@@ -74,7 +74,7 @@ class PipelinedIndexQuery:
                 lanes = prefix_sum(
                     deltas.astype(jnp.int32), jnp, max_value=(1 << 16) - 1
                 ) - 1
-                out = get_ref_pos_padded(tp.arrays, chunk[lanes], jnp, mo)
+                out = get_ref_pos_padded(arrays, chunk[lanes], jnp, mo)
                 keep = {
                     kk: out[kk]
                     for kk in (
@@ -118,7 +118,7 @@ class PipelinedIndexQuery:
             # partial final group: pad with the first batch (discarded)
             pad = [batches[0]] * (self.CH - CH)
             stack = jax.device_put(jnp.asarray(np.stack(list(batches) + pad)))
-        _, ps = all_mains(stack)
+        _, ps = all_mains(self.tp.arrays, stack)
         # main RESULTS need a second pass through tp.main (cheap, still on
         # device) — the checksum kernel only returns reductions
         mains = [
@@ -138,7 +138,9 @@ class PipelinedIndexQuery:
             n_reals[i] = len(lanes)
             lanes_host.append(lanes)
         outs = jax.device_get(
-            all_phase2(stack, jnp.asarray(deltas_all), jnp.asarray(n_reals))
+            all_phase2(
+                self.tp.arrays, stack, jnp.asarray(deltas_all), jnp.asarray(n_reals)
+            )
         )
         overflows = []
         for i in range(CH):

@@ -132,9 +132,9 @@ class ReadBatchQuery:
         self.arrays = jax.device_put(index.device_arrays(fused=True), device)
 
         @jax.jit
-        def main_chk(fw, new_read):
-            r = sshash_k2u_reads_runshare(self.arrays["k2u"], fw, new_read, jnp)
-            p = _project_fused(self.arrays, r, jnp)
+        def main_chk_a(arrays, fw, new_read):
+            r = sshash_k2u_reads_runshare(arrays["k2u"], fw, new_read, jnp)
+            p = _project_fused(arrays, r, jnp)
             s = (
                 jnp.where(p["valid"], p["ref_pos"], 0).sum()
                 + jnp.where(p["valid"], p["ref_id"], 0).sum()
@@ -148,8 +148,8 @@ class ReadBatchQuery:
             return s, packed, r["run_overflow"]
 
         @jax.jit
-        def full_chk(fw, n_real):
-            out = get_ref_pos_padded(self.arrays, fw, jnp, self.max_occs)
+        def full_chk_a(arrays, fw, n_real):
+            out = get_ref_pos_padded(arrays, fw, jnp, self.max_occs)
             lane_ok = jnp.arange(fw.shape[0]) < n_real
             v = out["valid"] & lane_ok[:, None]
             return (
@@ -158,8 +158,8 @@ class ReadBatchQuery:
                 + jnp.where(lane_ok, out["unitig_id"], 0).sum()
             )
 
-        self.main_chk = main_chk
-        self.full_chk = full_chk
+        self.main_chk = lambda fw, nr: main_chk_a(self.arrays, fw, nr)
+        self.full_chk = lambda fw, n: full_chk_a(self.arrays, fw, n)
 
     def checksum_query(self, fw_dev, fw_host: np.ndarray, new_read_dev):
         import jax
@@ -204,16 +204,19 @@ class TwoPhaseIndexQuery:
 
         self.probe_limit = probe_limit
 
+        # arrays travel as jit ARGUMENTS, never closures: closed-over device
+        # pytrees are lowered as captured CONSTANTS (gigabytes for large
+        # indexes -> unbounded compile payloads)
         @jax.jit
-        def main(fw):
-            return _main_phase(self.arrays, fw, jnp, self.small_occs, probe_limit)
+        def main_a(arrays, fw):
+            return _main_phase(arrays, fw, jnp, self.small_occs, probe_limit)
 
         @jax.jit
-        def full(fw):
-            return get_ref_pos_padded(self.arrays, fw, jnp, self.max_occs)
+        def full_a(arrays, fw):
+            return get_ref_pos_padded(arrays, fw, jnp, self.max_occs)
 
-        self.main = main
-        self.full = full
+        self.main = lambda fw: main_a(self.arrays, fw)
+        self.full = lambda fw: full_a(self.arrays, fw)
 
     def checksum_query(self, fw_words_dev, fw_words_host: np.ndarray):
         """Bench path: full two-phase query with results REDUCED on device
@@ -225,8 +228,8 @@ class TwoPhaseIndexQuery:
         if not hasattr(self, "_main_chk"):
 
             @jax.jit
-            def main_chk(fw):
-                r = _main_phase(self.arrays, fw, jnp, self.small_occs, self.probe_limit)
+            def main_chk_a(arrays, fw):
+                r = _main_phase(arrays, fw, jnp, self.small_occs, self.probe_limit)
                 s = (
                     jnp.where(r["valid"], r["ref_pos"], 0).sum()
                     + jnp.where(r["valid"], r["ref_id"], 0).sum()
@@ -241,8 +244,8 @@ class TwoPhaseIndexQuery:
                 return s, packed
 
             @jax.jit
-            def full_chk(fw, n_real):
-                r = get_ref_pos_padded(self.arrays, fw, jnp, self.max_occs)
+            def full_chk_a(arrays, fw, n_real):
+                r = get_ref_pos_padded(arrays, fw, jnp, self.max_occs)
                 lane_ok = jnp.arange(fw.shape[0]) < n_real
                 v = r["valid"] & lane_ok[:, None]
                 return (
@@ -251,8 +254,9 @@ class TwoPhaseIndexQuery:
                     + jnp.where(lane_ok, r["unitig_id"], 0).sum()
                 )
 
-            self._main_chk = main_chk
-            self._full_chk = full_chk
+            self._main_chk_a = main_chk_a
+            self._main_chk = lambda fw: main_chk_a(self.arrays, fw)
+            self._full_chk = lambda fw, n: full_chk_a(self.arrays, fw, n)
 
         chk, packed = self._main_chk(fw_words_dev)
         packed = np.asarray(jax.device_get(packed))
