@@ -98,6 +98,71 @@ class WaveletMatrix:
         return d
 
 
+class WaveletMatrixSlice:
+    """Offset-window view of a WaveletMatrix (parity: reference
+    src/wm.rs:13-44): behaves like a WM built over ``S[start:end]`` using
+    the rank-difference trick — rank within the window is
+    ``rank(a, start+i) - rank(a, start)`` and select re-bases the
+    occurrence rank by ``rank(a, start)``. No data is copied."""
+
+    def __init__(self, wm: "WaveletMatrix", start: int, end: int):
+        assert 0 <= start <= end <= len(wm)
+        self.wm = wm
+        self.start = int(start)
+        self.len = int(end - start)
+
+    def __len__(self) -> int:
+        return self.len
+
+    def is_empty(self) -> bool:
+        return self.len == 0
+
+    def access(self, i) -> np.ndarray:
+        i = np.asarray(i)
+        assert (i < self.len).all()
+        return self.wm.access(self.start + i)
+
+    def rank(self, a, i) -> np.ndarray:
+        i = np.asarray(i)
+        assert (i <= self.len).all()
+        return self.wm.rank(a, self.start + i) - self.wm.rank(a, self.start)
+
+    def select(self, a, r) -> np.ndarray:
+        """Window position of the r-th in-window occurrence of ``a``.
+
+        Reference semantics (src/wm.rs:39-43): rebases by rank(a, start)
+        and returns ``wm.select(a, base+r) - start`` — the result may lie
+        PAST the window end when fewer than r+1 occurrences fall inside;
+        -1 only when the sequence holds no (base+r+1)-th occurrence at all
+        (the reference's None)."""
+        r = np.asarray(r)
+        base = self.wm.rank(a, self.start)
+        n_total = self.wm.rank(a, len(self.wm))
+        s = self.wm.select(a, base + r) - self.start
+        return np.where(base + r < n_total, s, -1)
+
+
+def wm_slice_access(d: dict, start, i, xp):
+    return wm_access(d, xp.asarray(start) + xp.asarray(i), xp)
+
+
+def wm_slice_rank(d: dict, a, start, i, xp):
+    start = xp.asarray(start)
+    return wm_rank(d, a, start + xp.asarray(i), xp) - wm_rank(d, a, start, xp)
+
+
+def wm_slice_select(d: dict, a, start, r, xp):
+    """Batched slice select; -1 when the occurrence does not exist in the
+    window."""
+    start = xp.asarray(start)
+    r = xp.asarray(r)
+    base = wm_rank(d, a, start, xp)
+    s = wm_select(d, a, base + r, xp)
+    n_total = wm_rank(d, a, xp.full(xp.shape(start), d["meta"].length), xp)
+    ok = base + r < n_total
+    return xp.where(ok, s - start, xp.full(xp.shape(s), -1, dtype=xp.int64))
+
+
 def _bv_rank_zero(lv, i, xp):
     return xp.asarray(i) - bv_rank(lv, i, xp)
 

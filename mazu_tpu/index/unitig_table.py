@@ -152,6 +152,91 @@ class PiscemUnitigTable:
         return d
 
 
+class WMUnitigTable:
+    """Experimental U2Pos: piscem-encoded occurrence words stored as
+    byte-plane WaveletMatrices.
+
+    This is the occurrence-table compression experiment the reference
+    reserves its WaveletMatrix for (README highlight 4; the WM is built
+    and tested but unwired there, src/wm.rs). Each 8-bit plane of the
+    packed occurrence word becomes one WM whose alphabet is the plane's
+    actual byte range — planes with few distinct values (high ref_id
+    bytes, orientation-dominated low planes) store fewer levels than the
+    flat packing. Decode is exact and batched (one wm_access per plane);
+    ``unitig_slice`` exposes per-unitig WaveletMatrixSlice windows for
+    symbol rank/select inside one unitig's occurrence list."""
+
+    def __init__(self, planes, offsets, ref_shift: int, pos_mask: int, ref_names=None):
+        from ..bits.wm import WaveletMatrix  # noqa: F401 (type)
+
+        self.planes = list(planes)
+        self.offsets = np.asarray(offsets, dtype=np.int64)
+        self.ref_shift = int(ref_shift)
+        self.pos_mask = int(pos_mask)
+        self.ref_names = ref_names or []
+
+    @classmethod
+    def from_piscem(cls, t: "PiscemUnitigTable") -> "WMUnitigTable":
+        from ..bits.wm import WaveletMatrix
+
+        words = t.ctable.to_array()
+        width = t.ctable.width
+        n_planes = max(1, -(-width // 8))
+        planes = []
+        for b in range(n_planes):
+            plane = ((words >> U64(8 * b)) & U64(0xFF)).astype(np.uint8)
+            alpha = max(2, int(plane.max()) + 1) if len(plane) else 2
+            planes.append(WaveletMatrix.build(plane, alpha))
+        return cls(planes, t.offsets, t.ref_shift, t.pos_mask, ref_names=t.ref_names)
+
+    @property
+    def n_unitigs(self) -> int:
+        return len(self.offsets) - 1
+
+    @property
+    def n_total_occs(self) -> int:
+        return len(self.planes[0]) if self.planes else 0
+
+    def max_occs(self) -> int:
+        return int(np.max(self.offsets[1:] - self.offsets[:-1])) if self.n_unitigs else 0
+
+    def num_bits(self) -> int:
+        return sum(p.num_bits() for p in self.planes) + 64 * len(self.offsets)
+
+    def _words(self, idx: np.ndarray) -> np.ndarray:
+        w = np.zeros(len(idx), dtype=np.uint64)
+        for b, p in enumerate(self.planes):
+            w |= p.access(idx).astype(np.uint64) << U64(8 * b)
+        return w
+
+    def occs(self, uid: int):
+        s, e = int(self.offsets[uid]), int(self.offsets[uid + 1])
+        return decode_piscem(self._words(np.arange(s, e)), self.ref_shift, self.pos_mask, np)
+
+    def unitig_slice(self, uid: int, plane: int = 0):
+        """WaveletMatrixSlice over one unitig's occurrence window of the
+        given byte plane (reference src/wm.rs:13-44 usage)."""
+        from ..bits.wm import WaveletMatrixSlice
+
+        s, e = int(self.offsets[uid]), int(self.offsets[uid + 1])
+        return WaveletMatrixSlice(self.planes[plane], s, e)
+
+    def device_arrays(self, paired: bool = False) -> dict:
+        d = {
+            "offsets": self.offsets,
+            "meta": meta(
+                enc="wm",
+                n_planes=len(self.planes),
+                ref_shift=self.ref_shift,
+                pos_mask=self.pos_mask,
+                n_occs=self.n_total_occs,
+            ),
+        }
+        for b, p in enumerate(self.planes):
+            d[f"wm{b}"] = p.device_arrays()
+        return d
+
+
 def decode_words(u2pos: dict, words, xp):
     """Decode already-fetched encoded occurrence words (encoding static)."""
     m = u2pos["meta"]
@@ -170,6 +255,14 @@ def decode_occs(u2pos: dict, occ_idx, xp):
         return decode_pf1(words, xp)
     elif m.enc == "piscem":
         words = iv_get(u2pos["ctable"], occ_idx, xp)
+        return decode_piscem(words, m.ref_shift, m.pos_mask, xp)
+    elif m.enc == "wm":
+        from ..bits.wm import wm_access
+
+        words = xp.zeros(xp.shape(occ_idx), dtype=xp.uint64)
+        for b in range(m.n_planes):
+            plane = wm_access(u2pos[f"wm{b}"], occ_idx, xp).astype(xp.uint64)
+            words = words | (plane << U64(8 * b))
         return decode_piscem(words, m.ref_shift, m.pos_mask, xp)
     raise ValueError(m.enc)
 

@@ -88,3 +88,78 @@ class TestQueries:
             ),
             occ,
         )
+
+
+class TestSlice:
+    """WaveletMatrixSlice — offset-window rank-difference view
+    (reference src/wm.rs:13-44)."""
+
+    def test_fig4_windows(self, wm):
+        from mazu_tpu.bits.wm import WaveletMatrixSlice
+
+        for start, end in [(0, 13), (3, 11), (5, 5), (2, 9)]:
+            sl = WaveletMatrixSlice(wm, start, end)
+            win = FIG4[start:end]
+            assert len(sl) == end - start
+            assert sl.is_empty() == (end == start)
+            if len(win):
+                np.testing.assert_array_equal(sl.access(np.arange(len(win))), win)
+            for a in range(8):
+                want_rank = np.concatenate([[0], np.cumsum(win == a)])
+                np.testing.assert_array_equal(
+                    sl.rank(a, np.arange(len(win) + 1)), want_rank
+                )
+                occ = np.flatnonzero(win == a)
+                if len(occ):
+                    np.testing.assert_array_equal(sl.select(a, np.arange(len(occ))), occ)
+
+    def test_select_reference_semantics(self, wm):
+        # reference select rebases by rank(a, start) and does NOT clamp to
+        # the window: an occurrence past the window end is returned as-is,
+        # None (-1) only when the whole sequence runs out of occurrences.
+        from mazu_tpu.bits.wm import WaveletMatrixSlice
+
+        sl = WaveletMatrixSlice(wm, 0, 2)  # window [4, 7]
+        # 2nd occurrence of 7 in the whole sequence is at 12 -> past window
+        assert sl.select(7, np.array([1]))[0] == 12
+        # no 3rd occurrence of 7 anywhere -> None/-1
+        assert sl.select(7, np.array([2]))[0] == -1
+
+    def test_device_matches_host(self, wm):
+        import jax.numpy as jnp
+
+        from mazu_tpu.bits.wm import (
+            WaveletMatrixSlice,
+            wm_slice_access,
+            wm_slice_rank,
+            wm_slice_select,
+        )
+
+        d = wm.device_arrays()
+        start, end = 3, 11
+        sl = WaveletMatrixSlice(wm, start, end)
+        n = end - start
+        i = np.arange(n)
+        st = np.full(n, start)
+        np.testing.assert_array_equal(
+            np.asarray(wm_slice_access(d, jnp.asarray(st), jnp.asarray(i), jnp)),
+            sl.access(i),
+        )
+        for a in (1, 2, 7):
+            aa = np.full(n + 1, a)
+            st1 = np.full(n + 1, start)
+            np.testing.assert_array_equal(
+                np.asarray(
+                    wm_slice_rank(d, jnp.asarray(aa), jnp.asarray(st1), jnp.arange(n + 1), jnp)
+                ),
+                sl.rank(a, np.arange(n + 1)),
+            )
+            rr = np.arange(3)
+            np.testing.assert_array_equal(
+                np.asarray(
+                    wm_slice_select(
+                        d, jnp.full(3, a), jnp.full(3, start), jnp.asarray(rr), jnp
+                    )
+                ),
+                sl.select(a, rr),
+            )
