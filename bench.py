@@ -102,9 +102,13 @@ def build_index():
 
 def main():
     t0 = time.time()
+    mode = os.environ.get("MAZU_BENCH_MODE", "1graph")  # headline: one-graph fused full query
+    if mode == "1graph" and "MAZU_BENCH_SKEW" not in os.environ:
+        # measured round 2: skew=4 + inline2 + plim=2 cuts phase-2 lanes
+        # 10.3% -> 3.05% on the chr01 workload
+        os.environ["MAZU_BENCH_SKEW"] = "4"
     index = build_index()
     k = index.k
-    mode = os.environ.get("MAZU_BENCH_MODE", "2phase-pipe2")  # headline: pipelined exact full query
     # None -> engine-appropriate default (flat32 for fast32, ef for parity)
     prefix_kind = os.environ.get("MAZU_BENCH_PREFIX") or None
 
@@ -131,7 +135,9 @@ def main():
 
     fused_bench = os.environ.get("MAZU_BENCH_FUSED", "1") == "1" and not prefix_kind
     pos_kind_env = os.environ.get("MAZU_BENCH_POS") or None
-    if fused_bench:
+    if mode == "1graph":
+        fused_bench = False  # the 1graph driver owns its (inline2) arrays
+    elif fused_bench:
         try:
             host_arrays = index.device_arrays(fused=True, pos_kind=pos_kind_env)
         except AssertionError:  # engine without inline rows (parity/EF modes)
@@ -273,6 +279,85 @@ def main():
             json.dumps(
                 {
                     "metric": "read_kmer_queries_per_sec_per_chip",
+                    "value": qps,
+                    "unit": "queries/s",
+                    "vs_baseline": qps / 1e9,
+                }
+            )
+        )
+        return
+
+    if mode == "1graph":
+        # ONE jitted graph for the whole pass: scan over CH chunks of
+        # (shallow main -> scatter-free on-device lane compaction ->
+        # compacted full phase 2 -> checksum). One dispatch + one scalar
+        # readback per pass; one graph to compile (the remote compile
+        # service stalls per graph — this is also the compile-time fix).
+        from mazu_tpu.index.modindex import get_ref_pos_compact
+        from mazu_tpu.index.pipeline import OneGraphIndexQuery
+
+        CH = int(os.environ.get("MAZU_BENCH_CHUNKS", 16))
+        plim_env = os.environ.get("MAZU_BENCH_PLIM", "2")
+        plim = int(plim_env) if plim_env and plim_env != "0" else None
+        pos_kind = pos_kind_env or "inline2"
+        rng3 = np.random.default_rng(7)
+        chunks_host = []
+        for i in range(CH):
+            c = work.copy()
+            rng3.shuffle(c)
+            chunks_host.append(c)
+        stack_host = np.stack(chunks_host)
+
+        # host oracle on chunk 0: checksum (M2-independent once the budget
+        # fits) + the true overflow count that sizes phase 2. Every chunk
+        # is a reshuffle of the same multiset and the checksum is a
+        # permutation-invariant reduction, so total == CH * chunk0.
+        fused_host = index.device_arrays(fused=True, pos_kind=pos_kind)
+        t0 = time.time()
+        out0 = get_ref_pos_compact(
+            fused_host, chunks_host[0], np, max(1, index.max_occs()),
+            merge=False, probe_limit=plim, m2=max(8192, batch // 8),
+        )
+        assert not bool(out0["over_budget"]), "host probe over budget"
+        host_chk = int(OneGraphIndexQuery.checksum(out0, np))
+        n_ovf = int(out0["n_ovf"])
+        M2 = int(os.environ.get("MAZU_BENCH_M2", 0)) or max(
+            8192, -(-int(n_ovf * 1.1) // 8192) * 8192
+        )
+        log(
+            f"host oracle {time.time()-t0:.1f}s: chunk chk={host_chk} "
+            f"overflow {n_ovf}/{batch} -> M2={M2}"
+        )
+        og = OneGraphIndexQuery(
+            index, batch, n_chunks=CH, m2=M2, probe_limit=plim,
+            pos_kind=pos_kind, host_arrays=fused_host,
+        )
+        d_stack = jax.device_put(jnp.asarray(stack_host))
+        log(f"compiling 1graph pass (CH={CH}, M2={M2}, plim={plim}, pos={pos_kind})...")
+        t0 = time.time()
+        chk0, worst = og.checksum_pass(d_stack)
+        log(f"compile+first pass {time.time()-t0:.1f}s (chk={chk0}, worst_ovf={worst})")
+        assert worst <= M2, f"phase-2 capacity exceeded: {worst} > {M2}"
+        assert chk0 == CH * host_chk, (chk0, CH, host_chk)
+        log("host<->device parity OK")
+        iters = int(os.environ.get("MAZU_BENCH_ITERS", 5))
+        t0 = time.time()
+        for _ in range(iters):
+            chk0, _ = og.checksum_pass(d_stack)
+        dt = time.time() - t0
+        assert chk0 == CH * host_chk
+        qps = batch * CH * iters / dt
+        log(f"{iters} x {CH}x{batch} queries in {dt:.3f}s (chk={chk0})")
+        synth = int(os.environ.get("MAZU_BENCH_SYNTH", 0))
+        name = (
+            f"kmer_queries_per_sec_per_chip_synth{synth}"
+            if synth
+            else "kmer_queries_per_sec_per_chip_yeast_chr01"
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": name,
                     "value": qps,
                     "unit": "queries/s",
                     "vs_baseline": qps / 1e9,

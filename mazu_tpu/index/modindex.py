@@ -109,45 +109,38 @@ def get_ref_pos_compact(
     budget_div: int = 4,
     merge: bool = True,
     probe_limit: int | None = None,
+    m2: int | None = None,
 ):
     """One-kernel full query with an ON-DEVICE compacted heavy phase.
 
     Main phase: fused-row k2u main path (no skew-structure gathers) +
     zero-gather projection for single-occurrence unitigs — the common case
     costs 3 row gathers total. Heavy lanes (skew bucket or multi-occurrence
-    unitig) are compacted on device (cumsum rank + scatter, no host round
-    trip) into an M = N/budget_div sub-batch resolved by the full padded
-    pipeline, then scattered back. Results are exactly get_ref_pos_padded's
-    unless ``over_budget`` is set (caller falls back; cannot happen when
-    budget_div <= 1/overflow-rate).
+    unitig) are compacted on device — scatter-free: MXU prefix-sum rank +
+    searchsorted lane extraction (ops/compact.py; XLA TPU scatter costs
+    ~75 ns/update and would dominate) — into an M-lane sub-batch resolved
+    by the full padded pipeline, then merged back. Results are exactly
+    get_ref_pos_padded's unless ``over_budget`` is set (caller falls back;
+    cannot happen when M covers the workload's overflow rate).
+
+    ``m2`` sets M directly (defaults to N // budget_div).
 
     Requires ``ModIndex.device_arrays(fused=True)`` arrays.
     """
     from ..kphf.sshash import sshash_k2u
+    from ..ops.compact import flagged_lanes
     from .twophase import _project_fused
 
     fw = xp.asarray(fw_words)
     N = fw.shape[0]
-    M = max(64, N // budget_div)
+    M = int(m2) if m2 else max(64, N // budget_div)
     r = sshash_k2u(d["k2u"], fw, xp, mode="main", probe_limit=probe_limit)
     assert "occ_cnt" in r, "compact path requires fused device arrays"
     p = _project_fused(d, r, xp)
     overflow = p["overflow"] | r["unresolved"]
 
-    ovf_i = overflow.astype(xp.int32)
-    n_ovf = ovf_i.sum()
-    from ..ops.scan import prefix_sum
-
-    rank = prefix_sum(ovf_i, xp, max_value=1) - 1
-    in_budget = overflow & (rank < M)
+    lanes, n_ovf = flagged_lanes(overflow, M, xp)
     over_budget = n_ovf > M
-    slot = xp.where(in_budget, rank, M)
-    lanes = xp.zeros((M + 1,), dtype=xp.int64)
-    if xp is np:
-        np.maximum.at(lanes, slot, np.arange(N, dtype=np.int64))
-        lanes = lanes[:M]
-    else:
-        lanes = lanes.at[slot].max(xp.arange(N, dtype=xp.int64))[:M]
     out2 = get_ref_pos_padded(d, fw[lanes], xp, max_occs)
     slot_real = xp.arange(M) < xp.minimum(n_ovf, M)
 
@@ -163,12 +156,17 @@ def get_ref_pos_compact(
             "lanes": lanes,
             "slot_real": slot_real,
             "phase2": out2,
+            "n_ovf": n_ovf,
             "over_budget": over_budget,
         }
 
-    # merge: main-phase single-occ results padded to max_occs width, then
-    # phase-2 rows scattered over their lanes (unused slots -> row N)
-    pad2 = [(0, 0), (0, max_occs - 1)]
+    # merge: main-phase fused results (width 1 or 2) padded to max_occs
+    # width, then phase-2 rows scattered over their lanes (unused slots ->
+    # row N)
+    main_w = p["ref_id"].shape[1]
+    target_w = max(max_occs, main_w)
+    pad2 = [(0, 0), (0, target_w - main_w)]
+    padp2 = [(0, 0), (0, target_w - max_occs)]
     full = {
         kk: r[kk] for kk in ("unitig_id", "unitig_len", "pos", "mt")
     }
@@ -177,6 +175,10 @@ def get_ref_pos_compact(
     full["ref_pos"] = xp.pad(p["ref_pos"], pad2)
     full["orient"] = xp.pad(p["orient"], pad2)
     full["valid"] = xp.pad(p["valid"], pad2)
+    out2 = {
+        kk: (xp.pad(v, padp2) if getattr(v, "ndim", 1) == 2 else v)
+        for kk, v in out2.items()
+    }
     dest = xp.where(slot_real, lanes, N)
     for kk in ("unitig_id", "unitig_len", "pos", "mt", "n_occs", "ref_id", "ref_pos", "orient", "valid"):
         base = xp.concatenate([full[kk], xp.zeros_like(full[kk][:1])], axis=0)

@@ -20,8 +20,117 @@ from __future__ import annotations
 
 import numpy as np
 
-from .modindex import ModIndex, get_ref_pos_padded
+from .modindex import ModIndex, get_ref_pos_compact, get_ref_pos_padded
 from .twophase import TwoPhaseIndexQuery
+
+
+class OneGraphIndexQuery:
+    """Whole-pass SINGLE-GRAPH driver: CH stacked query chunks scanned
+    inside one jitted function — shallow main phase, scatter-free
+    on-device lane compaction (ops/compact.py), compacted full phase 2,
+    and checksum reduction all fused. Per pass the host link carries ONE
+    dispatch and ONE scalar readback: no overflow-bitmap download, no lane
+    upload, and only one graph to compile (the remote compile service
+    stalls per graph — round 1's four-graph bench spent 563 s compiling).
+
+    Exactness: identical to get_ref_pos_padded for every lane (asserted by
+    tests and the bench parity check) unless a chunk's overflow count
+    exceeds ``m2`` — then ``worst_ovf`` from checksum_pass exceeds m2 and
+    the caller must rebuild with a larger m2 (deterministic workloads fail
+    fast on the first pass).
+    """
+
+    def __init__(
+        self,
+        index: ModIndex,
+        batch: int,
+        n_chunks: int = 16,
+        m2: int | None = None,
+        probe_limit: int | None = 2,
+        pos_kind: str | None = "inline2",
+        device=None,
+        host_arrays: dict | None = None,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        self._jax = jax
+        self._jnp = jnp
+        self.batch = int(batch)
+        self.CH = int(n_chunks)
+        self.M2 = int(m2 or max(8192, batch // 16))
+        self.max_occs = max(1, index.max_occs())
+        self.probe_limit = probe_limit
+        # host_arrays may be passed in to avoid rebuilding the fused layout
+        # (the fusion pass is a host-side array transform, seconds at
+        # 50Mbp scale)
+        self.host_arrays = (
+            host_arrays
+            if host_arrays is not None
+            else index.device_arrays(fused=True, pos_kind=pos_kind)
+        )
+        self.arrays = jax.device_put(self.host_arrays, device)
+        mo, M2, plim = self.max_occs, self.M2, probe_limit
+
+        @jax.jit
+        def pass_fn(arrays, stack):
+            def step(carry, chunk):
+                out = get_ref_pos_compact(
+                    arrays, chunk, jnp, mo, merge=False, probe_limit=plim, m2=M2
+                )
+                return carry + OneGraphIndexQuery.checksum(out, jnp), out["n_ovf"]
+
+            tot, novf = jax.lax.scan(step, jnp.int64(0), stack)
+            return tot, jnp.max(novf)
+
+        self._pass = pass_fn
+
+    @staticmethod
+    def checksum(out: dict, xp):
+        """Device-reduced checksum over a merge=False compact result: sums
+        ref_pos/ref_id over valid occurrences and unitig_id/pos over hits,
+        split across the main and compacted phase-2 pieces."""
+        m_, ov, p2, sr = out["main"], out["overflow"], out["phase2"], out["slot_real"]
+        s = (
+            xp.where(m_["valid"], m_["ref_pos"], 0).sum()
+            + xp.where(m_["valid"], m_["ref_id"], 0).sum()
+            + xp.where(~ov, m_["unitig_id"], 0).sum()
+            + xp.where(~ov, m_["pos"], 0).sum()
+        )
+        v2 = p2["valid"] & sr[:, None]
+        return s + (
+            xp.where(v2, p2["ref_pos"], 0).sum()
+            + xp.where(v2, p2["ref_id"], 0).sum()
+            + xp.where(sr, p2["unitig_id"], 0).sum()
+            + xp.where(sr, p2["pos"], 0).sum()
+        )
+
+    def checksum_pass(self, stack_dev) -> tuple[int, int]:
+        """One fused pass over a [CH, batch] device stack. Returns
+        (checksum, worst_ovf); worst_ovf > m2 means phase-2 capacity was
+        exceeded and the results are invalid — rebuild with larger m2."""
+        import jax
+
+        tot, worst = self._pass(self.arrays, stack_dev)
+        return int(jax.device_get(tot)), int(jax.device_get(worst))
+
+    def checksum_host(self, stack_host: np.ndarray) -> int:
+        """Same computation with xp=numpy on the host arrays (cross-backend
+        parity oracle for the bench)."""
+        tot = 0
+        for chunk in stack_host:
+            out = get_ref_pos_compact(
+                self.host_arrays,
+                chunk,
+                np,
+                self.max_occs,
+                merge=False,
+                probe_limit=self.probe_limit,
+                m2=self.M2,
+            )
+            assert not bool(out["over_budget"]), "phase-2 capacity exceeded"
+            tot += int(self.checksum(out, np))
+        return tot
 
 
 class PipelinedIndexQuery:

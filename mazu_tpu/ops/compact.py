@@ -1,0 +1,38 @@
+"""Scatter-free lane compaction.
+
+XLA TPU scatter costs ~75 ns/update (serial lowering, measured round 1) —
+compacting flagged lanes by cumsum+scatter pays N updates and dominates
+everything. This helper computes the first-M flagged lane INDICES with no
+scatter at all:
+
+    rank  = inclusive prefix sum of flags      (MXU triangular-matmul scan)
+    lanes = searchsorted(rank, [1..M], 'left') (log-depth binary search,
+                                                M << N lookups)
+
+Cost: one MXU scan (~3.6 ms/1M) + M * log2(N) element gathers — for the
+few-percent overflow rates of the two-phase query this is ~100x cheaper
+than the scatter it replaces, and it keeps the whole two-phase pipeline
+inside ONE jitted graph (no host round trip to compact lanes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def flagged_lanes(flags, m: int, xp):
+    """Indices of the first ``m`` set flags.
+
+    Returns (lanes int[m], n_set scalar). ``lanes[s]`` for ``s >= n_set``
+    is clipped to the last lane index — callers mask by ``s < n_set``.
+    """
+    n = flags.shape[0]
+    fi = flags.astype(xp.int32)
+    from .scan import prefix_sum
+
+    rank = prefix_sum(fi, xp, max_value=1)  # inclusive; rank[-1] = n_set
+    n_set = rank[-1].astype(xp.int64) if n else xp.int64(0)
+    targets = xp.arange(1, m + 1, dtype=rank.dtype)
+    lanes = xp.searchsorted(rank, targets, side="left")
+    lanes = xp.clip(lanes, 0, max(n - 1, 0)).astype(xp.int64)
+    return lanes, n_set

@@ -192,3 +192,87 @@ def test_inline2_multi_occ_projection():
     two = (a["n_occs"] == 2) & (a["mt"] > 0)
     assert two.any()
     assert not (p["overflow"] & two & ~r["use_skew"]).any()
+
+
+class TestFlaggedLanes:
+    def test_host_and_device(self):
+        import jax.numpy as jnp
+
+        from mazu_tpu.ops.compact import flagged_lanes
+
+        rng = np.random.default_rng(3)
+        for n, frac in ((1024, 0.1), (4096, 0.0), (4096, 1.0), (2048, 0.03)):
+            flags = rng.random(n) < frac
+            m = 256
+            want_lanes = np.flatnonzero(flags)[:m]
+            lanes, n_set = flagged_lanes(flags, m, np)
+            assert int(n_set) == int(flags.sum())
+            np.testing.assert_array_equal(lanes[: len(want_lanes)], want_lanes)
+            dl, dn = flagged_lanes(jnp.asarray(flags), m, jnp)
+            assert int(dn) == int(n_set)
+            np.testing.assert_array_equal(np.asarray(dl), lanes)
+
+    def test_over_budget_counts(self):
+        from mazu_tpu.ops.compact import flagged_lanes
+
+        flags = np.ones(512, dtype=bool)
+        lanes, n_set = flagged_lanes(flags, 64, np)
+        assert int(n_set) == 512  # caller sees the true count and can resize
+        np.testing.assert_array_equal(lanes, np.arange(64))
+
+
+class TestOneGraphDriver:
+    def test_checksum_device_equals_host(self):
+        import jax
+        import jax.numpy as jnp
+
+        from mazu_tpu.index.pipeline import OneGraphIndexQuery
+        from mazu_tpu.index.piscem_index import piscem_index_from_cf_prefix
+        from mazu_tpu.kmer import revcomp
+
+        idx = piscem_index_from_cf_prefix(CHR7, 15, engine="direct", skew_param=4)
+        us = idx.k2u.unitigs
+        kms = us.get_kmer_u64(us.kmer_start_positions())
+        rng = np.random.default_rng(11)
+        n, CH = 4096, 3
+        stack = np.zeros((CH, n), dtype=np.uint64)
+        for c in range(CH):
+            w = np.tile(kms, -(-n // len(kms)))[:n]
+            flip = rng.random(n) < 0.5
+            w[flip] = revcomp(w[flip], idx.k)
+            miss = rng.random(n) < 0.03
+            w[miss] = rng.integers(0, 1 << 62, int(miss.sum()), dtype=np.uint64)
+            rng.shuffle(w)
+            stack[c] = w
+        og = OneGraphIndexQuery(idx, batch=n, n_chunks=CH, m2=1024, probe_limit=2)
+        got, worst = og.checksum_pass(jax.device_put(jnp.asarray(stack)))
+        assert worst <= og.M2
+        want = og.checksum_host(stack)
+        assert got == want
+
+    def test_compact_inline2_equals_padded(self):
+        from mazu_tpu.index.piscem_index import piscem_index_from_cf_prefix
+        from mazu_tpu.kmer import revcomp
+
+        idx = piscem_index_from_cf_prefix(CHR7, 15, engine="direct", skew_param=4)
+        us = idx.k2u.unitigs
+        kms = us.get_kmer_u64(us.kmer_start_positions())
+        rng = np.random.default_rng(12)
+        n = 4096
+        work = np.tile(kms, -(-n // len(kms)))[:n]
+        flip = rng.random(n) < 0.5
+        work[flip] = revcomp(work[flip], idx.k)
+        rng.shuffle(work)
+        arrays = idx.device_arrays(fused=True, pos_kind="inline2")
+        mo = max(1, idx.max_occs())
+        want = get_ref_pos_padded(arrays, work, np, mo)
+        got = get_ref_pos_compact(arrays, work, np, mo, probe_limit=2, m2=1024)
+        assert not bool(got["over_budget"])
+        for key in ("unitig_id", "pos", "mt", "n_occs"):
+            np.testing.assert_array_equal(got[key], want[key], err_msg=key)
+        v = want["valid"]
+        np.testing.assert_array_equal(got["valid"], v)
+        for key in ("ref_id", "ref_pos", "orient"):
+            np.testing.assert_array_equal(
+                np.where(v, got[key], 0), np.where(v, want[key], 0), err_msg=key
+            )
