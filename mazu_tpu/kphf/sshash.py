@@ -700,7 +700,14 @@ def _map_hit(d: dict, km_pos, xp):
     return uid, end - start, upos, end_ok
 
 
-def sshash_k2u(d: dict, fw_words, xp, mode: str = "full", probe_limit: int | None = None):
+def sshash_k2u(
+    d: dict,
+    fw_words,
+    xp,
+    mode: str = "full",
+    probe_limit: int | None = None,
+    bucket_range=None,
+):
     """Batched SSHash k2u (parity: reference src/kphf/sshash.rs:471-554).
 
     Returns dict(unitig_id, unitig_len, pos, mt) with mt==0 for misses.
@@ -709,6 +716,14 @@ def sshash_k2u(d: dict, fw_words, xp, mode: str = "full", probe_limit: int | Non
     skew structures and returns a ``use_skew`` flag instead (the caller
     re-queries flagged lanes via mode="full" on a compacted sub-batch —
     see TwoPhaseSSHash); heavy-bucket lanes cost the whole batch nothing.
+
+    ``bucket_range``: (lo, hi) traced scalars for SHARDED execution (see
+    parallel/sharding.py): ``d`` holds only the minimizer buckets in hash
+    range [lo, hi) — ``prefix.flat2`` rebased to the shard, ``pos.inline``
+    the shard's row slice. Lanes whose bucket falls outside the range get
+    n_occs=0 (and therefore never probe, never use skew): outputs stay
+    zero so a one-hot psum over shards reconstructs the global answer.
+    Requires the direct engine with flat2 prefix rows.
     """
     m = d["meta"]
     k, w = m.k, m.w
@@ -731,6 +746,13 @@ def sshash_k2u(d: dict, fw_words, xp, mode: str = "full", probe_limit: int | Non
         from .boophf32 import fold_hash32
 
         hc = (fold_hash32(mm) & np.uint32(m.direct_t - 1)).astype(xp.int64)
+        if bucket_range is not None:
+            assert m.pos_kind != "fixedcap" and "flat2" in d.get("prefix", {}), (
+                "bucket_range requires the direct engine with flat2 prefix rows"
+            )
+            lo_b, hi_b = bucket_range
+            mine = (hc >= lo_b) & (hc < hi_b)
+            hc = xp.clip(hc - lo_b, 0, d["prefix"]["flat2"].shape[0] - 1)
         if m.pos_kind == "fixedcap":
             # direct row addressing: bucket b's rows at [b*B, (b+1)*B) —
             # no bucket-bounds gather. Slot 0's uid field flags heavy
@@ -746,11 +768,14 @@ def sshash_k2u(d: dict, fw_words, xp, mode: str = "full", probe_limit: int | Non
             ps = pair[..., 0].astype(xp.int64)
             pe = pair[..., 1].astype(xp.int64)
             n_occs = pe - ps
+            if bucket_range is not None:
+                n_occs = xp.where(mine, n_occs, xp.zeros_like(n_occs))
         else:
             ps = _prefix_get(d, hc, xp)
             pe = _prefix_get(d, hc + 1, xp)
             n_occs = pe - ps
     else:
+        assert bucket_range is None, "bucket_range requires engine='direct'"
         h = mphf_lookup(d["mphf"], mm, xp).astype(xp.int64)
         hc = xp.clip(h, 0, None)
         if "flat2" in d.get("prefix", {}):
@@ -998,6 +1023,8 @@ def sshash_k2u(d: dict, fw_words, xp, mode: str = "full", probe_limit: int | Non
             # candidate rows beyond the probed depth exist
             "unresolved": (~found) & (~use_skew) & (n_occs > bound),
         }
+        if bucket_range is not None:
+            out["mine"] = mine
         if fused:
             out["occ_word"] = out_ow
             if fused14:
@@ -1106,6 +1133,8 @@ def sshash_k2u(d: dict, fw_words, xp, mode: str = "full", probe_limit: int | Non
         "pos": out_pos,
         "mt": out_mt,
     }
+    if bucket_range is not None:
+        out["mine"] = mine
     if fused:
         out["occ_word"] = out_ow
         if fused14:

@@ -395,3 +395,255 @@ def make_alltoall_sharded_query(ss, mesh, bucket_axis: str = "bucket", cap_facto
         return smapped(shared, stacked, kms)
 
     return query
+
+
+# ---------------------------------------------------------------------------
+# FUSED sharded full query (round 2): the same inline fused-row kernel the
+# single-chip bench runs, sharded by minimizer-hash bucket range, with a
+# sharded occurrence table so the FULL get_ref_pos (projection incl. the
+# compacted heavy phase) exists multi-chip. This is the >HBM design: the two
+# big arrays (fused inline rows, ctable pair rows) are placed per-device;
+# only the small structures (unitig seq, skew table, metadata) replicate.
+# ---------------------------------------------------------------------------
+
+
+def shard_fused_arrays(index, n_shards: int, pos_kind: str = "inline2"):
+    """Host-side partition of the FUSED device layout into bucket shards.
+
+    Returns (shared, stacked):
+      shared  — replicated pytree: k2u side arrays (us, skew_inline, meta)
+                + u2pos meta/offsets + top-level meta
+      stacked — leading axis ``n_shards``: per-shard flat2 prefix slices
+                (rebased), inline fused-row slices, ctable pair-row slices,
+                and the (bucket, ctable) range bounds.
+
+    Each shard owns minimizer-hash range [blo, bhi) of the direct bucket
+    table and pair-row range [clo, chi) of the occurrence ctable.
+    """
+    from ..pytree import meta as make_meta
+
+    base = index.device_arrays(fused=True, pos_kind=pos_kind)
+    k2u = base["k2u"]
+    assert k2u["meta"].direct_t and "flat2" in k2u.get("prefix", {}), (
+        "fused sharding requires engine='direct' with flat2 prefix rows"
+    )
+    T = k2u["meta"].direct_t
+    prefix = index.k2u.occs_prefix_sum.astype(np.int64)
+    bounds = np.linspace(0, T, n_shards + 1).astype(np.int64)
+    flat2 = k2u["prefix"]["flat2"]
+    inline = k2u["pos"]["inline"]
+    row_lo = prefix[bounds[:-1]]
+    row_hi = prefix[bounds[1:]]
+    max_T = int((bounds[1:] - bounds[:-1]).max())
+    max_rows = max(1, int((row_hi - row_lo).max()))
+    f2 = np.zeros((n_shards, max_T, 2), dtype=flat2.dtype)
+    rows = np.zeros((n_shards, max_rows, inline.shape[1]), dtype=inline.dtype)
+    for s in range(n_shards):
+        lo, hi = bounds[s], bounds[s + 1]
+        f2[s, : hi - lo] = flat2[lo:hi] - flat2.dtype.type(row_lo[s])
+        rows[s, : row_hi[s] - row_lo[s]] = inline[row_lo[s] : row_hi[s]]
+
+    ct2 = base["u2pos"]["ctable2"]
+    n_ct = ct2.shape[0]
+    cbounds = np.linspace(0, n_ct, n_shards + 1).astype(np.int64)
+    max_ct = max(1, int((cbounds[1:] - cbounds[:-1]).max()))
+    ct = np.zeros((n_shards, max_ct, ct2.shape[1]), dtype=ct2.dtype)
+    for s in range(n_shards):
+        ct[s, : cbounds[s + 1] - cbounds[s]] = ct2[cbounds[s] : cbounds[s + 1]]
+
+    stacked = {
+        "flat2": f2,
+        "inline": rows,
+        "ctable2": ct,
+        "blo": bounds[:-1][:, None],
+        "bhi": bounds[1:][:, None],
+        "clo": cbounds[:-1][:, None],
+        "chi": cbounds[1:][:, None],
+    }
+    shared = {
+        "k2u": {
+            k: v for k, v in k2u.items() if k not in ("prefix", "pos")
+        },
+        "u2pos": {
+            k: v
+            for k, v in base["u2pos"].items()
+            if k not in ("ctable", "ctable2")
+        },
+        "meta": base["meta"],
+        # static: the LOCAL padded row-count rides in a fresh pos meta
+        "pos_meta": make_meta(length=max_rows),
+    }
+    return shared, stacked
+
+
+def _psum_i(v, axis, xp):
+    """Exact one-hot psum for any dtype (bitcast u64 through i64)."""
+    import jax
+
+    if v.dtype == xp.uint64:
+        s = jax.lax.psum(jax.lax.bitcast_convert_type(v, xp.int64), axis)
+        return jax.lax.bitcast_convert_type(s, xp.uint64)
+    if v.dtype == xp.bool_:
+        return jax.lax.psum(v.astype(xp.int32), axis) > 0
+    if v.dtype == xp.uint8:
+        return jax.lax.psum(v.astype(xp.int32), axis).astype(xp.uint8)
+    return jax.lax.psum(v, axis)
+
+
+def make_fused_sharded_query(
+    index,
+    mesh,
+    m2: int,
+    max_occs: int | None = None,
+    probe_limit: int | None = 2,
+    pos_kind: str = "inline2",
+    data_axis: str = "data",
+    bucket_axis: str = "bucket",
+):
+    """Bucket-sharded FULL get_ref_pos over the fused inline layout.
+
+    The per-shard kernel is the SAME code path the single-chip bench runs
+    (sshash_k2u fused rows + _project_fused + scatter-free compaction +
+    padded heavy phase): sharding adds only the n_occs ownership mask and
+    three one-hot psums (main k2u fields, phase-2 k2u fields, phase-2
+    occurrence projections). Returns a jitted fn kms[N] -> the same
+    merge=False dict as modindex.get_ref_pos_compact (main results exact
+    for non-overflow lanes; phase2 block + lane map for the rest), with
+    lane indices LOCAL to each data shard.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .. import MATCH_IDENTITY
+    from ..kphf.sshash import sshash_k2u
+    from ..index.twophase import _project_fused
+    from ..index.unitig_table import decode_words
+    from ..ops.compact import flagged_lanes
+
+    n_shards = mesh.shape[bucket_axis]
+    shared, stacked = shard_fused_arrays(index, n_shards, pos_kind=pos_kind)
+    if max_occs is None:
+        max_occs = max(1, index.max_occs())
+    mo, plim, M2 = int(max_occs), probe_limit, int(m2)
+    k = shared["meta"].k
+    pos_meta = shared.pop("pos_meta")
+    u2meta_only = {"meta": shared["u2pos"]["meta"]}
+    proj_arrays_meta = {"u2pos": u2meta_only, "meta": shared["meta"]}
+
+    shared = jax.device_put(shared, NamedSharding(mesh, P()))
+    stacked = jax.device_put(stacked, NamedSharding(mesh, P(bucket_axis)))
+
+    K2U_FIELDS = (
+        "unitig_id",
+        "unitig_len",
+        "pos",
+        "mt",
+        "occ_word",
+        "occ_cnt",
+        "occ_start",
+        "occ_word2",
+        "use_skew",
+        "unresolved",
+    )
+
+    def _merge(r):
+        return {
+            kk: _psum_i(r[kk], bucket_axis, jnp) for kk in K2U_FIELDS if kk in r
+        }
+
+    def _proj_padded_sharded(ct_local, clo, chi, r, xp):
+        """Sharded analog of get_ref_pos_padded's projection: each shard
+        decodes the ctable pair rows IT owns; one-hot psum reassembles."""
+        hit = r["mt"] > 0
+        start = r["occ_start"]
+        cnt = xp.where(hit, r["occ_cnt"], xp.zeros_like(r["occ_cnt"]))
+        n_pairs = (mo + 1) // 2
+        jj = xp.arange(n_pairs, dtype=start.dtype) * 2
+        g = start[:, None] + jj[None, :]
+        own = (g >= clo) & (g < chi) & hit[:, None]
+        li = xp.clip(g - clo, 0, ct_local.shape[0] - 1)
+        r32 = ct_local[li]  # [M, n_pairs, 4] u32
+        lo32 = r32[..., 0::2].astype(xp.uint64)
+        hi32 = r32[..., 1::2].astype(xp.uint64)
+        words = (lo32 | (hi32 << np.uint64(32))).reshape(r32.shape[0], 2 * n_pairs)[
+            :, :mo
+        ]
+        own_w = xp.repeat(own, 2, axis=1)[:, :mo]
+        ref_id, occ_pos, occ_o = decode_words(u2meta_only, words, xp)
+        kpos = r["pos"][:, None]
+        ulen = r["unitig_len"][:, None]
+        ref_pos = xp.where(occ_o == 1, kpos + occ_pos, occ_pos + (ulen - kpos) - k)
+        o_match = (r["mt"] == MATCH_IDENTITY).astype(xp.int32)[:, None]
+        orient = xp.where(occ_o == 1, o_match, 1 - o_match)
+        zero = xp.zeros_like(ref_id)
+        out = {
+            "ref_id": _psum_i(xp.where(own_w, ref_id, zero), bucket_axis, xp),
+            "ref_pos": _psum_i(xp.where(own_w, ref_pos, zero), bucket_axis, xp),
+            "orient": _psum_i(
+                xp.where(own_w, orient, xp.zeros_like(orient)), bucket_axis, xp
+            ),
+            "valid": xp.arange(mo, dtype=cnt.dtype)[None, :] < cnt[:, None],
+            "n_occs": cnt,
+        }
+        return out
+
+    def shard_fn(sh, stk, kms):
+        d_local = dict(sh["k2u"])
+        d_local["prefix"] = {"flat2": stk["flat2"][0]}
+        d_local["pos"] = {"inline": stk["inline"][0], "meta": pos_meta}
+        blo, bhi = stk["blo"][0, 0], stk["bhi"][0, 0]
+        clo, chi = stk["clo"][0, 0], stk["chi"][0, 0]
+        ct_local = stk["ctable2"][0]
+
+        # ---- main phase (shallow probes, fused projection)
+        r = sshash_k2u(
+            d_local, kms, jnp, mode="main", probe_limit=plim, bucket_range=(blo, bhi)
+        )
+        rm = _merge(r)
+        p = _project_fused(proj_arrays_meta, rm, jnp)
+        overflow = p["overflow"] | rm["unresolved"]
+
+        # ---- scatter-free lane compaction (replicated compute: overflow is
+        # identical on every bucket shard after the psum)
+        lanes, n_ovf = flagged_lanes(overflow, M2, jnp)
+        fw2 = kms[lanes]
+
+        # ---- compacted heavy phase: full-depth probes + skew + sharded
+        # occurrence projection
+        r2 = sshash_k2u(d_local, fw2, jnp, mode="full", bucket_range=(blo, bhi))
+        r2m = _merge(r2)
+        p2 = _proj_padded_sharded(ct_local, clo, chi, r2m, jnp)
+        out2 = {
+            **{kk: r2m[kk] for kk in ("unitig_id", "unitig_len", "pos", "mt")},
+            **p2,
+        }
+        slot_real = jnp.arange(M2) < jnp.minimum(n_ovf, M2)
+        return {
+            "main": {
+                **{kk: rm[kk] for kk in ("unitig_id", "unitig_len", "pos", "mt")},
+                **p,
+            },
+            "overflow": overflow,
+            # per-DATA-shard pieces: lane indices are local to the shard's
+            # query slice; the leading axis concatenates one M2-block per
+            # data shard
+            "lanes": lanes,
+            "slot_real": slot_real,
+            "phase2": out2,
+            "n_ovf": n_ovf[None],
+            "over_budget": (n_ovf > M2)[None],
+        }
+
+    smapped = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(bucket_axis), P(data_axis)),
+        out_specs=P(data_axis),
+    )
+
+    @jax.jit
+    def query(kms):
+        return smapped(shared, stacked, kms)
+
+    return query

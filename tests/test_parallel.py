@@ -73,3 +73,105 @@ def test_alltoall_routed_query_matches():
     want = sshash_k2u(idx.k2u.device_arrays(), work, np)
     for kk in ("mt", "unitig_id", "unitig_len", "pos"):
         np.testing.assert_array_equal(out[kk], np.asarray(want[kk]), err_msg=kk)
+
+
+def test_fused_sharded_full_query_matches_single_chip():
+    """The fused-row sharded path (bucket-sharded inline rows + prefix +
+    ctable) must reproduce the single-device get_ref_pos_compact output
+    piece by piece: main phase, overflow lanes, compacted heavy phase."""
+    import os
+
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from mazu_tpu.index.modindex import get_ref_pos_compact
+    from mazu_tpu.index.piscem_index import piscem_index_from_cf_prefix
+    from mazu_tpu.kmer import revcomp
+    from mazu_tpu.parallel.sharding import make_fused_sharded_query
+    from tests.conftest import TEST_DATA
+
+    chr7 = os.path.join(TEST_DATA, "cf", "yeast_chr7", "yeast_chr7")
+    if not os.path.exists(chr7 + ".cf_seg"):
+        pytest.skip("chr7 fixture missing")
+    idx = piscem_index_from_cf_prefix(chr7, 15, engine="direct", skew_param=4)
+    us = idx.k2u.unitigs
+    kms = us.get_kmer_u64(us.kmer_start_positions())
+    rng = np.random.default_rng(5)
+    n = 2048
+    work = np.tile(kms, -(-n // len(kms)))[:n]
+    flip = rng.random(n) < 0.5
+    work[flip] = revcomp(work[flip], idx.k)
+    miss = rng.random(n) < 0.05
+    work[miss] = rng.integers(0, 1 << 62, int(miss.sum()), dtype=np.uint64)
+    rng.shuffle(work)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(1, 8), ("data", "bucket"))
+    M2 = 512
+    qf = make_fused_sharded_query(idx, mesh, m2=M2, probe_limit=2)
+    got = jax.tree_util.tree_map(np.asarray, qf(jnp.asarray(work)))
+
+    mo = max(1, idx.max_occs())
+    want = get_ref_pos_compact(
+        idx.device_arrays(fused=True, pos_kind="inline2"),
+        work,
+        np,
+        mo,
+        merge=False,
+        probe_limit=2,
+        m2=M2,
+    )
+    assert not bool(want["over_budget"]) and not bool(got["over_budget"].any())
+    assert int(got["n_ovf"][0]) == int(want["n_ovf"])
+    np.testing.assert_array_equal(got["overflow"], want["overflow"])
+    np.testing.assert_array_equal(got["lanes"], want["lanes"])
+    np.testing.assert_array_equal(got["slot_real"], want["slot_real"])
+    for kk in ("unitig_id", "unitig_len", "pos", "mt", "n_occs"):
+        np.testing.assert_array_equal(got["main"][kk], want["main"][kk], err_msg=kk)
+    # main projections: exact on non-overflow lanes (valid-masked)
+    mv = want["main"]["valid"]
+    np.testing.assert_array_equal(got["main"]["valid"], mv)
+    for kk in ("ref_id", "ref_pos", "orient"):
+        np.testing.assert_array_equal(
+            np.where(mv, got["main"][kk], 0), np.where(mv, want["main"][kk], 0), err_msg=kk
+        )
+    # phase 2: k2u fields everywhere real; projections where valid
+    sr = want["slot_real"]
+    for kk in ("unitig_id", "unitig_len", "pos", "mt", "n_occs"):
+        np.testing.assert_array_equal(
+            np.where(sr, got["phase2"][kk], 0), np.where(sr, want["phase2"][kk], 0), err_msg=kk
+        )
+    v2 = want["phase2"]["valid"] & sr[:, None]
+    np.testing.assert_array_equal(got["phase2"]["valid"] & sr[:, None], v2)
+    for kk in ("ref_id", "ref_pos", "orient"):
+        np.testing.assert_array_equal(
+            np.where(v2, got["phase2"][kk], 0), np.where(v2, want["phase2"][kk], 0), err_msg=kk
+        )
+
+    # 2x4 mesh: data-sharded queries, lane indices local per data shard
+    mesh2 = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("data", "bucket"))
+    qf2 = make_fused_sharded_query(idx, mesh2, m2=M2, probe_limit=2)
+    got2 = jax.tree_util.tree_map(np.asarray, qf2(jnp.asarray(work)))
+    half = n // 2
+    for s in range(2):
+        w_s = get_ref_pos_compact(
+            idx.device_arrays(fused=True, pos_kind="inline2"),
+            work[s * half : (s + 1) * half],
+            np,
+            mo,
+            merge=False,
+            probe_limit=2,
+            m2=M2,
+        )
+        np.testing.assert_array_equal(
+            got2["overflow"][s * half : (s + 1) * half], w_s["overflow"]
+        )
+        np.testing.assert_array_equal(
+            got2["lanes"][s * M2 : (s + 1) * M2], w_s["lanes"]
+        )
+        sr_s = w_s["slot_real"]
+        for kk in ("unitig_id", "mt"):
+            np.testing.assert_array_equal(
+                np.where(sr_s, got2["phase2"][kk][s * M2 : (s + 1) * M2], 0),
+                np.where(sr_s, w_s["phase2"][kk], 0),
+                err_msg=f"shard{s}:{kk}",
+            )
