@@ -326,9 +326,12 @@ class ModIndex:
             # u32 layout) so this works for both occurrence-ordered inline
             # rows and fixed-capacity bucket tables (sentinel rows clip to
             # uid 0 and are never read — their verification self-rejects)
-            uid = np.minimum(
-                pos_d["inline"][:, 1].astype(np.int64), ss.unitigs.n_unitigs - 1
-            )
+            uid_field = pos_d["inline"][:, 1].astype(np.int64)
+            if d["k2u"]["meta"].pos_kind == "fixedcap2":
+                # slot-0 uid field carries the bucket occ count in its top
+                # 3 bits (sentinel rows mask to garbage but are never read)
+                uid_field = uid_field & ((1 << 29) - 1)
+            uid = np.minimum(uid_field, ss.unitigs.n_unitigs - 1)
             if hasattr(self.u2pos.ctable, "to_array"):  # packed IntVector
                 cwords = self.u2pos.ctable.to_array()
             else:

@@ -464,13 +464,14 @@ class SSHash:
             # the sparse direct-addressed table: 13.3M vs 8.1M q/s on chip)
             pos_kind = "inline" if self.hash32 else "packed"
         if prefix_kind is None:
-            if pos_kind == "fixedcap":
+            if pos_kind in ("fixedcap", "fixedcap2"):
                 prefix_kind = "none"
             else:
                 prefix_kind = "flat32" if self.hash32 else "ef"
         d = {
             "us": self.unitigs.device_arrays(
-                paired=pos_kind in ("flat32", "records", "inline", "inline2", "fixedcap")
+                paired=pos_kind
+                in ("flat32", "records", "inline", "inline2", "fixedcap", "fixedcap2")
             ),
             "meta": meta(
                 kind="sshash",
@@ -526,6 +527,63 @@ class SSHash:
             hb = np.flatnonzero(heavy_b)
             table[hb * B, 0] = np.uint64(0xFFFFFFFE) << np.uint64(32)
             rows32 = np.ascontiguousarray(table).view(np.uint32).reshape(T * B, 10)
+            d["pos"] = {"inline": rows32, "meta": meta(length=T * B)}
+            d["meta"] = d["meta"].replace(cap=B)
+        elif pos_kind == "fixedcap2":
+            # fixed-capacity DIRECT-ADDRESSED buckets with PRE-ALIGNED
+            # (inline2-style) rows: bucket b's rows at [b*B, (b+1)*B) — the
+            # common-case query is ONE random row gather (no bucket-bounds
+            # prefix gather at all; probes j>=1 hit consecutive rows).
+            # Slot-0's uid field carries the bucket's occurrence count in
+            # its top 3 bits (exact n_occs -> misses on small/empty buckets
+            # resolve without the overflow phase); sentinels in the uid
+            # field mark empty slots (0xFFFFFFFF) and heavy buckets
+            # (0xFFFFFFFE in slot 0 -> skew table). u32 cols as inline2:
+            # 0=mm_pos 1=uid(+cnt<<29 in slot 0) 2=start 3=end 4..7=W0,W1.
+            assert self.direct_T, "fixedcap2 requires engine='direct'"
+            assert self.unitigs.total_len < (1 << 31)
+            assert self.unitigs.n_unitigs < (1 << 29), "uid field carries cnt bits"
+            B = max(1, self.probe_bound())
+            assert B <= 7, "cnt rides in 3 uid bits"
+            T = self.direct_T
+            cnt_b = self.occs_prefix_sum[1:] - self.occs_prefix_sum[:-1]
+            heavy_b = cnt_b > (self.skew_param or B)
+            pos_arr = self.pos.to_array().astype(np.int64)
+            occ_b = np.repeat(np.arange(T, dtype=np.int64), cnt_b)
+            within = np.arange(len(pos_arr)) - np.repeat(
+                self.occs_prefix_sum[:-1], cnt_b
+            )
+            keep = (within < B) & (~heavy_b[occ_b])
+            uid = self.unitigs.pos_to_id(pos_arr)
+            start = self.unitigs.accum[uid]
+            end = self.unitigs.accum[uid + 1]
+            base = np.maximum(pos_arr - (self.k - self.w), 0)
+            wi = (base * 2) >> 6
+            r = ((base * 2) & 63).astype(np.uint64)
+            wp = np.concatenate([self.unitigs.useq.words, np.zeros(2, dtype=np.uint64)])
+            q0, q1, q2 = wp[wi], wp[wi + 1], wp[wi + 2]
+            hs = (np.uint64(64) - r) & np.uint64(63)
+            nz = r != 0
+            W0 = (q0 >> r) | np.where(nz, q1 << hs, 0)
+            W1 = (q1 >> r) | np.where(nz, q2 << hs, 0)
+            uid_field = uid.astype(np.uint64)
+            slot0 = within == 0
+            cnt0 = np.minimum(cnt_b[occ_b[slot0]], B).astype(np.uint64)
+            uid_field[slot0] |= cnt0 << np.uint64(29)
+            table = np.zeros((T * B, 4), dtype=np.uint64)
+            table[:, 0] = np.uint64(0xFFFFFFFF) << np.uint64(32)  # empty sentinel
+            dst = occ_b[keep] * B + within[keep]
+            table[dst, 0] = pos_arr[keep].astype(np.uint64) | (
+                uid_field[keep] << np.uint64(32)
+            )
+            table[dst, 1] = start[keep].astype(np.uint64) | (
+                end[keep].astype(np.uint64) << np.uint64(32)
+            )
+            table[dst, 2] = W0[keep]
+            table[dst, 3] = W1[keep]
+            hb = np.flatnonzero(heavy_b)
+            table[hb * B, 0] = np.uint64(0xFFFFFFFE) << np.uint64(32)
+            rows32 = np.ascontiguousarray(table).view(np.uint32).reshape(T * B, 8)
             d["pos"] = {"inline": rows32, "meta": meta(length=T * B)}
             d["meta"] = d["meta"].replace(cap=B)
         elif pos_kind == "inline":
@@ -753,16 +811,28 @@ def sshash_k2u(
             lo_b, hi_b = bucket_range
             mine = (hc >= lo_b) & (hc < hi_b)
             hc = xp.clip(hc - lo_b, 0, d["prefix"]["flat2"].shape[0] - 1)
-        if m.pos_kind == "fixedcap":
+        if m.pos_kind in ("fixedcap", "fixedcap2"):
             # direct row addressing: bucket b's rows at [b*B, (b+1)*B) —
             # no bucket-bounds gather. Slot 0's uid field flags heavy
             # (skew) buckets; invalid slots self-reject in verification
             # (their extents are start=end=0). The slot-0 gather CSEs with
-            # the j=0 probe gather.
+            # the j=0 probe gather. fixedcap2 additionally carries the
+            # bucket's occurrence count in slot-0's uid top bits: exact
+            # n_occs, so misses on small/empty buckets resolve in the main
+            # phase instead of flooding the overflow pass.
             B = m.cap
             ps = hc * B
             row0 = d["pos"]["inline"][ps]
-            n_occs = xp.full(xp.shape(hc), B, dtype=xp.int64)
+            if m.pos_kind == "fixedcap2":
+                f0 = row0[..., 1]
+                sent = f0 >= np.uint32(0xFFFFFFFE)
+                n_occs = xp.where(
+                    sent,
+                    xp.zeros(xp.shape(hc), dtype=xp.int64),
+                    (f0 >> np.uint32(29)).astype(xp.int64),
+                )
+            else:
+                n_occs = xp.full(xp.shape(hc), B, dtype=xp.int64)
         elif "flat2" in d.get("prefix", {}):
             pair = d["prefix"]["flat2"][hc]
             ps = pair[..., 0].astype(xp.int64)
@@ -787,7 +857,7 @@ def sshash_k2u(
             pe = _prefix_get(d, hc + 1, xp)
         n_occs = xp.where(h < 0, xp.zeros_like(pe), pe - ps)
 
-    if m.pos_kind == "fixedcap":
+    if m.pos_kind in ("fixedcap", "fixedcap2"):
         use_skew = row0[..., 1] == np.uint32(0xFFFFFFFE)
     else:
         use_skew = (
@@ -804,9 +874,12 @@ def sshash_k2u(
     # ride PACKED in one int64 state slot (cnt | start << 32)
     fused = (
         m.pos_kind in ("inline", "fixedcap") and d["pos"]["inline"].shape[1] >= 13
-    ) or (m.pos_kind == "inline2" and d["pos"]["inline"].shape[1] >= 14)
+    ) or (
+        m.pos_kind in ("inline2", "fixedcap2") and d["pos"]["inline"].shape[1] >= 14
+    )
     fused14 = fused and (
-        d["pos"]["inline"].shape[1] >= (14 if m.pos_kind != "inline2" else 12)
+        d["pos"]["inline"].shape[1]
+        >= (14 if m.pos_kind not in ("inline2", "fixedcap2") else 12)
     )
     zero = xp.zeros_like(ps)
     state = (
@@ -944,6 +1017,9 @@ def sshash_k2u(
         row = d["pos"]["inline"][xp.clip(ps + j, 0, n_pos - 1)]  # u32 cols
         mm_pos = row[..., 0].astype(xp.int64)
         uid = row[..., 1].astype(xp.int64)
+        if m.pos_kind == "fixedcap2":
+            # slot-0 uid field carries the bucket occ count in its top bits
+            uid = uid & ((1 << 29) - 1)
         start = row[..., 2].astype(xp.int64)
         end = row[..., 3].astype(xp.int64)
 
@@ -984,6 +1060,7 @@ def sshash_k2u(
         "inline": probe_body_inline,
         "inline2": probe_body_inline2,
         "fixedcap": probe_body_inline,  # same u32 row layout, direct-addressed
+        "fixedcap2": probe_body_inline2,  # pre-aligned rows, direct-addressed
     }.get(m.pos_kind, probe_body_generic)
 
     bound = m.probe_bound
@@ -1032,7 +1109,7 @@ def sshash_k2u(
                 out["occ_start"] = out_oc >> 32
             else:
                 out["occ_cnt"] = out_oc
-            if m.pos_kind == "inline2":
+            if m.pos_kind in ("inline2", "fixedcap2"):
                 out["occ_word2"] = out_ow2
         return out
     if "skew_inline" in d and getattr(m, "skew_kind", "bucket") == "cuckoo":
@@ -1142,7 +1219,7 @@ def sshash_k2u(
             out["occ_start"] = out_oc >> 32
         else:
             out["occ_cnt"] = out_oc
-        if m.pos_kind == "inline2":
+        if m.pos_kind in ("inline2", "fixedcap2"):
             out["occ_word2"] = out_ow2
     return out
 

@@ -276,3 +276,80 @@ class TestOneGraphDriver:
             np.testing.assert_array_equal(
                 np.where(v, got[key], 0), np.where(v, want[key], 0), err_msg=key
             )
+
+
+def test_fixedcap2_matches_inline2():
+    """fixedcap2 (direct-addressed pre-aligned fused rows, no prefix
+    gather) must reproduce the inline2 compact-path output EXACTLY,
+    including overflow flags (slot-0 cnt bits give exact n_occs)."""
+    from mazu_tpu.index.modindex import get_ref_pos_compact
+    from mazu_tpu.index.piscem_index import piscem_index_from_cf_prefix
+    from mazu_tpu.kmer import revcomp
+
+    idx = piscem_index_from_cf_prefix(CHR7, 15, engine="direct", skew_param=4)
+    us = idx.k2u.unitigs
+    kms = us.get_kmer_u64(us.kmer_start_positions())
+    rng = np.random.default_rng(5)
+    n = 4096
+    work = np.tile(kms, -(-n // len(kms)))[:n]
+    flip = rng.random(n) < 0.5
+    work[flip] = revcomp(work[flip], idx.k)
+    miss = rng.random(n) < 0.05
+    work[miss] = rng.integers(0, 1 << 62, int(miss.sum()), dtype=np.uint64)
+    rng.shuffle(work)
+
+    mo = max(1, idx.max_occs())
+    oa = get_ref_pos_compact(
+        idx.device_arrays(fused=True, pos_kind="inline2"),
+        work, np, mo, merge=False, probe_limit=2, m2=1024,
+    )
+    ob = get_ref_pos_compact(
+        idx.device_arrays(fused=True, pos_kind="fixedcap2"),
+        work, np, mo, merge=False, probe_limit=2, m2=1024,
+    )
+    for kk in ("unitig_id", "unitig_len", "pos", "mt", "n_occs"):
+        np.testing.assert_array_equal(oa["main"][kk], ob["main"][kk], err_msg=kk)
+    np.testing.assert_array_equal(oa["overflow"], ob["overflow"])
+    assert int(oa["n_ovf"]) == int(ob["n_ovf"])
+    mv = oa["main"]["valid"]
+    np.testing.assert_array_equal(ob["main"]["valid"], mv)
+    for kk in ("ref_id", "ref_pos", "orient"):
+        np.testing.assert_array_equal(
+            np.where(mv, oa["main"][kk], 0), np.where(mv, ob["main"][kk], 0), err_msg=kk
+        )
+    sr = oa["slot_real"]
+    v2 = oa["phase2"]["valid"] & sr[:, None]
+    for kk in ("ref_id", "ref_pos", "orient"):
+        np.testing.assert_array_equal(
+            np.where(v2, oa["phase2"][kk], 0), np.where(v2, ob["phase2"][kk], 0),
+            err_msg="p2:" + kk,
+        )
+
+
+def test_fixedcap2_onegraph_device():
+    """The one-graph driver on fixedcap2 arrays matches its host oracle."""
+    import jax
+    import jax.numpy as jnp
+
+    from mazu_tpu.index.pipeline import OneGraphIndexQuery
+    from mazu_tpu.index.piscem_index import piscem_index_from_cf_prefix
+    from mazu_tpu.kmer import revcomp
+
+    idx = piscem_index_from_cf_prefix(CHR7, 15, engine="direct", skew_param=4)
+    us = idx.k2u.unitigs
+    kms = us.get_kmer_u64(us.kmer_start_positions())
+    rng = np.random.default_rng(12)
+    n, CH = 4096, 2
+    stack = np.zeros((CH, n), dtype=np.uint64)
+    for c in range(CH):
+        w = np.tile(kms, -(-n // len(kms)))[:n]
+        flip = rng.random(n) < 0.5
+        w[flip] = revcomp(w[flip], idx.k)
+        rng.shuffle(w)
+        stack[c] = w
+    og = OneGraphIndexQuery(
+        idx, batch=n, n_chunks=CH, m2=1024, probe_limit=2, pos_kind="fixedcap2"
+    )
+    got, worst = og.checksum_pass(jax.device_put(jnp.asarray(stack)))
+    assert worst <= og.M2
+    assert got == og.checksum_host(stack)
