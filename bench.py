@@ -103,7 +103,7 @@ def build_index():
 def main():
     t0 = time.time()
     mode = os.environ.get("MAZU_BENCH_MODE", "1graph")  # headline: one-graph fused full query
-    if mode == "1graph" and "MAZU_BENCH_SKEW" not in os.environ:
+    if mode in ("1graph", "reads1graph") and "MAZU_BENCH_SKEW" not in os.environ:
         # measured round 2: skew=4 + inline2 + plim=2 cuts phase-2 lanes
         # 10.3% -> 3.05% on the chr01 workload
         os.environ["MAZU_BENCH_SKEW"] = "4"
@@ -135,7 +135,7 @@ def main():
 
     fused_bench = os.environ.get("MAZU_BENCH_FUSED", "1") == "1" and not prefix_kind
     pos_kind_env = os.environ.get("MAZU_BENCH_POS") or None
-    if mode == "1graph":
+    if mode in ("1graph", "reads1graph"):
         fused_bench = False  # the 1graph driver owns its (inline2) arrays
     elif fused_bench:
         try:
@@ -287,6 +287,94 @@ def main():
         )
         return
 
+    if mode == "reads1graph":
+        # READS through the one-graph pass: read k-mers are just lanes.
+        # Measured round 1: any warm-cache/runshare merge costs >= 1 extra
+        # row gather per k-mer on TPU (scatter ~75ns, merge gather ~14ns),
+        # while the flat batched pass resolves ~2 random gathers/k-mer —
+        # so the TPU-native reads path IS the cold batch kernel, fed
+        # k-mers in read order (sequential locality helps the row cache).
+        # Results are exactly the cold path's by construction; parity vs
+        # the host oracle is asserted on chunk 0 every run.
+        from mazu_tpu.index.modindex import get_ref_pos_compact
+        from mazu_tpu.index.pipeline import OneGraphIndexQuery
+        from mazu_tpu.kmer import codes_to_seq
+
+        CH = int(os.environ.get("MAZU_BENCH_CHUNKS", 8))
+        rbatch = int(os.environ.get("MAZU_BENCH_BATCH", 1 << 18))
+        read_len = 150
+        plim_env = os.environ.get("MAZU_BENCH_PLIM", "2")
+        plim = int(plim_env) if plim_env and plim_env != "0" else None
+        pos_kind = pos_kind_env or "inline2"
+        rng2 = np.random.default_rng(1)
+        seq_codes = index.refs.seq.get_base(
+            np.arange(0, int(index.refs.prefix_sum[min(index.n_refs, 8)]))
+        )
+        need = CH * rbatch
+        per_read = read_len - k + 1
+        n_reads = -(-need // per_read)
+        starts = rng2.integers(0, max(len(seq_codes) - read_len, 1), n_reads)
+        # vectorized k-merization of fixed-length ACGT reads: gather each
+        # read's window of 2-bit codes and pack all k-mer words at once
+        from mazu_tpu.bits.seqvector import SeqVector
+
+        win = starts[:, None] + np.arange(read_len)[None, :]
+        rv = SeqVector.from_codes(seq_codes[win].reshape(-1).astype(np.uint8))
+        kpos = (
+            np.arange(read_len)[None, :per_read]
+            + (np.arange(n_reads) * read_len)[:, None]
+        ).reshape(-1)
+        words = rv.get_kmer_u64(kpos, k)[:need]
+        stack_host = words.reshape(CH, rbatch)
+        log(f"{n_reads} simulated {read_len}bp reads -> {need} read-kmers")
+
+        fused_host = index.device_arrays(fused=True, pos_kind=pos_kind)
+        t0 = time.time()
+        out0 = get_ref_pos_compact(
+            fused_host, stack_host[0], np, max(1, index.max_occs()),
+            merge=False, probe_limit=plim, m2=max(8192, rbatch // 4),
+        )
+        assert not bool(out0["over_budget"])
+        host_chk = int(OneGraphIndexQuery.checksum(out0, np))
+        n_ovf = int(out0["n_ovf"])
+        M2 = int(os.environ.get("MAZU_BENCH_M2", 0)) or max(
+            8192, -(-int(n_ovf * 1.3) // 8192) * 8192
+        )
+        log(f"host oracle {time.time()-t0:.1f}s: chk={host_chk} ovf {n_ovf} -> M2={M2}")
+        og = OneGraphIndexQuery(
+            index, rbatch, n_chunks=CH, m2=M2, probe_limit=plim,
+            pos_kind=pos_kind, host_arrays=fused_host,
+        )
+        d_stack = jax.device_put(jnp.asarray(stack_host))
+        t0 = time.time()
+        chk1, _ = og._pass(og.arrays, d_stack[:1])
+        chk1 = int(jax.device_get(chk1))
+        assert chk1 == host_chk, (chk1, host_chk)
+        log(f"chunk-0 parity OK ({time.time()-t0:.1f}s)")
+        t0 = time.time()
+        tot, worst = og.checksum_pass(d_stack)
+        log(f"full-pass compile+1st {time.time()-t0:.1f}s")
+        assert worst <= M2, (worst, M2)
+        iters = int(os.environ.get("MAZU_BENCH_ITERS", 5))
+        t0 = time.time()
+        for _ in range(iters):
+            tot2, _ = og.checksum_pass(d_stack)
+            assert tot2 == tot
+        dt = time.time() - t0
+        qps = need * iters / dt
+        log(f"{iters} x {need} read-kmers in {dt:.3f}s -> {qps/1e6:.1f}M read-kmers/s")
+        print(
+            json.dumps(
+                {
+                    "metric": "read_kmer_queries_per_sec_per_chip",
+                    "value": qps,
+                    "unit": "queries/s",
+                    "vs_baseline": qps / 1e9,
+                }
+            )
+        )
+        return
+
     if mode == "1graph":
         # ONE jitted graph for the whole pass: scan over CH chunks of
         # (shallow main -> scatter-free on-device lane compaction ->
@@ -321,15 +409,37 @@ def main():
         assert not bool(out0["over_budget"]), "host probe over budget"
         host_chk = int(OneGraphIndexQuery.checksum(out0, np))
         n_ovf = int(out0["n_ovf"])
-        M2 = int(os.environ.get("MAZU_BENCH_M2", 0)) or max(
-            8192, -(-int(n_ovf * 1.1) // 8192) * 8192
-        )
+        # type-split heavy phase: MAZU_BENCH_M2B=auto sizes both blocks
+        # from the host oracle's true type counts; =<int> sets it directly
+        m2b_env = os.environ.get("MAZU_BENCH_M2B", "")
+        M2B = None
+        if m2b_env:
+            from mazu_tpu.kphf.sshash import sshash_k2u
+
+            rr = sshash_k2u(
+                fused_host["k2u"], chunks_host[0], np, mode="main",
+                probe_limit=plim,
+            )
+            n_b = int((rr["use_skew"] | rr["unresolved"]).sum())
+            n_a = n_ovf - n_b
+            if m2b_env == "auto":
+                M2B = max(2048, -(-int(n_b * 1.1) // 2048) * 2048)
+            else:
+                M2B = int(m2b_env)
+            M2 = int(os.environ.get("MAZU_BENCH_M2", 0)) or max(
+                4096, -(-int(n_a * 1.1) // 4096) * 4096
+            )
+            log(f"type-split: {n_a} occ-wide + {n_b} reprobe -> M2={M2} M2B={M2B}")
+        else:
+            M2 = int(os.environ.get("MAZU_BENCH_M2", 0)) or max(
+                8192, -(-int(n_ovf * 1.1) // 8192) * 8192
+            )
         log(
             f"host oracle {time.time()-t0:.1f}s: chunk chk={host_chk} "
             f"overflow {n_ovf}/{batch} -> M2={M2}"
         )
         og = OneGraphIndexQuery(
-            index, batch, n_chunks=CH, m2=M2, probe_limit=plim,
+            index, batch, n_chunks=CH, m2=M2, m2b=M2B, probe_limit=plim,
             pos_kind=pos_kind, host_arrays=fused_host,
         )
         d_stack = jax.device_put(jnp.asarray(stack_host))
@@ -337,7 +447,11 @@ def main():
         t0 = time.time()
         chk0, worst = og.checksum_pass(d_stack)
         log(f"compile+first pass {time.time()-t0:.1f}s (chk={chk0}, worst_ovf={worst})")
-        assert worst <= M2, f"phase-2 capacity exceeded: {worst} > {M2}"
+        if M2B is not None:
+            wa, wb = worst
+            assert wa <= M2 and wb <= M2B, f"capacity exceeded: {worst}"
+        else:
+            assert worst <= M2, f"phase-2 capacity exceeded: {worst} > {M2}"
         assert chk0 == CH * host_chk, (chk0, CH, host_chk)
         log("host<->device parity OK")
         iters = int(os.environ.get("MAZU_BENCH_ITERS", 5))

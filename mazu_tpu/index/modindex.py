@@ -43,17 +43,10 @@ def k2u_batch(d: dict, fw_words, xp):
     raise ValueError(kind)
 
 
-def get_ref_pos_padded(d: dict, fw_words, xp, max_occs: int):
-    """Batched get_ref_pos with padded occurrence lists.
-
-    Returns dict with
-      k2u fields: unitig_id, unitig_len, pos, mt       [N]
-      ref_id, ref_pos [N, max_occs] int64; orient [N, max_occs] int32
-      (1=fw, 0=rc); valid [N, max_occs] bool; n_occs [N]
-
-    Projection parity: reference src/index.rs:193-216.
-    """
-    r = k2u_batch(d, fw_words, xp)
+def _occ_projection_wide(d: dict, r: dict, xp, max_occs: int):
+    """Padded occurrence projection from k2u outputs ``r`` (parity:
+    reference src/index.rs:193-216). Uses the fused occ_start/occ_cnt when
+    present (no offsets gathers), else the offsets table."""
     u2 = d["u2pos"]
     hit = r["mt"] > 0
     if "occ_start" in r:
@@ -84,7 +77,6 @@ def get_ref_pos_padded(d: dict, fw_words, xp, max_occs: int):
     orient = xp.where(occ_o == 1, o_of_match, 1 - o_of_match)
 
     return {
-        **r,
         "n_occs": cnt,
         "ref_id": ref_id,
         "ref_pos": ref_pos,
@@ -93,12 +85,107 @@ def get_ref_pos_padded(d: dict, fw_words, xp, max_occs: int):
     }
 
 
+def get_ref_pos_padded(d: dict, fw_words, xp, max_occs: int):
+    """Batched get_ref_pos with padded occurrence lists.
+
+    Returns dict with
+      k2u fields: unitig_id, unitig_len, pos, mt       [N]
+      ref_id, ref_pos [N, max_occs] int64; orient [N, max_occs] int32
+      (1=fw, 0=rc); valid [N, max_occs] bool; n_occs [N]
+
+    Projection parity: reference src/index.rs:193-216.
+    """
+    r = k2u_batch(d, fw_words, xp)
+    return {**r, **_occ_projection_wide(d, r, xp, max_occs)}
+
+
 def _scatter_set(base, idx, upd, xp):
     if xp is np:
         b = base.copy()
         b[idx] = upd
         return b
     return base.at[idx].set(upd)
+
+
+def _merge_compact(d, p, r, pieces, N, max_occs, xp):
+    """Merge main-phase fused results with one or more compacted phase-2
+    blocks into full-width padded tensors (test/oracle path; serving
+    consumers use merge=False — wide scatters cost per ELEMENT on TPU)."""
+    main_w = p["ref_id"].shape[1]
+    target_w = max(max_occs, main_w)
+    pad2 = [(0, 0), (0, target_w - main_w)]
+    padp2 = [(0, 0), (0, target_w - max_occs)]
+    full = {kk: r[kk] for kk in ("unitig_id", "unitig_len", "pos", "mt")}
+    full["n_occs"] = p["n_occs"]
+    for kk in ("ref_id", "ref_pos", "orient", "valid"):
+        full[kk] = xp.pad(p[kk], pad2)
+    fields = (
+        "unitig_id", "unitig_len", "pos", "mt", "n_occs",
+        "ref_id", "ref_pos", "orient", "valid",
+    )
+    for out2, lanes, slot_real in pieces:
+        o2 = {
+            kk: (xp.pad(v, padp2) if getattr(v, "ndim", 1) == 2 else v)
+            for kk, v in out2.items()
+        }
+        dest = xp.where(slot_real, lanes, N)
+        for kk in fields:
+            base = xp.concatenate(
+                [full[kk], xp.zeros_like(full[kk][:1])], axis=0
+            )
+            full[kk] = _scatter_set(base, dest, o2[kk], xp)[:N]
+    return full
+
+
+def _compact_split(d, fw, r, p, overflow, m_a, m_b, max_occs, merge, xp):
+    """TYPE-SPLIT heavy phase (see get_ref_pos_compact ``m2b``): type-A
+    lanes (k2u resolved, unitig occurrences exceed the fused width) reuse
+    the main probe's occ_start/occ_cnt and pay ONLY the wide occurrence
+    fetch; type-B lanes (skew bucket or probe depth exceeded) re-run the
+    full padded pipeline. One 2-channel MXU scan ranks both lane sets."""
+    from ..ops.compact import flagged_lanes2
+
+    N = fw.shape[0]
+    type_b = r["use_skew"] | r["unresolved"]
+    type_a = overflow & ~type_b
+    lanes_a, n_a, lanes_b, n_b = flagged_lanes2(type_a, type_b, m_a, m_b, xp)
+    over_budget = (n_a > m_a) | (n_b > m_b)
+
+    rA = {
+        kk: r[kk][lanes_a]
+        for kk in ("unitig_id", "unitig_len", "pos", "mt", "occ_start", "occ_cnt")
+    }
+    outA = {
+        **{kk: rA[kk] for kk in ("unitig_id", "unitig_len", "pos", "mt")},
+        **_occ_projection_wide(d, rA, xp, max_occs),
+    }
+    outB = get_ref_pos_padded(d, fw[lanes_b], xp, max_occs)
+    sa = xp.arange(m_a) < xp.minimum(n_a, m_a)
+    sb = xp.arange(m_b) < xp.minimum(n_b, m_b)
+
+    if not merge:
+        return {
+            "main": {
+                **{kk: r[kk] for kk in ("unitig_id", "unitig_len", "pos", "mt")},
+                **p,
+            },
+            "overflow": overflow,
+            "lanes": lanes_a,
+            "slot_real": sa,
+            "phase2": outA,
+            "n_ovf": n_a,
+            "lanes_b": lanes_b,
+            "slot_real_b": sb,
+            "phase2b": outB,
+            "n_ovf_b": n_b,
+            "over_budget": over_budget,
+        }
+
+    full = _merge_compact(
+        d, p, r, [(outA, lanes_a, sa), (outB, lanes_b, sb)], N, max_occs, xp
+    )
+    full["over_budget"] = over_budget
+    return full
 
 
 def get_ref_pos_compact(
@@ -110,6 +197,7 @@ def get_ref_pos_compact(
     merge: bool = True,
     probe_limit: int | None = None,
     m2: int | None = None,
+    m2b: int | None = None,
 ):
     """One-kernel full query with an ON-DEVICE compacted heavy phase.
 
@@ -125,6 +213,14 @@ def get_ref_pos_compact(
 
     ``m2`` sets M directly (defaults to N // budget_div).
 
+    ``m2b`` enables the TYPE-SPLIT heavy phase: lanes whose k2u already
+    resolved in the main probe but whose unitig has more occurrences than
+    the fused width (type A, capacity ``m2``) skip re-probing — they only
+    need the wide occurrence fetch via the fused occ_start. Only
+    skew-bucket / probe-depth-unresolved lanes (type B, capacity ``m2b``)
+    re-run the full padded pipeline. Results identical; ~2x cheaper type-A
+    lanes, one 2-channel MXU scan for both compactions.
+
     Requires ``ModIndex.device_arrays(fused=True)`` arrays.
     """
     from ..kphf.sshash import sshash_k2u
@@ -138,6 +234,11 @@ def get_ref_pos_compact(
     assert "occ_cnt" in r, "compact path requires fused device arrays"
     p = _project_fused(d, r, xp)
     overflow = p["overflow"] | r["unresolved"]
+
+    if m2b is not None:
+        return _compact_split(
+            d, fw, r, p, overflow, M, int(m2b), max_occs, merge, xp
+        )
 
     lanes, n_ovf = flagged_lanes(overflow, M, xp)
     over_budget = n_ovf > M
@@ -163,26 +264,7 @@ def get_ref_pos_compact(
     # merge: main-phase fused results (width 1 or 2) padded to max_occs
     # width, then phase-2 rows scattered over their lanes (unused slots ->
     # row N)
-    main_w = p["ref_id"].shape[1]
-    target_w = max(max_occs, main_w)
-    pad2 = [(0, 0), (0, target_w - main_w)]
-    padp2 = [(0, 0), (0, target_w - max_occs)]
-    full = {
-        kk: r[kk] for kk in ("unitig_id", "unitig_len", "pos", "mt")
-    }
-    full["n_occs"] = p["n_occs"]
-    full["ref_id"] = xp.pad(p["ref_id"], pad2)
-    full["ref_pos"] = xp.pad(p["ref_pos"], pad2)
-    full["orient"] = xp.pad(p["orient"], pad2)
-    full["valid"] = xp.pad(p["valid"], pad2)
-    out2 = {
-        kk: (xp.pad(v, padp2) if getattr(v, "ndim", 1) == 2 else v)
-        for kk, v in out2.items()
-    }
-    dest = xp.where(slot_real, lanes, N)
-    for kk in ("unitig_id", "unitig_len", "pos", "mt", "n_occs", "ref_id", "ref_pos", "orient", "valid"):
-        base = xp.concatenate([full[kk], xp.zeros_like(full[kk][:1])], axis=0)
-        full[kk] = _scatter_set(base, dest, out2[kk], xp)[:N]
+    full = _merge_compact(d, p, r, [(out2, lanes, slot_real)], N, max_occs, xp)
     full["over_budget"] = over_budget
     return full
 

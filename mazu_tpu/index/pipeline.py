@@ -50,6 +50,7 @@ class OneGraphIndexQuery:
         pos_kind: str | None = "inline2",
         device=None,
         host_arrays: dict | None = None,
+        m2b: int | None = None,
     ):
         import jax
         import jax.numpy as jnp
@@ -59,6 +60,7 @@ class OneGraphIndexQuery:
         self.batch = int(batch)
         self.CH = int(n_chunks)
         self.M2 = int(m2 or max(8192, batch // 16))
+        self.M2B = int(m2b) if m2b else None
         self.max_occs = max(1, index.max_occs())
         self.probe_limit = probe_limit
         # host_arrays may be passed in to avoid rebuilding the fused layout
@@ -70,18 +72,22 @@ class OneGraphIndexQuery:
             else index.device_arrays(fused=True, pos_kind=pos_kind)
         )
         self.arrays = jax.device_put(self.host_arrays, device)
-        mo, M2, plim = self.max_occs, self.M2, probe_limit
+        mo, M2, M2B, plim = self.max_occs, self.M2, self.M2B, probe_limit
 
         @jax.jit
         def pass_fn(arrays, stack):
             def step(carry, chunk):
                 out = get_ref_pos_compact(
-                    arrays, chunk, jnp, mo, merge=False, probe_limit=plim, m2=M2
+                    arrays, chunk, jnp, mo, merge=False, probe_limit=plim,
+                    m2=M2, m2b=M2B,
                 )
-                return carry + OneGraphIndexQuery.checksum(out, jnp), out["n_ovf"]
+                novf = jnp.stack(
+                    [out["n_ovf"], out.get("n_ovf_b", jnp.zeros_like(out["n_ovf"]))]
+                )
+                return carry + OneGraphIndexQuery.checksum(out, jnp), novf
 
             tot, novf = jax.lax.scan(step, jnp.int64(0), stack)
-            return tot, jnp.max(novf)
+            return tot, jnp.max(novf, axis=0)
 
         self._pass = pass_fn
 
@@ -98,21 +104,36 @@ class OneGraphIndexQuery:
             + xp.where(~ov, m_["pos"], 0).sum()
         )
         v2 = p2["valid"] & sr[:, None]
-        return s + (
+        s = s + (
             xp.where(v2, p2["ref_pos"], 0).sum()
             + xp.where(v2, p2["ref_id"], 0).sum()
             + xp.where(sr, p2["unitig_id"], 0).sum()
             + xp.where(sr, p2["pos"], 0).sum()
         )
+        if "phase2b" in out:  # type-split heavy phase: second block
+            p2b, srb = out["phase2b"], out["slot_real_b"]
+            v2b = p2b["valid"] & srb[:, None]
+            s = s + (
+                xp.where(v2b, p2b["ref_pos"], 0).sum()
+                + xp.where(v2b, p2b["ref_id"], 0).sum()
+                + xp.where(srb, p2b["unitig_id"], 0).sum()
+                + xp.where(srb, p2b["pos"], 0).sum()
+            )
+        return s
 
-    def checksum_pass(self, stack_dev) -> tuple[int, int]:
+    def checksum_pass(self, stack_dev):
         """One fused pass over a [CH, batch] device stack. Returns
         (checksum, worst_ovf); worst_ovf > m2 means phase-2 capacity was
-        exceeded and the results are invalid — rebuild with larger m2."""
+        exceeded and the results are invalid — rebuild with larger m2.
+        With the type-split phase (m2b set), worst_ovf is a (worst_a,
+        worst_b) pair checked against (m2, m2b)."""
         import jax
 
         tot, worst = self._pass(self.arrays, stack_dev)
-        return int(jax.device_get(tot)), int(jax.device_get(worst))
+        worst = jax.device_get(worst)
+        if self.M2B is not None:
+            return int(jax.device_get(tot)), (int(worst[0]), int(worst[1]))
+        return int(jax.device_get(tot)), int(worst[0])
 
     def checksum_host(self, stack_host: np.ndarray) -> int:
         """Same computation with xp=numpy on the host arrays (cross-backend
@@ -127,6 +148,7 @@ class OneGraphIndexQuery:
                 merge=False,
                 probe_limit=self.probe_limit,
                 m2=self.M2,
+                m2b=self.M2B,
             )
             assert not bool(out["over_budget"]), "phase-2 capacity exceeded"
             tot += int(self.checksum(out, np))

@@ -20,6 +20,26 @@ from __future__ import annotations
 import numpy as np
 
 
+def flagged_lanes2(flags_a, flags_b, m_a: int, m_b: int, xp):
+    """Indices of the first ``m_a`` set flags_a and first ``m_b`` set
+    flags_b, from ONE 2-channel MXU scan (~1.3x one flagged_lanes, not
+    2x). Returns (lanes_a, n_a, lanes_b, n_b)."""
+    n = flags_a.shape[0]
+    from .scan import prefix_sum
+
+    f2 = xp.stack([flags_a, flags_b], axis=1).astype(xp.int32)
+    rank = prefix_sum(f2, xp, max_value=1)  # [N, 2] inclusive
+    n_a = rank[-1, 0].astype(xp.int64) if n else xp.int64(0)
+    n_b = rank[-1, 1].astype(xp.int64) if n else xp.int64(0)
+
+    def extract(col, m):
+        targets = xp.arange(1, m + 1, dtype=rank.dtype)
+        lanes = xp.searchsorted(col, targets, side="left")
+        return xp.clip(lanes, 0, max(n - 1, 0)).astype(xp.int64)
+
+    return extract(rank[:, 0], m_a), n_a, extract(rank[:, 1], m_b), n_b
+
+
 def flagged_lanes(flags, m: int, xp):
     """Indices of the first ``m`` set flags.
 

@@ -33,11 +33,14 @@ def _tri(xp, dtype):
 
 def prefix_sum(x, xp, inclusive: bool = True, max_value: int | None = None):
     """Inclusive (default) or exclusive prefix sum of integer ``x`` along
-    axis 0. ``max_value``: static upper bound on the elements — enables the
-    MXU fast path (see module docstring). The TOTAL must fit the input
-    dtype regardless."""
+    axis 0. ``x`` may be [N] or [N, C] (C independent channels scanned in
+    the SAME MXU passes — a 2-channel scan costs ~1.3x one channel, not
+    2x; the compaction kernels use this to rank two flag sets at once).
+    ``max_value``: static upper bound on the elements — enables the MXU
+    fast path (see module docstring). The TOTAL must fit the input dtype
+    regardless."""
     if xp is np:
-        s = np.cumsum(x)
+        s = np.cumsum(x, axis=0)
         if inclusive:
             return s.astype(x.dtype)
         return (s - x).astype(x.dtype)
@@ -50,13 +53,25 @@ def prefix_sum(x, xp, inclusive: bool = True, max_value: int | None = None):
         or max_value <= 0
         or max_value * _B >= _EXACT
     ):
-        s = xp.cumsum(x)
+        s = xp.cumsum(x, axis=0)
         return s if inclusive else s - x
 
     import jax
 
     dt = x.dtype
     tri = _tri(xp, np.float32)
+    if x.ndim == 2:
+        C = x.shape[1]
+        # [N, C] -> [C, n/B, B]: each channel's blocks scan in one batched
+        # matmul; channel-major keeps every block contiguous
+        xb = x.T.reshape(C, n // _B, _B).astype(xp.float32)
+        intra = jax.numpy.matmul(
+            xb, tri, precision=jax.lax.Precision.HIGHEST
+        ).astype(dt)
+        totals = intra[:, :, -1].T  # [n/B, C]
+        off = prefix_sum(totals, xp, inclusive=False, max_value=max_value * _B)
+        s = (intra + off.T[:, :, None]).reshape(C, n).T
+        return s if inclusive else s - x
     xb = x.reshape(n // _B, _B).astype(xp.float32)
     # HIGHEST precision: true-f32 matmul passes — the TPU default feeds the
     # MXU bfloat16 INPUTS, which silently rounds integer values > 256

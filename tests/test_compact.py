@@ -353,3 +353,96 @@ def test_fixedcap2_onegraph_device():
     got, worst = og.checksum_pass(jax.device_put(jnp.asarray(stack)))
     assert worst <= og.M2
     assert got == og.checksum_host(stack)
+
+
+class TestFlaggedLanes2:
+    def test_matches_two_single_scans(self):
+        import jax.numpy as jnp
+
+        from mazu_tpu.ops.compact import flagged_lanes, flagged_lanes2
+
+        rng = np.random.default_rng(7)
+        for n, fa, fb in ((1024, 0.1, 0.02), (2048, 0.0, 0.3), (512, 1.0, 0.0)):
+            a = rng.random(n) < fa
+            b = (rng.random(n) < fb) & ~a
+            la, na = flagged_lanes(a, 128, np)
+            lb, nb = flagged_lanes(b, 64, np)
+            ga, gna, gb, gnb = flagged_lanes2(a, b, 128, 64, np)
+            assert (int(gna), int(gnb)) == (int(na), int(nb))
+            np.testing.assert_array_equal(ga, la)
+            np.testing.assert_array_equal(gb, lb)
+            dga, dna, dgb, dnb = flagged_lanes2(
+                jnp.asarray(a), jnp.asarray(b), 128, 64, jnp
+            )
+            assert (int(dna), int(dnb)) == (int(na), int(nb))
+            np.testing.assert_array_equal(np.asarray(dga), la)
+            np.testing.assert_array_equal(np.asarray(dgb), lb)
+
+
+class TestCompactSplit:
+    """m2b type-split heavy phase must stay exact (merged and split)."""
+
+    def _setup(self, pos_kind="inline2"):
+        from mazu_tpu.kmer import revcomp
+
+        idx = piscem_index_from_cf_prefix(CHR7, 15, engine="direct", skew_param=4)
+        us = idx.k2u.unitigs
+        kms = us.get_kmer_u64(us.kmer_start_positions())
+        rng = np.random.default_rng(21)
+        n = 4096
+        work = np.tile(kms, -(-n // len(kms)))[:n]
+        flip = rng.random(n) < 0.5
+        work[flip] = revcomp(work[flip], idx.k)
+        miss = rng.random(n) < 0.05
+        work[miss] = rng.integers(0, 1 << 62, int(miss.sum()), dtype=np.uint64)
+        rng.shuffle(work)
+        arrays = idx.device_arrays(fused=True, pos_kind=pos_kind)
+        return idx, arrays, work
+
+    def test_split_merged_equals_padded(self):
+        idx, arrays, work = self._setup()
+        mo = max(1, idx.max_occs())
+        want = get_ref_pos_padded(arrays, work, np, mo)
+        got = get_ref_pos_compact(
+            arrays, work, np, mo, probe_limit=2, m2=1024, m2b=512
+        )
+        assert not bool(got["over_budget"])
+        for kk in ("unitig_id", "pos", "mt", "n_occs"):
+            np.testing.assert_array_equal(want[kk], got[kk], err_msg=kk)
+        v = want["valid"]
+        np.testing.assert_array_equal(got["valid"], v)
+        for kk in ("ref_id", "ref_pos", "orient"):
+            np.testing.assert_array_equal(
+                np.where(v, want[kk], 0), np.where(v, got[kk], 0), err_msg=kk
+            )
+
+    def test_split_checksum_device_equals_plain(self):
+        import jax
+        import jax.numpy as jnp
+
+        from mazu_tpu.index.pipeline import OneGraphIndexQuery
+        from mazu_tpu.kmer import revcomp
+
+        idx, _, _ = self._setup()
+        us = idx.k2u.unitigs
+        kms = us.get_kmer_u64(us.kmer_start_positions())
+        rng = np.random.default_rng(23)
+        n, CH = 4096, 2
+        stack = np.zeros((CH, n), dtype=np.uint64)
+        for c in range(CH):
+            w = np.tile(kms, -(-n // len(kms)))[:n]
+            flip = rng.random(n) < 0.5
+            w[flip] = revcomp(w[flip], idx.k)
+            rng.shuffle(w)
+            stack[c] = w
+        og_plain = OneGraphIndexQuery(idx, batch=n, n_chunks=CH, m2=1024, probe_limit=2)
+        og_split = OneGraphIndexQuery(
+            idx, batch=n, n_chunks=CH, m2=1024, m2b=512, probe_limit=2
+        )
+        d = jax.device_put(jnp.asarray(stack))
+        want, worst = og_plain.checksum_pass(d)
+        assert worst <= og_plain.M2
+        got, (wa, wb) = og_split.checksum_pass(d)
+        assert wa <= og_split.M2 and wb <= og_split.M2B
+        assert got == want
+        assert og_split.checksum_host(stack) == want

@@ -21,3 +21,20 @@ def test_prefix_sum_exact(n, hi):
     np.testing.assert_array_equal(want - x, got_ex)
     # numpy path
     np.testing.assert_array_equal(want, prefix_sum(x, np))
+
+
+@pytest.mark.parametrize("n,c,hi", [(1024, 2, 1), (2048, 3, 7), (300, 2, 1)])
+def test_prefix_sum_2d_channels(n, c, hi):
+    """[N, C] channel scans must equal per-column 1-D scans exactly."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(9)
+    x = rng.integers(0, hi + 1, size=(n, c)).astype(np.int32)
+    want = np.cumsum(x, axis=0)
+    got = np.asarray(prefix_sum(jnp.asarray(x), jnp, max_value=hi))
+    np.testing.assert_array_equal(want, got)
+    got_ex = np.asarray(
+        prefix_sum(jnp.asarray(x), jnp, inclusive=False, max_value=hi)
+    )
+    np.testing.assert_array_equal(want - x, got_ex)
+    np.testing.assert_array_equal(want, prefix_sum(x, np))
