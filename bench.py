@@ -337,8 +337,11 @@ def main():
         assert not bool(out0["over_budget"])
         host_chk = int(OneGraphIndexQuery.checksum(out0, np))
         n_ovf = int(out0["n_ovf"])
+        # reads chunks are DIFFERENT reads (not permutations): keep a real
+        # margin over chunk-0's overflow count, but size at 1K granularity
+        # (phase-2 cost is capacity-proportional)
         M2 = int(os.environ.get("MAZU_BENCH_M2", 0)) or max(
-            8192, -(-int(n_ovf * 1.3) // 8192) * 8192
+            2048, -(-int(n_ovf * 1.4 + 1024) // 1024) * 1024
         )
         log(f"host oracle {time.time()-t0:.1f}s: chk={host_chk} ovf {n_ovf} -> M2={M2}")
         og = OneGraphIndexQuery(
@@ -422,17 +425,22 @@ def main():
             )
             n_b = int((rr["use_skew"] | rr["unresolved"]).sum())
             n_a = n_ovf - n_b
+            # exact-fit capacities: every chunk is a permutation of the same
+            # multiset, so the overflow counts are identical across chunks —
+            # the phase-2 cost is CAPACITY-proportional (searchsorted lane
+            # extraction + padded pipeline both pay per slot), so tight
+            # budgets buy throughput directly (measured: M2 40960 -> 16384
+            # was +40% on the low-overflow workload)
+            fit = lambda c: max(1024, -(-(int(c) + 128) // 256) * 256)  # noqa: E731
             if m2b_env == "auto":
-                M2B = max(2048, -(-int(n_b * 1.1) // 2048) * 2048)
+                M2B = fit(n_b)
             else:
                 M2B = int(m2b_env)
-            M2 = int(os.environ.get("MAZU_BENCH_M2", 0)) or max(
-                4096, -(-int(n_a * 1.1) // 4096) * 4096
-            )
+            M2 = int(os.environ.get("MAZU_BENCH_M2", 0)) or fit(n_a)
             log(f"type-split: {n_a} occ-wide + {n_b} reprobe -> M2={M2} M2B={M2B}")
         else:
             M2 = int(os.environ.get("MAZU_BENCH_M2", 0)) or max(
-                8192, -(-int(n_ovf * 1.1) // 8192) * 8192
+                1024, -(-(int(n_ovf) + 128) // 256) * 256
             )
         log(
             f"host oracle {time.time()-t0:.1f}s: chunk chk={host_chk} "

@@ -134,3 +134,68 @@ def validate_k2u_self(k2u, k2u_fn=None, chunk: int = 1 << 14):
                     f"want (uid={uid_true[sl][bad]}, pos={upos_true[sl][bad]}, mt={want_mt}), "
                     f"got (uid={r['unitig_id'][bad]}, pos={r['pos'][bad]}, mt={r['mt'][bad]})"
                 )
+
+
+def merge_sharded_out(out: dict) -> dict:
+    """Host-side merge of a merge=False sharded full-query result
+    (parallel.sharding.build_fused_sharded_query) into flat per-lane k2u
+    fields: phase-2 rows scattered over their (data-shard-local) lanes.
+    Returns dict of [N] arrays unitig_id/unitig_len/pos/mt."""
+    main = {kk: np.asarray(out["main"][kk]).copy()
+            for kk in ("unitig_id", "unitig_len", "pos", "mt")}
+    lanes = np.asarray(out["lanes"])
+    sr = np.asarray(out["slot_real"])
+    n_data = int(np.asarray(out["n_ovf"]).shape[0])
+    M2 = lanes.shape[0] // n_data
+    N = main["mt"].shape[0]
+    per = N // n_data
+    for d in range(n_data):
+        sl = slice(d * M2, (d + 1) * M2)
+        real = sr[sl]
+        glo = lanes[sl][real] + d * per
+        for kk in main:
+            main[kk][glo] = np.asarray(out["phase2"][kk])[sl][real]
+    return main
+
+
+def validate_k2u_self_sharded(qf, k2u, batch: int):
+    """validate_k2u_self driven THROUGH a sharded full-query fn (the
+    multi-chip deployment path): every unitig k-mer, fw and rc, must
+    resolve to its exact K2UPos after merging the compacted heavy phase.
+    ``qf`` is a jitted kms[batch] -> merge=False dict
+    (make_fused_sharded_query / make_fused_sharded_query_from_ckpt)."""
+    import jax.numpy as jnp
+
+    from ..kmer import revcomp
+
+    us = k2u.unitigs
+    k = us.k
+    pos = us.kmer_start_positions()
+    uid_true = us.pos_to_id(pos)
+    upos_true = pos - us.accum[uid_true]
+    ulen_true = us.unitig_len(uid_true)
+    fw = us.get_kmer_u64(pos)
+
+    for s in range(0, len(pos), batch):
+        sl = slice(s, min(s + batch, len(pos)))
+        n_real = sl.stop - sl.start
+        for words, want_mt in ((fw[sl], MATCH_IDENTITY), (revcomp(fw[sl], k), MATCH_TWIN)):
+            padded = np.zeros(batch, dtype=np.uint64)
+            padded[:n_real] = words
+            padded[n_real:] = words[0] if n_real else 0
+            out = qf(jnp.asarray(padded))
+            assert not bool(np.asarray(out["over_budget"]).any()), "phase-2 over budget"
+            r = merge_sharded_out(out)
+            ok = (
+                (r["mt"][:n_real] == want_mt)
+                & (r["unitig_id"][:n_real] == uid_true[sl])
+                & (r["pos"][:n_real] == upos_true[sl])
+                & (r["unitig_len"][:n_real] == ulen_true[sl])
+            )
+            if not ok.all():
+                bad = int(np.flatnonzero(~ok)[0])
+                raise AssertionError(
+                    f"sharded k2u self-validation failed at global kmer {s + bad}: "
+                    f"want (uid={uid_true[sl][bad]}, pos={upos_true[sl][bad]}, mt={want_mt}), "
+                    f"got (uid={r['unitig_id'][bad]}, pos={r['pos'][bad]}, mt={r['mt'][bad]})"
+                )

@@ -22,21 +22,38 @@ import numpy as np
 
 def flagged_lanes2(flags_a, flags_b, m_a: int, m_b: int, xp):
     """Indices of the first ``m_a`` set flags_a and first ``m_b`` set
-    flags_b, from ONE 2-channel MXU scan (~1.3x one flagged_lanes, not
-    2x). Returns (lanes_a, n_a, lanes_b, n_b)."""
+    flags_b. When both capacities fit 15 bits (the practical case —
+    heavy-phase capacities are a few percent of the batch), BOTH ranks ride
+    ONE packed MXU scan: element = a + (b << 15); the low/high fields hold
+    the two exact cumsums as long as each total stays below 2^15, which the
+    caller's over-budget check enforces via the (cheap, reduction-only)
+    true totals. Falls back to a 2-channel scan for larger capacities.
+    Returns (lanes_a, n_a, lanes_b, n_b); n_* are the TRUE counts even
+    over budget."""
     n = flags_a.shape[0]
     from .scan import prefix_sum
 
-    f2 = xp.stack([flags_a, flags_b], axis=1).astype(xp.int32)
-    rank = prefix_sum(f2, xp, max_value=1)  # [N, 2] inclusive
-    n_a = rank[-1, 0].astype(xp.int64) if n else xp.int64(0)
-    n_b = rank[-1, 1].astype(xp.int64) if n else xp.int64(0)
-
     def extract(col, m):
-        targets = xp.arange(1, m + 1, dtype=rank.dtype)
+        targets = xp.arange(1, m + 1, dtype=col.dtype)
         lanes = xp.searchsorted(col, targets, side="left")
         return xp.clip(lanes, 0, max(n - 1, 0)).astype(xp.int64)
 
+    a32 = flags_a.astype(xp.int32)
+    b32 = flags_b.astype(xp.int32)
+    # true totals are plain reductions — exact at any scale, and the guard
+    # for the packed ranks below
+    n_a = a32.sum().astype(xp.int64)
+    n_b = b32.sum().astype(xp.int64)
+    if max(m_a, m_b) < (1 << 15):
+        packed = prefix_sum(a32 + (b32 << 15), xp, max_value=(1 << 15) + 1)
+        ra = packed & ((1 << 15) - 1)  # exact while n_a < 2^15
+        rb = packed >> 15  # exact while n_b < 2^15
+        # beyond 2^15 the fields wrap; the caller sees n_* > m_* (over
+        # budget) from the true totals above and discards the lanes
+        return extract(ra, m_a), n_a, extract(rb, m_b), n_b
+
+    f2 = xp.stack([flags_a, flags_b], axis=1).astype(xp.int32)
+    rank = prefix_sum(f2, xp, max_value=1)  # [N, 2] inclusive
     return extract(rank[:, 0], m_a), n_a, extract(rank[:, 1], m_b), n_b
 
 

@@ -510,10 +510,54 @@ def make_fused_sharded_query(
     merge=False dict as modindex.get_ref_pos_compact (main results exact
     for non-overflow lanes; phase2 block + lane map for the rest), with
     lane indices LOCAL to each data shard.
+
+    This convenience wrapper partitions a host-resident index; the >HBM
+    path loads shards per-device from a sharded checkpoint instead
+    (io/sharded_ckpt.make_fused_sharded_query_from_ckpt) and shares
+    build_fused_sharded_query below.
     """
     import jax
-    import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_shards = mesh.shape[bucket_axis]
+    shared, stacked = shard_fused_arrays(index, n_shards, pos_kind=pos_kind)
+    if max_occs is None:
+        max_occs = max(1, index.max_occs())
+    shared_dev = jax.device_put(
+        {kk: v for kk, v in shared.items() if kk != "pos_meta"},
+        NamedSharding(mesh, P()),
+    )
+    stacked_dev = jax.device_put(stacked, NamedSharding(mesh, P(bucket_axis)))
+    return build_fused_sharded_query(
+        shared,
+        shared_dev,
+        stacked_dev,
+        mesh,
+        m2=m2,
+        max_occs=int(max_occs),
+        probe_limit=probe_limit,
+        data_axis=data_axis,
+        bucket_axis=bucket_axis,
+    )
+
+
+def build_fused_sharded_query(
+    shared_host,
+    shared_dev,
+    stacked_dev,
+    mesh,
+    m2: int,
+    max_occs: int,
+    probe_limit: int | None = 2,
+    data_axis: str = "data",
+    bucket_axis: str = "bucket",
+):
+    """Kernel builder behind make_fused_sharded_query: takes already-placed
+    device pytrees (``shared_dev`` replicated, ``stacked_dev`` sharded on
+    ``bucket_axis``) plus the host pytree for its static Meta nodes."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
 
     from .. import MATCH_IDENTITY
     from ..kphf.sshash import sshash_k2u
@@ -521,18 +565,12 @@ def make_fused_sharded_query(
     from ..index.unitig_table import decode_words
     from ..ops.compact import flagged_lanes
 
-    n_shards = mesh.shape[bucket_axis]
-    shared, stacked = shard_fused_arrays(index, n_shards, pos_kind=pos_kind)
-    if max_occs is None:
-        max_occs = max(1, index.max_occs())
     mo, plim, M2 = int(max_occs), probe_limit, int(m2)
-    k = shared["meta"].k
-    pos_meta = shared.pop("pos_meta")
-    u2meta_only = {"meta": shared["u2pos"]["meta"]}
-    proj_arrays_meta = {"u2pos": u2meta_only, "meta": shared["meta"]}
-
-    shared = jax.device_put(shared, NamedSharding(mesh, P()))
-    stacked = jax.device_put(stacked, NamedSharding(mesh, P(bucket_axis)))
+    k = shared_host["meta"].k
+    pos_meta = shared_host["pos_meta"]
+    u2meta_only = {"meta": shared_host["u2pos"]["meta"]}
+    proj_arrays_meta = {"u2pos": u2meta_only, "meta": shared_host["meta"]}
+    shared, stacked = shared_dev, stacked_dev
 
     K2U_FIELDS = (
         "unitig_id",
