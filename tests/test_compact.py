@@ -446,3 +446,55 @@ class TestCompactSplit:
         assert wa <= og_split.M2 and wb <= og_split.M2B
         assert got == want
         assert og_split.checksum_host(stack) == want
+
+
+class TestFlaggedLanesHier:
+    """The hierarchical rank-select algorithm (round 2): edge shapes and
+    exactness vs the flat oracle and the round-1 searchsorted algorithm."""
+
+    def test_fuzz_shapes_and_densities(self):
+        import jax.numpy as jnp
+
+        from mazu_tpu.ops.compact import flagged_lanes, flagged_lanes_ss
+
+        rng = np.random.default_rng(11)
+        shapes = (1, 3, 255, 256, 257, 4095, 4096, 16384, 16385, 100000)
+        for n in shapes:
+            for frac in (0.0, 0.01, 0.31, 1.0):
+                flags = rng.random(n) < frac
+                m = max(1, min(n, 1 + int(n * max(frac, 0.02) * 1.5)))
+                want = np.flatnonzero(flags)[:m]
+                lanes, n_set = flagged_lanes(flags, m, np)
+                assert int(n_set) == int(flags.sum()), (n, frac)
+                np.testing.assert_array_equal(lanes[: len(want)], want)
+                assert (np.asarray(lanes) >= 0).all() and (
+                    np.asarray(lanes) < n
+                ).all()
+                dl, dn = flagged_lanes(jnp.asarray(flags), m, jnp)
+                assert int(dn) == int(n_set)
+                np.testing.assert_array_equal(np.asarray(dl), lanes)
+                # searchsorted algorithm agrees on the REAL slots
+                sl, sn = flagged_lanes_ss(flags, m, np)
+                assert int(sn) == int(n_set)
+                np.testing.assert_array_equal(
+                    sl[: len(want)], lanes[: len(want)]
+                )
+
+    def test_two_channel(self):
+        import jax.numpy as jnp
+
+        from mazu_tpu.ops.compact import flagged_lanes2
+
+        rng = np.random.default_rng(5)
+        n = 50000
+        a = rng.random(n) < 0.05
+        b = (rng.random(n) < 0.02) & ~a
+        la, na, lb, nb = flagged_lanes2(a, b, 4096, 2048, np)
+        np.testing.assert_array_equal(la[: int(na)], np.flatnonzero(a)[:4096])
+        np.testing.assert_array_equal(lb[: int(nb)], np.flatnonzero(b)[:2048])
+        dla, dna, dlb, dnb = flagged_lanes2(
+            jnp.asarray(a), jnp.asarray(b), 4096, 2048, jnp
+        )
+        assert (int(dna), int(dnb)) == (int(na), int(nb))
+        np.testing.assert_array_equal(np.asarray(dla), la)
+        np.testing.assert_array_equal(np.asarray(dlb), lb)
