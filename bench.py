@@ -387,7 +387,10 @@ def main():
         from mazu_tpu.index.modindex import get_ref_pos_compact
         from mazu_tpu.index.pipeline import OneGraphIndexQuery
 
-        CH = int(os.environ.get("MAZU_BENCH_CHUNKS", 16))
+        # CH sweep (chr01, 2026-08-17): 16 -> 46.1M, 32 -> 50.9M,
+        # 48 -> 51.7M, 64 -> 52.5M. The per-pass dispatch+readback
+        # amortizes with CH and the scan body is compiled once either way.
+        CH = int(os.environ.get("MAZU_BENCH_CHUNKS", 64))
         plim_env = os.environ.get("MAZU_BENCH_PLIM", "2")
         plim = int(plim_env) if plim_env and plim_env != "0" else None
         pos_kind = pos_kind_env or "inline2"

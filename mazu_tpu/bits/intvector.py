@@ -40,10 +40,16 @@ class IntVector:
         if n == 0:
             return cls(np.zeros(0, dtype=np.uint64), 0, width)
         assert width <= 58
+        nw = (n * width + 63) // 64
+        if n >= (1 << 16):  # OpenMP packer (bitwise_or.at is ~350 ns/elem)
+            from ..io.native import pack_width
+
+            words = pack_width(values, width, nw)
+            if words is not None:
+                return cls(words, n, width)
         bit_pos = np.arange(n, dtype=np.int64) * width
         wi = bit_pos >> 6
         off = (bit_pos & 63).astype(np.uint64)
-        nw = (n * width + 63) // 64
         words = np.zeros(nw + 1, dtype=np.uint64)
         mask = U64((1 << width) - 1)
         v = values & mask

@@ -89,13 +89,12 @@ class UnitigSet:
 
     def kmer_start_positions(self) -> np.ndarray:
         """Global useq positions of all valid k-mers, in unitig order."""
+        from ..io.native import expand_ranges
+
         starts = self.accum[:-1]
         ends = self.accum[1:] - self.k + 1
         counts = ends - starts
-        total = int(counts.sum())
-        uid = np.repeat(np.arange(self.n_unitigs), counts)
-        within = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
-        return starts[uid] + within
+        return expand_ranges(starts, counts)
 
     def all_canonical_kmers(self) -> np.ndarray:
         """Canonical u64 word of every k-mer (for MPHF construction)."""

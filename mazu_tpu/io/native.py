@@ -102,6 +102,63 @@ def kmerize(codes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     return pos[:cnt].copy(), words[:cnt].copy()
 
 
+def cumsum_i64(x: np.ndarray) -> np.ndarray:
+    """Inclusive prefix sum, int64. NumPy's cumsum runs ~100 MB/s on this
+    host; the native two-pass OpenMP scan is memory-bound (~30x)."""
+    x = np.ascontiguousarray(x, dtype=np.int64)
+    lib = _load()
+    if lib is None or len(x) < (1 << 16):
+        return np.cumsum(x)
+    out = np.empty_like(x)
+    lib.cumsum_i64(
+        x.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(len(x)),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out
+
+
+def expand_ranges(starts: np.ndarray, counts: np.ndarray, total: int | None = None):
+    """Concatenate [s, s+1, ..., s+c-1] for each (s, c) pair — the builder's
+    range-expansion primitive (replaces np.repeat + arange temp chains)."""
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    offsets = np.concatenate([[0], cumsum_i64(counts)])
+    if total is None:
+        total = int(offsets[-1])
+    lib = _load()
+    if lib is None:
+        uid = np.repeat(np.arange(len(counts)), counts)
+        within = np.arange(total) - np.repeat(offsets[:-1], counts)
+        return starts[uid] + within
+    out = np.empty(total, dtype=np.int64)
+    lib.expand_ranges(
+        starts.ctypes.data_as(ctypes.c_void_p),
+        counts.ctypes.data_as(ctypes.c_void_p),
+        offsets.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(len(starts)),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out
+
+
+def pack_width(values: np.ndarray, width: int, nw: int) -> np.ndarray | None:
+    """LSB-first fixed-width bit packing into u64 words (IntVector layout).
+    Returns None when no native lib (caller falls back to NumPy)."""
+    lib = _load()
+    if lib is None:
+        return None
+    values = np.ascontiguousarray(values, dtype=np.uint64)
+    words = np.zeros(nw + 1, dtype=np.uint64)
+    lib.pack_width(
+        values.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(len(values)),
+        ctypes.c_int(int(width)),
+        words.ctypes.data_as(ctypes.c_void_p),
+    )
+    return words[:nw]
+
+
 def minimizer_scan32(useq_words: np.ndarray, kpos: np.ndarray, k: int, w: int, seed: int):
     """Canonical minimizers (hash32 ordering) of the k-mers at ``kpos`` in a
     packed 2-bit useq. Returns (mm u64, offset i32, is_fw bool) with exact

@@ -118,7 +118,19 @@ class SSHash:
         order = np.argsort(mms, kind="stable")
         mms = mms[order]
         mps = mps[order]
-        mm_set, ranges_start, mm_occs = np.unique(mms, return_index=True, return_counts=True)
+        # run-length grouping of the sorted stream (np.unique re-sorts: 12s
+        # at 50Mbp for data that is already sorted)
+        if len(mms):
+            first = np.empty(len(mms), dtype=bool)
+            first[0] = True
+            np.not_equal(mms[1:], mms[:-1], out=first[1:])
+            ranges_start = np.flatnonzero(first)
+            mm_set = mms[ranges_start]
+            mm_occs = np.diff(np.concatenate([ranges_start, [len(mms)]]))
+        else:
+            mm_set = mms
+            ranges_start = np.zeros(0, dtype=np.int64)
+            mm_occs = np.zeros(0, dtype=np.int64)
         return mm_set, mm_occs, ranges_start, mps
 
     @classmethod
@@ -246,15 +258,27 @@ class SSHash:
         b = (fold_hash32(mm_set) & np.uint32(T - 1)).astype(np.int64)
 
         # group occurrences by bucket (stable in minimizer-value order)
+        from ..io.native import cumsum_i64, expand_ranges
+
         order2 = np.argsort(b, kind="stable")
         occ_counts = mm_occs[order2]
-        src = np.repeat(ranges_start[order2], occ_counts) + (
-            np.arange(occ_counts.sum()) - np.repeat(np.cumsum(occ_counts) - occ_counts, occ_counts)
-        )
+        src = expand_ranges(ranges_start[order2], occ_counts)
         pos_direct = mps[src]
+        # per-bucket occurrence totals: segment sums over the sorted stream
+        # (np.add.at is a ~100 ns/elem scalar loop), then one dense store
+        b_sorted = b[order2]
         bucket_counts = np.zeros(T, dtype=np.int64)
-        np.add.at(bucket_counts, b, mm_occs)
-        prefix = np.concatenate([[0], np.cumsum(bucket_counts)]).astype(np.int64)
+        if len(b_sorted):
+            bfirst = np.empty(len(b_sorted), dtype=bool)
+            bfirst[0] = True
+            np.not_equal(b_sorted[1:], b_sorted[:-1], out=bfirst[1:])
+            run_start = np.flatnonzero(bfirst)
+            occ_cum = np.concatenate([[0], np.cumsum(occ_counts)])
+            run_end = np.concatenate([run_start[1:], [len(b_sorted)]])
+            bucket_counts[b_sorted[run_start]] = occ_cum[run_end] - occ_cum[run_start]
+        prefix = np.empty(T + 1, dtype=np.int64)
+        prefix[0] = 0
+        prefix[1:] = cumsum_i64(bucket_counts)
 
         # skew: kmers overlapping occurrences of heavy (merged) buckets, in a
         # SECOND direct bucket table keyed by canonical k-mer (no MPHF — the
@@ -265,9 +289,7 @@ class SSHash:
         heavy = np.flatnonzero(bucket_counts > skew_param)
         skew_direct = None
         if len(heavy):
-            occ_sel = np.concatenate(
-                [np.arange(prefix[hb], prefix[hb + 1]) for hb in heavy]
-            )
+            occ_sel = expand_ranges(prefix[heavy], bucket_counts[heavy])
             mm_positions = pos_direct[occ_sel]
             span = k - w + 1
             starts = np.maximum(mm_positions - (k - w), 0)
@@ -292,7 +314,7 @@ class SSHash:
                     "kind": "bucket",
                     "T": T2,
                     "bound": int(sizes.max()),
-                    "prefix": np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64),
+                    "prefix": np.concatenate([[0], cumsum_i64(sizes)]).astype(np.int64),
                     "pos": kept_pos[order3].astype(np.int64),
                 }
 

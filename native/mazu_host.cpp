@@ -86,6 +86,95 @@ void revcomp_words(uint64_t* words, int64_t n, int k) {
 }  // extern "C"
 
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+extern "C" {
+
+// Parallel inclusive prefix sum (int64). NumPy's cumsum runs ~100 MB/s on
+// this host (no SIMD path); this two-pass blocked scan is memory-bound.
+// Replaces rayon-side prefix work (reference src/util.rs:26-38 callers).
+void cumsum_i64(const int64_t* in, int64_t n, int64_t* out) {
+#ifdef _OPENMP
+    int nt = omp_get_max_threads();
+#else
+    int nt = 1;
+#endif
+    if (n < (1 << 16) || nt == 1) {
+        int64_t acc = 0;
+        for (int64_t i = 0; i < n; i++) { acc += in[i]; out[i] = acc; }
+        return;
+    }
+    int64_t block = (n + nt - 1) / nt;
+    int64_t* sums = new int64_t[nt]();
+#pragma omp parallel num_threads(nt)
+    {
+#ifdef _OPENMP
+        int t = omp_get_thread_num();
+#else
+        int t = 0;
+#endif
+        int64_t a = t * block, b = a + block < n ? a + block : n;
+        int64_t acc = 0;
+        for (int64_t i = a; i < b; i++) { acc += in[i]; out[i] = acc; }
+        sums[t] = acc;
+#pragma omp barrier
+        int64_t base = 0;
+        for (int i = 0; i < t; i++) base += sums[i];
+        if (base)
+            for (int64_t i = a; i < b; i++) out[i] += base;
+    }
+    delete[] sums;
+}
+
+// out[offsets[i] + j] = starts[i] + j for j in [0, counts[i]) — the
+// "expand ranges" primitive behind kmer_start_positions and the
+// bucket-grouped occurrence scatter (replaces np.repeat+arange temps).
+void expand_ranges(const int64_t* starts, const int64_t* counts,
+                   const int64_t* offsets, int64_t nr, int64_t* out) {
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < nr; i++) {
+        int64_t s = starts[i], o = offsets[i], c = counts[i];
+        for (int64_t j = 0; j < c; j++) out[o + j] = s + j;
+    }
+}
+
+// Gathered variant: out[offsets[i] + j] = base[starts[i] + j].
+void expand_ranges_gather(const int64_t* base, const int64_t* starts,
+                          const int64_t* counts, const int64_t* offsets,
+                          int64_t nr, int64_t* out) {
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < nr; i++) {
+        int64_t s = starts[i], o = offsets[i], c = counts[i];
+        for (int64_t j = 0; j < c; j++) out[o + j] = base[s + j];
+    }
+}
+
+// Pack n values LSB-first at the given bit width into u64 words
+// (IntVector layout). Parallel without atomics: chunks of 64 elements
+// span exactly `width` words (64*width bits), so thread seams are always
+// word-aligned and writes never overlap.
+void pack_width(const uint64_t* vals, int64_t n, int width, uint64_t* words) {
+    const uint64_t mask = (width >= 64) ? ~0ull : ((1ull << width) - 1);
+    int64_t nchunk = (n + 63) / 64;
+#pragma omp parallel for schedule(static)
+    for (int64_t c = 0; c < nchunk; c++) {
+        int64_t i0 = c * 64, i1 = i0 + 64 < n ? i0 + 64 : n;
+        for (int64_t i = i0; i < i1; i++) {
+            uint64_t v = vals[i] & mask;
+            int64_t bit = i * (int64_t)width;
+            int64_t wi = bit >> 6;
+            int r = (int)(bit & 63);
+            words[wi] |= v << r;
+            if (r + width > 64) words[wi + 1] |= v >> (64 - r);
+        }
+    }
+}
+
+}  // extern "C"
+
+
 extern "C" {
 
 // murmur3 fmix32 (parity: mazu_tpu/kphf/boophf32.py mix32)
