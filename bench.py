@@ -388,9 +388,11 @@ def main():
         from mazu_tpu.index.pipeline import OneGraphIndexQuery
 
         # CH sweep (chr01, 2026-08-17): 16 -> 46.1M, 32 -> 50.9M,
-        # 48 -> 51.7M, 64 -> 52.5M. The per-pass dispatch+readback
-        # amortizes with CH and the scan body is compiled once either way.
-        CH = int(os.environ.get("MAZU_BENCH_CHUNKS", 64))
+        # 48 -> 51.7M, 64 -> 52.5M, 128 -> 54.1M. The per-pass
+        # dispatch+readback amortizes with CH and the scan body is
+        # compiled once either way. plim=3/4 measured WORSE (41.6M/35.6M):
+        # extra probe-row gathers for all lanes outweigh the phase-2 cut.
+        CH = int(os.environ.get("MAZU_BENCH_CHUNKS", 128))
         plim_env = os.environ.get("MAZU_BENCH_PLIM", "2")
         plim = int(plim_env) if plim_env and plim_env != "0" else None
         pos_kind = pos_kind_env or "inline2"

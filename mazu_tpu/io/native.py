@@ -142,6 +142,47 @@ def expand_ranges(starts: np.ndarray, counts: np.ndarray, total: int | None = No
     return out
 
 
+def fill_prefix_i64(ub: np.ndarray, cum: np.ndarray, T: int) -> np.ndarray | None:
+    """Step-function prefix over a bucket table: prefix[t] = total items in
+    buckets < t, given sorted occupied bucket ids ``ub`` and cumulative
+    totals ``cum`` (inclusive). Returns int64[T+1]; None without the lib."""
+    lib = _load()
+    if lib is None:
+        return None
+    ub = np.ascontiguousarray(ub, dtype=np.int64)
+    cum = np.ascontiguousarray(cum, dtype=np.int64)
+    out = np.empty(T + 1, dtype=np.int64)
+    lib.fill_prefix_i64(
+        ub.ctypes.data_as(ctypes.c_void_p),
+        cum.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(len(ub)),
+        ctypes.c_int64(T),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out
+
+
+def dedup_flags(mm: np.ndarray, pos: np.ndarray, isfw: np.ndarray) -> np.ndarray | None:
+    """keep[i] = element i differs in (mm, pos) from the previous element
+    of the same strand class — the per-strand consecutive dedup of the
+    minimizer occurrence stream. None without the lib."""
+    lib = _load()
+    if lib is None:
+        return None
+    mm = np.ascontiguousarray(mm, dtype=np.uint64)
+    pos = np.ascontiguousarray(pos, dtype=np.int64)
+    isfw = np.ascontiguousarray(isfw, dtype=np.uint8)
+    keep = np.empty(len(mm), dtype=np.uint8)
+    lib.dedup_flags(
+        mm.ctypes.data_as(ctypes.c_void_p),
+        pos.ctypes.data_as(ctypes.c_void_p),
+        isfw.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(len(mm)),
+        keep.ctypes.data_as(ctypes.c_void_p),
+    )
+    return keep.astype(bool)
+
+
 def pack_width(values: np.ndarray, width: int, nw: int) -> np.ndarray | None:
     """LSB-first fixed-width bit packing into u64 words (IntVector layout).
     Returns None when no native lib (caller falls back to NumPy)."""

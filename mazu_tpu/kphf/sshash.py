@@ -109,9 +109,17 @@ class SSHash:
                 occ_pos_all[sl] = kpos[sl] + off.astype(np.int64)
                 isfw_all[sl] = is_fw
 
-        keep_fw = _dedup_stream(mm_all, occ_pos_all, isfw_all)
-        keep_rc = _dedup_stream(mm_all, occ_pos_all, ~isfw_all)
-        sel = np.concatenate([keep_fw, keep_rc])
+        from ..io.native import dedup_flags
+
+        keep = dedup_flags(mm_all, occ_pos_all, isfw_all)
+        if keep is not None:  # one parallel pass over the interleaved stream
+            sel = np.concatenate(
+                [np.flatnonzero(keep & isfw_all), np.flatnonzero(keep & ~isfw_all)]
+            )
+        else:
+            keep_fw = _dedup_stream(mm_all, occ_pos_all, isfw_all)
+            keep_rc = _dedup_stream(mm_all, occ_pos_all, ~isfw_all)
+            sel = np.concatenate([keep_fw, keep_rc])
         mms = mm_all[sel]
         mps = occ_pos_all[sel]
 
@@ -248,26 +256,46 @@ class SSHash:
         """
         from .boophf32 import fold_hash32
 
+        import os as _os
+        import time as _time
+
+        _timing = bool(_os.environ.get("MAZU_BUILD_TIMING"))
+        _t = [_time.time()]
+
+        def _stage(tag):
+            if _timing:
+                now = _time.time()
+                print(f"[build {tag:24s}] {now - _t[0]:6.1f}s", flush=True)
+                _t[0] = now
+
         k = unitigs.k
         skew_param = 8 if skew_param is None else skew_param
         mm_set, mm_occs, ranges_start, mps = cls._collect_minimizer_occs(
             unitigs, w, seed, True, chunk
         )
+        _stage("collect")
         n_min = len(mm_set)
         T = 1 << max(6, int(np.ceil(np.log2(max(n_min / bucket_load, 64)))))
         b = (fold_hash32(mm_set) & np.uint32(T - 1)).astype(np.int64)
+        _stage("bucket hash")
 
         # group occurrences by bucket (stable in minimizer-value order)
         from ..io.native import cumsum_i64, expand_ranges
 
         order2 = np.argsort(b, kind="stable")
+        _stage("bucket argsort")
         occ_counts = mm_occs[order2]
         src = expand_ranges(ranges_start[order2], occ_counts)
         pos_direct = mps[src]
+        _stage("occ scatter")
         # per-bucket occurrence totals: segment sums over the sorted stream
-        # (np.add.at is a ~100 ns/elem scalar loop), then one dense store
+        # (np.add.at is a ~100 ns/elem scalar loop). The T+1 prefix is a
+        # step function over the occupied buckets — built in ONE native
+        # write pass (the zeros(T)+scatter+cumsum chain paid ~46s of page
+        # faults at 50Mbp with T=2^29).
+        from ..io.native import fill_prefix_i64
+
         b_sorted = b[order2]
-        bucket_counts = np.zeros(T, dtype=np.int64)
         if len(b_sorted):
             bfirst = np.empty(len(b_sorted), dtype=bool)
             bfirst[0] = True
@@ -275,10 +303,19 @@ class SSHash:
             run_start = np.flatnonzero(bfirst)
             occ_cum = np.concatenate([[0], np.cumsum(occ_counts)])
             run_end = np.concatenate([run_start[1:], [len(b_sorted)]])
-            bucket_counts[b_sorted[run_start]] = occ_cum[run_end] - occ_cum[run_start]
-        prefix = np.empty(T + 1, dtype=np.int64)
-        prefix[0] = 0
-        prefix[1:] = cumsum_i64(bucket_counts)
+            ub = b_sorted[run_start]
+            seg = occ_cum[run_end] - occ_cum[run_start]
+        else:
+            ub = np.zeros(0, dtype=np.int64)
+            seg = np.zeros(0, dtype=np.int64)
+        prefix = fill_prefix_i64(ub, np.cumsum(seg), T)
+        if prefix is None:  # NumPy fallback (no native lib)
+            bucket_counts = np.zeros(T, dtype=np.int64)
+            bucket_counts[ub] = seg
+            prefix = np.empty(T + 1, dtype=np.int64)
+            prefix[0] = 0
+            prefix[1:] = cumsum_i64(bucket_counts)
+        _stage("bucket prefix")
 
         # skew: kmers overlapping occurrences of heavy (merged) buckets, in a
         # SECOND direct bucket table keyed by canonical k-mer (no MPHF — the
@@ -286,20 +323,26 @@ class SSHash:
         # record probes as the main path)
         from .boophf32 import fold_hash32 as _fold
 
-        heavy = np.flatnonzero(bucket_counts > skew_param)
+        heavy_sel = seg > skew_param  # occupied-bucket view (no dense T array)
+        heavy = ub[heavy_sel]
         skew_direct = None
         if len(heavy):
-            occ_sel = expand_ranges(prefix[heavy], bucket_counts[heavy])
+            occ_sel = expand_ranges(prefix[heavy], seg[heavy_sel])
             mm_positions = pos_direct[occ_sel]
+            _stage("skew select")
             span = k - w + 1
             starts = np.maximum(mm_positions - (k - w), 0)
             cand = np.unique((starts[:, None] + np.arange(span)[None, :]).reshape(-1))
+            _stage("skew cand-unique")
             cand = cand[unitigs.is_valid_useq_pos(cand)]
+            _stage("skew cand")
             words = unitigs.get_kmer_u64(cand)
             cwords = np.minimum(words, revcomp(words, k))
             cw_sorted, first_idx = np.unique(cwords, return_index=True)
             kept_pos = cand[first_idx]
+            _stage("skew kmer-unique")
             skew_direct = cls._place_skew_cuckoo(cw_sorted, kept_pos)
+            _stage("skew cuckoo")
             if skew_direct is None:  # fall back to bounded buckets
                 n2 = len(cw_sorted)
                 T2 = 1 << max(6, int(np.ceil(np.log2(max(n2 * 2, 64)))))
@@ -318,6 +361,7 @@ class SSHash:
                     "pos": kept_pos[order3].astype(np.int64),
                 }
 
+        _stage("skew done")
         self = cls(
             unitigs,
             w,
@@ -332,7 +376,8 @@ class SSHash:
         )
         self.direct_T = T
         self.skew_direct = skew_direct
-        self._max_bucket = int(bucket_counts.max()) if len(bucket_counts) else 0
+        self._max_bucket = int(seg.max()) if len(seg) else 0
+        _stage("pack+init")
         return self
 
     @staticmethod

@@ -151,6 +151,80 @@ void expand_ranges_gather(const int64_t* base, const int64_t* starts,
     }
 }
 
+// Build a bucket-table prefix array as a step function over the occupied
+// buckets, in ONE parallel write pass: prefix[0..ub[0]] = 0, then
+// prefix[ub[i]+1 .. ub[i+1]] = cum[i], tail = cum[m-1]. Replaces the
+// zeros(T) + scatter + cumsum chain whose page faults dominated the
+// 50Mbp build (46.5s -> one 8B*T write).
+// ub: sorted occupied bucket ids; cum[i]: total occs in buckets <= ub[i].
+// out has T+1 entries.
+void fill_prefix_i64(const int64_t* ub, const int64_t* cum, int64_t m,
+                     int64_t T, int64_t* out) {
+    if (m == 0) {
+        for (int64_t t = 0; t <= T; t++) out[t] = 0;
+        return;
+    }
+#pragma omp parallel
+    {
+#pragma omp for schedule(static) nowait
+        for (int64_t t = 0; t <= ub[0]; t++) out[t] = 0;
+#pragma omp for schedule(static) nowait
+        for (int64_t i = 0; i < m - 1; i++) {
+            int64_t v = cum[i];
+            for (int64_t t = ub[i] + 1; t <= ub[i + 1]; t++) out[t] = v;
+        }
+#pragma omp for schedule(static)
+        for (int64_t t = ub[m - 1] + 1; t <= T; t++) out[t] = cum[m - 1];
+    }
+}
+
+// Per-class consecutive-duplicate dedup over a 2-class interleaved stream
+// (parity: the reference's per-strand minimizer-occurrence dedup,
+// src/kphf/sshash.rs:109-117). keep[i] = 1 iff element i differs in
+// (mm, pos) from the previous element of the same class (isfw[i]).
+// Block-parallel two-pass: per-block tail (last fw / last rc element),
+// serial carry combine, then per-block flag pass.
+void dedup_flags(const uint64_t* mm, const int64_t* pos, const uint8_t* isfw,
+                 int64_t n, uint8_t* keep) {
+#ifdef _OPENMP
+    int nt = omp_get_max_threads();
+#else
+    int nt = 1;
+#endif
+    int64_t block = (n + nt - 1) / nt;
+    // carry[t][c] = index of last element of class c in blocks < t (-1 none)
+    int64_t* carry = new int64_t[(nt + 1) * 2];
+    carry[0] = carry[1] = -1;
+#pragma omp parallel num_threads(nt)
+    {
+#ifdef _OPENMP
+        int t = omp_get_thread_num();
+#else
+        int t = 0;
+#endif
+        int64_t a = t * block, b = a + block < n ? a + block : n;
+        int64_t last_fw = -1, last_rc = -1;
+        for (int64_t i = a; i < b; i++) {
+            if (isfw[i]) last_fw = i; else last_rc = i;
+        }
+        carry[2 * (t + 1)] = last_fw;
+        carry[2 * (t + 1) + 1] = last_rc;
+#pragma omp barrier
+#pragma omp single
+        for (int i = 1; i <= nt; i++) {
+            if (carry[2 * i] < 0) carry[2 * i] = carry[2 * (i - 1)];
+            if (carry[2 * i + 1] < 0) carry[2 * i + 1] = carry[2 * (i - 1) + 1];
+        }
+        int64_t pf = carry[2 * t], pr = carry[2 * t + 1];
+        for (int64_t i = a; i < b; i++) {
+            int64_t& prev = isfw[i] ? pf : pr;
+            keep[i] = (prev < 0) || mm[i] != mm[prev] || pos[i] != pos[prev];
+            prev = i;
+        }
+    }
+    delete[] carry;
+}
+
 // Pack n values LSB-first at the given bit width into u64 words
 // (IntVector layout). Parallel without atomics: chunks of 64 elements
 // span exactly `width` words (64*width bits), so thread seams are always
