@@ -89,7 +89,11 @@ def build_index():
         )
     else:
         k2u = SSHash.from_unitig_set(
-            unitigs, w=15, skew_param=skew, engine=engine, bucket_load=load
+            unitigs,
+            w=int(os.environ.get("MAZU_BENCH_W", 15)),
+            skew_param=skew,
+            engine=engine,
+            bucket_load=load,
         )
         log(
             f"sshash: engine={engine} skew={skew} probe_bound={k2u.probe_bound()} "

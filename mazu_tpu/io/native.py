@@ -162,6 +162,25 @@ def fill_prefix_i64(ub: np.ndarray, cum: np.ndarray, T: int) -> np.ndarray | Non
     return out
 
 
+def fill_pairs_i32(ub: np.ndarray, cum: np.ndarray, T: int) -> np.ndarray | None:
+    """Bucket-bounds pairs [T, 2] int32 (the device flat2 layout) straight
+    from the sparse occupied-bucket form. None without the lib."""
+    lib = _load()
+    if lib is None:
+        return None
+    ub = np.ascontiguousarray(ub, dtype=np.int64)
+    cum = np.ascontiguousarray(cum, dtype=np.int64)
+    out = np.empty((T, 2), dtype=np.int32)
+    lib.fill_pairs_i32(
+        ub.ctypes.data_as(ctypes.c_void_p),
+        cum.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(len(ub)),
+        ctypes.c_int64(T),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out
+
+
 def dedup_flags(mm: np.ndarray, pos: np.ndarray, isfw: np.ndarray) -> np.ndarray | None:
     """keep[i] = element i differs in (mm, pos) from the previous element
     of the same strand class — the per-strand consecutive dedup of the

@@ -69,7 +69,12 @@ class SSHash:
         self.unitigs = unitigs
         self.w = int(w)
         self.mphf = mphf
-        self.occs_prefix_sum = np.asarray(occs_prefix_sum, dtype=np.int64)
+        # None => lazy: materialized from _sparse_prefix on first access
+        # (the direct-engine default query path only needs the flat2 pairs,
+        # so the dense T+1 int64 array — 4.3 GB at 50Mbp — is never built)
+        self._occs_prefix_dense = (
+            None if occs_prefix_sum is None else np.asarray(occs_prefix_sum, dtype=np.int64)
+        )
         self.pos = pos
         self.skew_param = skew_param  # None == no skew index (usize::MAX)
         self.skew_mphf = skew_mphf
@@ -308,13 +313,11 @@ class SSHash:
         else:
             ub = np.zeros(0, dtype=np.int64)
             seg = np.zeros(0, dtype=np.int64)
-        prefix = fill_prefix_i64(ub, np.cumsum(seg), T)
-        if prefix is None:  # NumPy fallback (no native lib)
-            bucket_counts = np.zeros(T, dtype=np.int64)
-            bucket_counts[ub] = seg
-            prefix = np.empty(T + 1, dtype=np.int64)
-            prefix[0] = 0
-            prefix[1:] = cumsum_i64(bucket_counts)
+        # the dense T+1 prefix is NOT materialized here: the query path
+        # needs only the flat2 pairs (built natively from this sparse form
+        # in device_arrays) and everything else reads the lazy property
+        cum = np.cumsum(seg)
+        cum_excl = cum - seg
         _stage("bucket prefix")
 
         # skew: kmers overlapping occurrences of heavy (merged) buckets, in a
@@ -327,7 +330,7 @@ class SSHash:
         heavy = ub[heavy_sel]
         skew_direct = None
         if len(heavy):
-            occ_sel = expand_ranges(prefix[heavy], seg[heavy_sel])
+            occ_sel = expand_ranges(cum_excl[heavy_sel], seg[heavy_sel])
             mm_positions = pos_direct[occ_sel]
             _stage("skew select")
             span = k - w + 1
@@ -366,7 +369,7 @@ class SSHash:
             unitigs,
             w,
             None,  # no MPHF: direct bucket table
-            prefix,
+            None,  # dense prefix is lazy (see occs_prefix_sum property)
             IntVector.from_array(pos_direct.astype(np.uint64)),
             skew_param,
             None,
@@ -377,6 +380,9 @@ class SSHash:
         self.direct_T = T
         self.skew_direct = skew_direct
         self._max_bucket = int(seg.max()) if len(seg) else 0
+        # sparse prefix (occupied bucket ids + inclusive occ totals): the
+        # device flat2 pairs and the lazy dense prefix both derive from it
+        self._sparse_prefix = (ub, cum)
         _stage("pack+init")
         return self
 
@@ -455,6 +461,24 @@ class SSHash:
 
     # ------------------------------------------------------------- accessors
     @property
+    def occs_prefix_sum(self) -> np.ndarray:
+        if self._occs_prefix_dense is None:
+            from ..io.native import fill_prefix_i64
+
+            ub, cum = self._sparse_prefix
+            dense = fill_prefix_i64(ub, cum, self.direct_T)
+            if dense is None:  # no native lib
+                dense = np.zeros(self.direct_T + 1, dtype=np.int64)
+                np.add.at(dense[1:], ub, np.diff(np.concatenate([[0], cum])))
+                np.cumsum(dense, out=dense)
+            self._occs_prefix_dense = dense
+        return self._occs_prefix_dense
+
+    @occs_prefix_sum.setter
+    def occs_prefix_sum(self, v):
+        self._occs_prefix_dense = None if v is None else np.asarray(v, dtype=np.int64)
+
+    @property
     def k(self) -> int:
         return self.unitigs.k
 
@@ -464,6 +488,8 @@ class SSHash:
 
     @property
     def n_minimizers(self) -> int:
+        if self.direct_T:
+            return self.direct_T
         return len(self.occs_prefix_sum) - 1
 
     @property
@@ -493,7 +519,7 @@ class SSHash:
 
     def num_bits(self) -> int:
         if self.direct_T:  # direct table: flat int32 prefix, no MPHF
-            mm_bits = 32 * len(self.occs_prefix_sum)
+            mm_bits = 32 * (self.direct_T + 1)
         else:
             mm_bits = self.ef_occs_prefix_sum().num_bits() + self.mphf.num_bits()
         nb = 64 + self.unitigs.num_bits() + self.pos.num_bits() + mm_bits
@@ -745,12 +771,24 @@ class SSHash:
         if prefix_kind == "ef":
             d["prefix"] = self.ef_occs_prefix_sum().device_arrays()
         elif prefix_kind == "flat32":
-            p32 = self.occs_prefix_sum.astype(np.int32)
-            # pair-packed (start, end) rows: one gather for both bucket bounds
-            d["prefix"] = {
-                "flat": p32,
-                "flat2": np.stack([p32[:-1], p32[1:]], axis=1),
-            }
+            sp = getattr(self, "_sparse_prefix", None)
+            pairs = None
+            if sp is not None:
+                from ..io.native import fill_pairs_i32
+
+                pairs = fill_pairs_i32(sp[0], sp[1], self.direct_T)
+            if pairs is not None:
+                # pair-packed (start, end) bucket bounds in one native pass;
+                # the query kernel reads only flat2 when it is present, so
+                # the redundant T+1 "flat" copy is dropped entirely
+                d["prefix"] = {"flat2": pairs}
+            else:
+                p32 = self.occs_prefix_sum.astype(np.int32)
+                # pair-packed (start, end) rows: one gather for both bounds
+                d["prefix"] = {
+                    "flat": p32,
+                    "flat2": np.stack([p32[:-1], p32[1:]], axis=1),
+                }
         else:
             d["prefix"] = {"flat": self.occs_prefix_sum}
         if self.skew_mphf is not None:

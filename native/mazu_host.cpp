@@ -178,6 +178,35 @@ void fill_prefix_i64(const int64_t* ub, const int64_t* cum, int64_t m,
     }
 }
 
+// Bucket-bounds PAIRS (start, end) as int32, straight from the sparse
+// occupied-bucket form — the device flat2 layout. pairs[t] =
+// (prefix[t], prefix[t+1]) of the step-function prefix. One write pass;
+// replaces the int64-prefix -> astype(int32) -> np.stack chain (three
+// multi-GB temps at 50Mbp).
+void fill_pairs_i32(const int64_t* ub, const int64_t* cum, int64_t m,
+                    int64_t T, int32_t* out) {
+    if (m == 0) {
+        for (int64_t t = 0; t < 2 * T; t++) out[t] = 0;
+        return;
+    }
+#pragma omp parallel
+    {
+#pragma omp for schedule(static) nowait
+        for (int64_t t = 0; t < ub[0]; t++) { out[2 * t] = 0; out[2 * t + 1] = 0; }
+#pragma omp for schedule(static)
+        for (int64_t i = 0; i < m; i++) {
+            int32_t lo = (int32_t)(i ? cum[i - 1] : 0);
+            int32_t hi = (int32_t)cum[i];
+            int64_t t = ub[i];
+            out[2 * t] = lo; out[2 * t + 1] = hi;
+            int64_t next = (i + 1 < m) ? ub[i + 1] : T;
+            for (int64_t u = t + 1; u < next; u++) {
+                out[2 * u] = hi; out[2 * u + 1] = hi;
+            }
+        }
+    }
+}
+
 // Per-class consecutive-duplicate dedup over a 2-class interleaved stream
 // (parity: the reference's per-strand minimizer-occurrence dedup,
 // src/kphf/sshash.rs:109-117). keep[i] = 1 iff element i differs in
