@@ -80,12 +80,19 @@ def build_index():
     skew = int(os.environ.get("MAZU_BENCH_SKEW", 2))
     engine = os.environ.get("MAZU_BENCH_ENGINE", "direct")
     load = float(os.environ.get("MAZU_BENCH_LOAD", 0.0625))
-    if engine == "cuckoo":
+    if engine in ("cuckoo", "mono", "mono2"):
         from mazu_tpu.kphf.kcdict import KCDict
 
-        k2u = KCDict.from_unitig_set(unitigs, occ_table=u2pos)
+        if engine in ("mono", "mono2"):
+            k2u = KCDict.from_unitig_set(
+                unitigs, occ_table=u2pos, scheme=engine, load=load
+            )
+        else:
+            k2u = KCDict.from_unitig_set(unitigs, occ_table=u2pos)
+        side = 0 if k2u.side is None else k2u.side_T
         log(
-            f"kcdict: buckets={k2u.T} bits/kmer={k2u.num_bits()/k2u.n_kmers:.2f}"
+            f"kcdict[{k2u.scheme}]: buckets={k2u.T} side={side} "
+            f"bits/kmer={k2u.num_bits()/k2u.n_kmers:.2f}"
         )
     else:
         k2u = SSHash.from_unitig_set(

@@ -230,7 +230,12 @@ def get_ref_pos_compact(
     fw = xp.asarray(fw_words)
     N = fw.shape[0]
     M = int(m2) if m2 else max(64, N // budget_div)
-    r = sshash_k2u(d["k2u"], fw, xp, mode="main", probe_limit=probe_limit)
+    if d["k2u"]["meta"].kind == "kcdict":
+        from ..kphf.kcdict import kcdict_k2u
+
+        r = kcdict_k2u(d["k2u"], fw, xp, mode="main")
+    else:
+        r = sshash_k2u(d["k2u"], fw, xp, mode="main", probe_limit=probe_limit)
     assert "occ_cnt" in r, "compact path requires fused device arrays"
     p = _project_fused(d, r, xp)
     overflow = p["overflow"] | r["unresolved"]
@@ -382,10 +387,12 @@ class ModIndex:
         return self.u2pos.max_occs()
 
     def device_arrays(self, fused: bool = False, pos_kind: str | None = None) -> dict:
+        # pos_kind is an SSHash layout knob; other K2Us take no arguments
+        k2u_takes_pos_kind = pos_kind is not None and hasattr(self.k2u, "pos")
         d = {
             "k2u": (
                 self.k2u.device_arrays(pos_kind=pos_kind)
-                if pos_kind is not None
+                if k2u_takes_pos_kind
                 else self.k2u.device_arrays()
             ),
             "u2pos": self.u2pos.device_arrays(),

@@ -111,13 +111,19 @@ def _k2u_state(k2u) -> dict:
     from ..kphf.kcdict import KCDict
 
     if isinstance(k2u, KCDict):
-        return {
+        d = {
             "kind": "kcdict",
             "us": _us_state(k2u.unitigs),
             "table": k2u.table,
             "T": np.int64(k2u.T),
             "salt": np.int64(k2u.salt),
+            "scheme": np.int64({"cuckoo": 0, "mono": 1, "mono2": 2}[k2u.scheme]),
+            "side_T": np.int64(k2u.side_T),
+            "side_salt": np.int64(k2u.side_salt),
         }
+        if k2u.side is not None:
+            d["side"] = k2u.side
+        return d
     if isinstance(k2u, SSHash):
         d = {
             "kind": "sshash",
@@ -175,7 +181,14 @@ def _k2u_from(d):
     if kind == "kcdict":
         from ..kphf.kcdict import KCDict
 
-        return KCDict(_us_from(d["us"]), d["table"], int(d["T"]), int(d["salt"]))
+        kc = KCDict(_us_from(d["us"]), d["table"], int(d["T"]), int(d["salt"]))
+        if "scheme" in d and int(d["scheme"]) != 0:
+            kc.scheme = {1: "mono", 2: "mono2"}[int(d["scheme"])]
+            kc.side_T = int(d["side_T"])
+            kc.side_salt = int(d["side_salt"])
+            if "side" in d:
+                kc.side = d["side"]
+        return kc
     if kind == "sshash":
         sp = int(d["skew_param"])
         ss = SSHash(

@@ -48,6 +48,10 @@ class KCDict:
         self.table = table  # u32 [T, SLOTS*sw]
         self.T = int(T)
         self.salt = int(salt)
+        self.scheme = "cuckoo"  # "cuckoo" (2-choice) | "mono" (1 hash + side)
+        self.side = None  # mono: cuckoo side table holding displaced keys
+        self.side_T = 0
+        self.side_salt = 0
 
     @property
     def slot_words(self) -> int:
@@ -56,11 +60,32 @@ class KCDict:
     # ----------------------------------------------------------------- build
     @classmethod
     def from_unitig_set(
-        cls, unitigs: UnitigSet, load: float = 0.65, occ_table=None
+        cls,
+        unitigs: UnitigSet,
+        load: float = 0.65,
+        occ_table=None,
+        scheme: str = "cuckoo",
     ) -> "KCDict":
         """Host build: enumerate every canonical k-mer with its unitig
-        mapping, then two-choice bucket placement (round-randomized parallel
-        cuckoo, same scheme as SSHash._place_skew_cuckoo).
+        mapping, then bucket placement.
+
+        ``scheme="cuckoo"``: two-choice placement (round-randomized parallel
+        cuckoo, same scheme as SSHash._place_skew_cuckoo) — every key is in
+        one of its two buckets, query = 2 random row gathers.
+
+        ``scheme="mono"``: SINGLE-hash placement — the common-case query is
+        ONE random row gather. Keys displaced from a full bucket live in a
+        small two-choice side table consulted only by the full (phase-2)
+        query; the main-phase kernel flags not-found lanes as unresolved.
+        Use a low ``load`` (e.g. 0.0625): displaced fraction ~ Poisson
+        E[max(X-2,0)]/lambda (~0.2% at lambda=0.125).
+
+        ``scheme="mono2"``: like "mono" but each 36B slot also carries the
+        unitig's SECOND encoded occurrence, and the two slots of a bucket
+        are stored as CONSECUTIVE table rows — the probe is one random row
+        gather plus one adjacent-row gather (nearly free), and cnt <= 2
+        lanes project inline (the overflow class drops to cnt > 2 plus the
+        ~0.2% displaced keys).
 
         ``occ_table``: optional U2Pos table; when given, each slot carries
         the unitig's first encoded occurrence + count (fused projection).
@@ -78,11 +103,31 @@ class KCDict:
 
         n = len(canon)
         n_buckets = 1 << max(6, int(np.ceil(np.log2(max(n / (SLOTS * load), 64)))))
-        placed = _place_two_choice(canon, n_buckets)
-        while placed is None:
-            n_buckets <<= 1
+        if scheme in ("mono", "mono2"):
+            h1 = (fold_hash32(canon) & U32(n_buckets - 1)).astype(np.int64)
+            order = np.argsort(h1, kind="stable")
+            bs = h1[order]
+            run_start = np.ones(n, dtype=bool)
+            if n:
+                run_start[1:] = bs[1:] != bs[:-1]
+            run_id = np.cumsum(run_start) - 1
+            starts = np.flatnonzero(run_start)
+            within = np.arange(n) - starts[run_id]
+            win_sorted = within < SLOTS
+            win = np.zeros(n, dtype=bool)
+            win[order] = win_sorted
+            slot = np.zeros(n, dtype=np.int64)
+            slot[order] = np.where(win_sorted, within, 0)
+            bucket = h1
+            salt = 0
+            side_idx = np.flatnonzero(~win)
+        else:
             placed = _place_two_choice(canon, n_buckets)
-        bucket, slot, salt = placed
+            while placed is None:
+                n_buckets <<= 1
+                placed = _place_two_choice(canon, n_buckets)
+            bucket, slot, salt = placed
+            side_idx = None
 
         if occ_table is not None:
             if hasattr(occ_table.ctable, "to_array"):
@@ -92,9 +137,11 @@ class KCDict:
             off = occ_table.offsets
             first = cwords[np.clip(off[uid], 0, max(len(cwords) - 1, 0))]
             cnt = (off[uid + 1] - off[uid]).astype(np.uint64)
+            second = cwords[np.clip(off[uid] + 1, 0, max(len(cwords) - 1, 0))]
         else:
             first = np.zeros(n, dtype=np.uint64)
             cnt = np.zeros(n, dtype=np.uint64)
+            second = np.zeros(n, dtype=np.uint64)
         khi = (canon >> U64(32)).astype(U32) | (canon_is_useq.astype(U32) << U32(31))
         klo = (canon & U64(0xFFFFFFFF)).astype(U32)
         slim = bool((ulen < (1 << 24)).all())
@@ -124,6 +171,9 @@ class KCDict:
                 (first >> U64(32)).astype(U32),
                 np.minimum(cnt, 0xFFFFFFFF).astype(U32),
             ]
+        if scheme == "mono2":  # 36B slots with the SECOND occurrence inline
+            cols.append((second & U64(0xFFFFFFFF)).astype(U32))
+            cols.append((second >> U64(32)).astype(U32))
         sw = len(cols)
         table = np.zeros((n_buckets, SLOTS * sw), dtype=np.uint32)
         # empty slots: klo=0xFFFFFFFF with khi&0x7FFFFFFF=0x7FFFFFFF can never
@@ -131,10 +181,40 @@ class KCDict:
         # all-ones low word implies the canonical form would be all-A)
         table[:, 0::sw] = U32(0xFFFFFFFF)
         table[:, 1::sw] = U32(0xFFFFFFFF)
-        col = slot * sw
+        if side_idx is None:
+            col = slot * sw
+            for j, c in enumerate(cols):
+                table[bucket, col + j] = c
+            return cls(unitigs, table, n_buckets, salt)
+
+        # mono: winners into the main table, displaced keys into a small
+        # two-choice side table with the same slot encoding
+        win = np.ones(n, dtype=bool)
+        win[side_idx] = False
+        colw = (slot * sw)[win]
+        bw = bucket[win]
         for j, c in enumerate(cols):
-            table[bucket, col + j] = c
-        return cls(unitigs, table, n_buckets, salt)
+            table[bw, colw + j] = c[win]
+        self = cls(unitigs, table, n_buckets, salt)
+        self.scheme = scheme
+        ns = len(side_idx)
+        if ns:
+            side_T = 1 << max(6, int(np.ceil(np.log2(max(ns / SLOTS / 0.3, 64)))))
+            placed = _place_two_choice(canon[side_idx], side_T)
+            while placed is None:
+                side_T <<= 1
+                placed = _place_two_choice(canon[side_idx], side_T)
+            sbucket, sslot, ssalt = placed
+            side = np.zeros((side_T, SLOTS * sw), dtype=np.uint32)
+            side[:, 0::sw] = U32(0xFFFFFFFF)
+            side[:, 1::sw] = U32(0xFFFFFFFF)
+            scol = sslot * sw
+            for j, c in enumerate(cols):
+                side[sbucket, scol + j] = c[side_idx]
+            self.side = side
+            self.side_T = side_T
+            self.side_salt = ssalt
+        return self
 
     @property
     def k(self) -> int:
@@ -145,7 +225,8 @@ class KCDict:
         return self.unitigs.n_kmers
 
     def num_bits(self) -> int:
-        return 64 + self.unitigs.num_bits() + 8 * self.table.nbytes
+        side = 0 if self.side is None else self.side.nbytes
+        return 64 + self.unitigs.num_bits() + 8 * (self.table.nbytes + side)
 
     def print_stats(self, log=print):
         log(f"kmers: {self.n_kmers}")
@@ -153,8 +234,12 @@ class KCDict:
         log(f"bits / kmer: {self.num_bits() / self.n_kmers:.3f}")
 
     def device_arrays(self) -> dict:
-        return {
-            "table": self.table,
+        sw = self.slot_words
+        # mono2: ship SLOT-rows (36B) — probe j=0 is the only random
+        # gather, slot 1 is the adjacent row
+        split = self.scheme == "mono2"
+        d = {
+            "table": self.table.reshape(-1, sw) if split else self.table,
             "us": self.unitigs.device_arrays(),
             "meta": meta(
                 kind="kcdict",
@@ -162,9 +247,15 @@ class KCDict:
                 t=self.T,
                 salt=self.salt,
                 fused=True,
-                sw=self.slot_words,
+                sw=sw,
+                scheme=self.scheme,
+                side_t=self.side_T,
+                side_salt=self.side_salt,
             ),
         }
+        if self.side is not None:
+            d["side"] = self.side.reshape(-1, sw) if split else self.side
+        return d
 
 
 def _place_two_choice(keys: np.ndarray, n_buckets: int):
@@ -209,10 +300,17 @@ def _place_two_choice(keys: np.ndarray, n_buckets: int):
 
 
 def kcdict_k2u(d: dict, fw_words, xp, mode: str = "full"):
-    """Batched K2U: two random row gathers, elementwise compare, fused
+    """Batched K2U: random row gather(s), elementwise compare, fused
     occurrence projection data. Returns the sshash_k2u-compatible dict
-    (unitig_id, unitig_len, pos, mt, occ_word, occ_cnt; use_skew is always
-    False — there is no skew structure)."""
+    (unitig_id, unitig_len, pos, mt, occ_word, occ_cnt).
+
+    scheme="cuckoo": two gathers of the main table; every key is in one of
+    its two buckets (use_skew/unresolved always False).
+
+    scheme="mono": ONE gather of the main table; in mode="main" lanes not
+    found there are flagged unresolved (displaced key or true miss — the
+    compacted phase 2 sorts it out). mode="full" additionally probes the
+    two-choice side table, so full results are exact for every key."""
     m = d["meta"]
     k = m.k
     if xp is not np:
@@ -223,24 +321,27 @@ def kcdict_k2u(d: dict, fw_words, xp, mode: str = "full"):
     rc = revcomp(fw, k)
     canon = xp.minimum(fw, rc)
 
-    tm = np.uint32(m.t - 1)
-    h1 = (fold_hash32(canon) & tm).astype(xp.int64)
-    h2 = (fold_hash32b(canon, m.salt) & tm).astype(xp.int64)
+    scheme = getattr(m, "scheme", "cuckoo")
+    mono = scheme in ("mono", "mono2")
+    mono2 = scheme == "mono2"
 
     zero = xp.zeros(xp.shape(canon), dtype=xp.int64)
     found = xp.zeros(xp.shape(canon), dtype=bool)
     out_uid, out_ulen, out_pos, out_oc = zero, zero, zero, zero
     out_mt = xp.zeros(xp.shape(canon), dtype=xp.uint8)
     out_ow = xp.zeros(xp.shape(canon), dtype=xp.uint64)
+    out_ow2 = xp.zeros(xp.shape(canon), dtype=xp.uint64) if mono2 else None
 
     clo = (canon & U64(0xFFFFFFFF)).astype(xp.uint32)
     chi = (canon >> U64(32)).astype(xp.uint32)
     is_fw_canon = fw == canon
 
     sw = getattr(m, "sw", 8)
-    for h in (h1, h2):
-        row = d["table"][h]  # [N, SLOTS*sw] u32
-        for s in range(SLOTS):
+
+    def probe(table, h):
+        nonlocal found, out_uid, out_ulen, out_pos, out_oc, out_mt, out_ow, out_ow2
+        row = table[h]  # [N, SLOTS*sw] u32 (mono2: [N, sw] slot rows)
+        for s in range(1 if mono2 else SLOTS):
             c = s * sw
             khi = row[..., c + 1]
             hit = (
@@ -256,7 +357,7 @@ def kcdict_k2u(d: dict, fw_words, xp, mode: str = "full"):
                 is_fw_canon == canon_is_useq, xp.uint8(1), xp.uint8(2)
             )
             out_uid = xp.where(hit, row[..., c + 2].astype(xp.int64), out_uid)
-            if sw == 7:  # slim: upos24|ulen_lo8, ulen_hi16|cnt16
+            if sw in (7, 9):  # slim: upos24|ulen_lo8, ulen_hi16|cnt16
                 A = row[..., c + 3]
                 B = row[..., c + 4]
                 upos = (A & np.uint32(0xFFFFFF)).astype(xp.int64)
@@ -267,6 +368,7 @@ def kcdict_k2u(d: dict, fw_words, xp, mode: str = "full"):
                 ow = row[..., c + 5].astype(xp.uint64) | (
                     row[..., c + 6].astype(xp.uint64) << U64(32)
                 )
+                o2c = c + 7
             else:
                 upos = row[..., c + 3].astype(xp.int64)
                 ulen = row[..., c + 4].astype(xp.int64)
@@ -274,12 +376,43 @@ def kcdict_k2u(d: dict, fw_words, xp, mode: str = "full"):
                 ow = row[..., c + 5].astype(xp.uint64) | (
                     row[..., c + 6].astype(xp.uint64) << U64(32)
                 )
+                o2c = c + 8
             out_pos = xp.where(hit, upos, out_pos)
             out_ulen = xp.where(hit, ulen, out_ulen)
             out_ow = xp.where(hit, ow, out_ow)
             out_oc = xp.where(hit, cnt, out_oc)
             out_mt = xp.where(hit, mt, out_mt)
+            if mono2:
+                ow2 = row[..., o2c].astype(xp.uint64) | (
+                    row[..., o2c + 1].astype(xp.uint64) << U64(32)
+                )
+                out_ow2 = xp.where(hit, ow2, out_ow2)
             found = found | hit
+
+    tm = np.uint32(m.t - 1)
+    h1 = (fold_hash32(canon) & tm).astype(xp.int64)
+    if not mono:
+        probe(d["table"], h1)
+        h2 = (fold_hash32b(canon, m.salt) & tm).astype(xp.int64)
+        probe(d["table"], h2)
+    else:
+        if mono2:  # slot rows: 1 random gather + 1 adjacent-row gather
+            probe(d["table"], h1 * 2)
+            probe(d["table"], h1 * 2 + 1)
+        else:
+            probe(d["table"], h1)
+        if mode != "main" and "side" in d:
+            sm = np.uint32(m.side_t - 1)
+            hs1 = (fold_hash32(canon) & sm).astype(xp.int64)
+            hs2 = (fold_hash32b(canon, m.side_salt) & sm).astype(xp.int64)
+            if mono2:
+                probe(d["side"], hs1 * 2)
+                probe(d["side"], hs1 * 2 + 1)
+                probe(d["side"], hs2 * 2)
+                probe(d["side"], hs2 * 2 + 1)
+            else:
+                probe(d["side"], hs1)
+                probe(d["side"], hs2)
 
     out = {
         "unitig_id": out_uid,
@@ -289,7 +422,13 @@ def kcdict_k2u(d: dict, fw_words, xp, mode: str = "full"):
         "occ_word": out_ow,
         "occ_cnt": out_oc,
     }
+    if mono2:
+        out["occ_word2"] = out_ow2
     if mode == "main":
         out["use_skew"] = xp.zeros(xp.shape(canon), dtype=bool)
-        out["unresolved"] = xp.zeros(xp.shape(canon), dtype=bool)
+        # mono: a lane not found in the main table is either a displaced
+        # key (side table) or a true miss — phase 2 decides
+        out["unresolved"] = (
+            ~found if mono else xp.zeros(xp.shape(canon), dtype=bool)
+        )
     return out

@@ -90,13 +90,27 @@ class SSHash:
         """Steps 1-3 of the build (reference src/kphf/sshash.rs:94-172):
         canonical minimizer occurrence per k-mer, per-stream consecutive
         dedup, value-sort. Returns (mm_set, mm_occs, ranges_start, mps_sorted)."""
+        import os as _os
+        import time as _time
+
+        _timing = bool(_os.environ.get("MAZU_BUILD_TIMING"))
+        _t = [_time.time()]
+
+        def _stage(tag):
+            if _timing:
+                now = _time.time()
+                print(f"[collect {tag:22s}] {now - _t[0]:6.1f}s", flush=True)
+                _t[0] = now
+
         k = unitigs.k
         kpos = unitigs.kmer_start_positions()
+        _stage("kpos")
         native = None
         if hash32:
             from ..io.native import minimizer_scan32
 
             native = minimizer_scan32(unitigs.useq.words, kpos, k, w, seed)
+            _stage("native scan")
         if native is not None:  # native C++ scan (11x the NumPy path)
             mm_all, off, isfw_all = native
             occ_pos_all = kpos + off.astype(np.int64)
@@ -117,20 +131,25 @@ class SSHash:
         from ..io.native import dedup_flags
 
         keep = dedup_flags(mm_all, occ_pos_all, isfw_all)
+        _stage("dedup flags")
         if keep is not None:  # one parallel pass over the interleaved stream
             sel = np.concatenate(
                 [np.flatnonzero(keep & isfw_all), np.flatnonzero(keep & ~isfw_all)]
             )
+            _stage("sel extract")
         else:
             keep_fw = _dedup_stream(mm_all, occ_pos_all, isfw_all)
             keep_rc = _dedup_stream(mm_all, occ_pos_all, ~isfw_all)
             sel = np.concatenate([keep_fw, keep_rc])
         mms = mm_all[sel]
         mps = occ_pos_all[sel]
+        _stage("sel gather")
 
         order = np.argsort(mms, kind="stable")
+        _stage("mm argsort")
         mms = mms[order]
         mps = mps[order]
+        _stage("order gather")
         # run-length grouping of the sorted stream (np.unique re-sorts: 12s
         # at 50Mbp for data that is already sorted)
         if len(mms):
@@ -144,6 +163,7 @@ class SSHash:
             mm_set = mms
             ranges_start = np.zeros(0, dtype=np.int64)
             mm_occs = np.zeros(0, dtype=np.int64)
+        _stage("run-length")
         return mm_set, mm_occs, ranges_start, mps
 
     @classmethod
