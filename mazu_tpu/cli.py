@@ -4,7 +4,7 @@ src/bin/kphf/main.rs).
   mazu-tpu index build piscem     -p <cf_prefix> -o out.piscem.npz [-m W] [-s SKEW]
   mazu-tpu index build pufferfish -p <cf_prefix> -o out.pf_dense.npz
   mazu-tpu index validate-fasta   -i out.npz -f refs.fa [--streaming]
-  mazu-tpu kphf build  (sshash|pfhash|cuckoo) -p <cf_prefix> -o out.npz [-m W] [-s SKEW] [--validate]
+  mazu-tpu kphf build  (sshash|pfhash|cuckoo|mono|mono2) -p <cf_prefix> -o out.npz [-m W] [-s SKEW] [--validate]
   mazu-tpu kphf validate -i kphf.npz
   mazu-tpu kphf stats    -i kphf.npz
   mazu-tpu kphf bench    -i kphf.npz -f queries.fa [--streaming]
@@ -59,7 +59,7 @@ def _build_parser():
     kp = sub.add_parser("kphf").add_subparsers(dest="cmd", required=True)
     b = kp.add_parser("build")
     bsub = b.add_subparsers(dest="flavor", required=True)
-    for flavor in ("sshash", "pfhash", "cuckoo"):
+    for flavor in ("sshash", "pfhash", "cuckoo", "mono", "mono2"):
         f = bsub.add_parser(flavor)
         f.add_argument("-p", "--cf-prefix", required=True)
         f.add_argument("-o", "--output", required=True)
@@ -181,10 +181,14 @@ def _main(argv=None):
                 k2u = SSHash.from_unitig_set(
                     us, args.minimizer_size, skew_param=sp, engine=args.engine
                 )
-            elif args.flavor == "cuckoo":
+            elif args.flavor in ("cuckoo", "mono", "mono2"):
                 from .kphf.kcdict import KCDict
 
-                k2u = KCDict.from_unitig_set(us)
+                k2u = (
+                    KCDict.from_unitig_set(us)
+                    if args.flavor == "cuckoo"
+                    else KCDict.from_unitig_set(us, scheme=args.flavor, load=0.125)
+                )
             else:
                 from .kphf.pfhash import PFHash
 

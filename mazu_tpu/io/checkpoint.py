@@ -118,6 +118,7 @@ def _k2u_state(k2u) -> dict:
             "T": np.int64(k2u.T),
             "salt": np.int64(k2u.salt),
             "scheme": np.int64({"cuckoo": 0, "mono": 1, "mono2": 2}[k2u.scheme]),
+            "occ32": np.int64(1 if k2u.occ32 else 0),
             "side_T": np.int64(k2u.side_T),
             "side_salt": np.int64(k2u.side_salt),
         }
@@ -184,6 +185,7 @@ def _k2u_from(d):
         kc = KCDict(_us_from(d["us"]), d["table"], int(d["T"]), int(d["salt"]))
         if "scheme" in d and int(d["scheme"]) != 0:
             kc.scheme = {1: "mono", 2: "mono2"}[int(d["scheme"])]
+            kc.occ32 = bool(int(d.get("occ32", 0)))
             kc.side_T = int(d["side_T"])
             kc.side_salt = int(d["side_salt"])
             if "side" in d:

@@ -48,10 +48,11 @@ class KCDict:
         self.table = table  # u32 [T, SLOTS*sw]
         self.T = int(T)
         self.salt = int(salt)
-        self.scheme = "cuckoo"  # "cuckoo" (2-choice) | "mono" (1 hash + side)
+        self.scheme = "cuckoo"  # "cuckoo" (2-choice) | "mono"/"mono2" (1 hash + side)
         self.side = None  # mono: cuckoo side table holding displaced keys
         self.side_T = 0
         self.side_salt = 0
+        self.occ32 = False  # mono2: occ words stored as single u32 cols
 
     @property
     def slot_words(self) -> int:
@@ -171,9 +172,22 @@ class KCDict:
                 (first >> U64(32)).astype(U32),
                 np.minimum(cnt, 0xFFFFFFFF).astype(U32),
             ]
-        if scheme == "mono2":  # 36B slots with the SECOND occurrence inline
-            cols.append((second & U64(0xFFFFFFFF)).astype(U32))
-            cols.append((second >> U64(32)).astype(U32))
+        occ32 = False
+        if scheme == "mono2":
+            occ32 = slim and occ_table is not None and bool(
+                (first < (1 << 32)).all() and (second < (1 << 32)).all()
+            )
+            if occ32:
+                # u32-occ specialization (chromosome-scale indexes): BOTH
+                # occurrences ride the slot in ONE u32 each -> 28B slots,
+                # 56B bucket rows, single-gather probe with mono2 overflow
+                cols = cols[:5] + [
+                    first.astype(U32),
+                    second.astype(U32),
+                ]
+            else:  # 36B slots with the SECOND occurrence in two u32 cols
+                cols.append((second & U64(0xFFFFFFFF)).astype(U32))
+                cols.append((second >> U64(32)).astype(U32))
         sw = len(cols)
         table = np.zeros((n_buckets, SLOTS * sw), dtype=np.uint32)
         # empty slots: klo=0xFFFFFFFF with khi&0x7FFFFFFF=0x7FFFFFFF can never
@@ -197,6 +211,7 @@ class KCDict:
             table[bw, colw + j] = c[win]
         self = cls(unitigs, table, n_buckets, salt)
         self.scheme = scheme
+        self.occ32 = occ32
         ns = len(side_idx)
         if ns:
             side_T = 1 << max(6, int(np.ceil(np.log2(max(ns / SLOTS / 0.3, 64)))))
@@ -235,9 +250,10 @@ class KCDict:
 
     def device_arrays(self) -> dict:
         sw = self.slot_words
-        # mono2: ship SLOT-rows (36B) — probe j=0 is the only random
-        # gather, slot 1 is the adjacent row
-        split = self.scheme == "mono2"
+        # mono2 without the u32-occ specialization: ship SLOT-rows (36B) —
+        # probe j=0 is the only random gather, slot 1 is the adjacent row.
+        # With occ32 the bucket row is 56B and probes in ONE gather.
+        split = self.scheme == "mono2" and not self.occ32
         d = {
             "table": self.table.reshape(-1, sw) if split else self.table,
             "us": self.unitigs.device_arrays(),
@@ -251,6 +267,8 @@ class KCDict:
                 scheme=self.scheme,
                 side_t=self.side_T,
                 side_salt=self.side_salt,
+                occ32=self.occ32,
+                split=split,
             ),
         }
         if self.side is not None:
@@ -324,6 +342,10 @@ def kcdict_k2u(d: dict, fw_words, xp, mode: str = "full"):
     scheme = getattr(m, "scheme", "cuckoo")
     mono = scheme in ("mono", "mono2")
     mono2 = scheme == "mono2"
+    occ32 = bool(getattr(m, "occ32", False))
+    # split: mono2 slot-rows (36B, two gathers); occ32 mono2 keeps 56B
+    # bucket rows probed in ONE gather
+    split = bool(getattr(m, "split", mono2 and not occ32))
 
     zero = xp.zeros(xp.shape(canon), dtype=xp.int64)
     found = xp.zeros(xp.shape(canon), dtype=bool)
@@ -340,8 +362,8 @@ def kcdict_k2u(d: dict, fw_words, xp, mode: str = "full"):
 
     def probe(table, h):
         nonlocal found, out_uid, out_ulen, out_pos, out_oc, out_mt, out_ow, out_ow2
-        row = table[h]  # [N, SLOTS*sw] u32 (mono2: [N, sw] slot rows)
-        for s in range(1 if mono2 else SLOTS):
+        row = table[h]  # [N, SLOTS*sw] u32 (split mono2: [N, sw] slot rows)
+        for s in range(1 if split else SLOTS):
             c = s * sw
             khi = row[..., c + 1]
             hit = (
@@ -357,7 +379,8 @@ def kcdict_k2u(d: dict, fw_words, xp, mode: str = "full"):
                 is_fw_canon == canon_is_useq, xp.uint8(1), xp.uint8(2)
             )
             out_uid = xp.where(hit, row[..., c + 2].astype(xp.int64), out_uid)
-            if sw in (7, 9):  # slim: upos24|ulen_lo8, ulen_hi16|cnt16
+            ow2 = None
+            if sw in (7, 9) and not occ32:  # slim: upos24|ulen_lo8, ulen_hi16|cnt16
                 A = row[..., c + 3]
                 B = row[..., c + 4]
                 upos = (A & np.uint32(0xFFFFFF)).astype(xp.int64)
@@ -368,7 +391,20 @@ def kcdict_k2u(d: dict, fw_words, xp, mode: str = "full"):
                 ow = row[..., c + 5].astype(xp.uint64) | (
                     row[..., c + 6].astype(xp.uint64) << U64(32)
                 )
-                o2c = c + 7
+                if mono2:
+                    ow2 = row[..., c + 7].astype(xp.uint64) | (
+                        row[..., c + 8].astype(xp.uint64) << U64(32)
+                    )
+            elif occ32:  # slim + u32 occ words: both occs in single cols
+                A = row[..., c + 3]
+                B = row[..., c + 4]
+                upos = (A & np.uint32(0xFFFFFF)).astype(xp.int64)
+                ulen = ((A >> np.uint32(24)).astype(xp.int64)) | (
+                    (B & np.uint32(0xFFFF)).astype(xp.int64) << 8
+                )
+                cnt = (B >> np.uint32(16)).astype(xp.int64)
+                ow = row[..., c + 5].astype(xp.uint64)
+                ow2 = row[..., c + 6].astype(xp.uint64)
             else:
                 upos = row[..., c + 3].astype(xp.int64)
                 ulen = row[..., c + 4].astype(xp.int64)
@@ -376,16 +412,16 @@ def kcdict_k2u(d: dict, fw_words, xp, mode: str = "full"):
                 ow = row[..., c + 5].astype(xp.uint64) | (
                     row[..., c + 6].astype(xp.uint64) << U64(32)
                 )
-                o2c = c + 8
+                if mono2:
+                    ow2 = row[..., c + 8].astype(xp.uint64) | (
+                        row[..., c + 9].astype(xp.uint64) << U64(32)
+                    )
             out_pos = xp.where(hit, upos, out_pos)
             out_ulen = xp.where(hit, ulen, out_ulen)
             out_ow = xp.where(hit, ow, out_ow)
             out_oc = xp.where(hit, cnt, out_oc)
             out_mt = xp.where(hit, mt, out_mt)
-            if mono2:
-                ow2 = row[..., o2c].astype(xp.uint64) | (
-                    row[..., o2c + 1].astype(xp.uint64) << U64(32)
-                )
+            if mono2 and ow2 is not None:
                 out_ow2 = xp.where(hit, ow2, out_ow2)
             found = found | hit
 
@@ -396,7 +432,7 @@ def kcdict_k2u(d: dict, fw_words, xp, mode: str = "full"):
         h2 = (fold_hash32b(canon, m.salt) & tm).astype(xp.int64)
         probe(d["table"], h2)
     else:
-        if mono2:  # slot rows: 1 random gather + 1 adjacent-row gather
+        if split:  # slot rows: 1 random gather + 1 adjacent-row gather
             probe(d["table"], h1 * 2)
             probe(d["table"], h1 * 2 + 1)
         else:
@@ -405,7 +441,7 @@ def kcdict_k2u(d: dict, fw_words, xp, mode: str = "full"):
             sm = np.uint32(m.side_t - 1)
             hs1 = (fold_hash32(canon) & sm).astype(xp.int64)
             hs2 = (fold_hash32b(canon, m.side_salt) & sm).astype(xp.int64)
-            if mono2:
+            if split:
                 probe(d["side"], hs1 * 2)
                 probe(d["side"], hs1 * 2 + 1)
                 probe(d["side"], hs2 * 2)
