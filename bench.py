@@ -70,6 +70,15 @@ def build_index():
         unitigs = base.k2u.unitigs
         refs = base.refs
         u2pos = base.u2pos
+        if os.environ.get("MAZU_BENCH_REPACK", "1") == "1":
+            # minimal-width piscem packing: occ words fit u32 at this scale,
+            # enabling the mono2 occ32 slot layout (decoded results are
+            # identical; the host oracle re-verifies every run)
+            from mazu_tpu.index.unitig_table import PiscemUnitigTable
+
+            u2pos = PiscemUnitigTable.from_dense(
+                u2pos, ref_lens=np.diff(refs.prefix_sum)
+            )
         log(f"yeast chr01: {unitigs.n_kmers} kmers, {unitigs.n_unitigs} unitigs")
     else:  # self-contained fallback
         import __graft_entry__ as g

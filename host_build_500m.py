@@ -21,13 +21,14 @@ from mazu_tpu.kphf.sshash import SSHash, sshash_k2u  # noqa: E402
 def main():
     bases = int(os.environ.get("MAZU_PROOF_BASES", 500_000_000))
     load = float(os.environ.get("MAZU_PROOF_LOAD", 0.5))
+    skew = int(os.environ.get("MAZU_PROOF_SKEW", 8))
     T0 = time.time()
     t0 = time.time()
     unitigs, refs, u2pos = bench.build_synthetic(bases)
     print(f"[synth {bases/1e6:.0f}Mbp] {time.time()-t0:.1f}s", flush=True)
     t1 = time.time()
     k2u = SSHash.from_unitig_set(
-        unitigs, w=15, skew_param=4, engine="direct", bucket_load=load
+        unitigs, w=15, skew_param=skew, engine="direct", bucket_load=load
     )
     print(
         f"[sshash direct load={load}] {time.time()-t1:.1f}s T={k2u.direct_T} "

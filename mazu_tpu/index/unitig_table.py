@@ -132,6 +132,32 @@ class PiscemUnitigTable:
     def max_occs(self) -> int:
         return int(np.max(self.offsets[1:] - self.offsets[:-1])) if self.n_unitigs else 0
 
+    @classmethod
+    def from_dense(cls, dense: "DenseUnitigTable", ref_lens=None) -> "PiscemUnitigTable":
+        """Re-encode a pf1 dense table into the minimal-width piscem packing
+        (decode_pf1 -> encode_piscem; same occurrences, fewer bits — and
+        u32-width words when the reference set is small enough, which
+        enables the mono2 occ32 slot layout)."""
+        words = np.asarray(dense.ctable, dtype=np.uint64)
+        ref_id, pos, o = decode_pf1(words, np)
+        if ref_lens is not None and len(ref_lens):
+            longest = int(np.max(ref_lens))
+            num_refs = int(len(ref_lens))
+        else:
+            longest = int(pos.max()) + 1 if len(pos) else 1
+            num_refs = int(ref_id.max()) + 1 if len(ref_id) else 1
+        pos_bits, ref_bits, total = required_num_bits(longest, num_refs)
+        ref_shift = pos_bits + 1
+        packed = encode_piscem(ref_id, pos, o, ref_shift)
+        return cls(
+            IntVector.from_array(packed, width=total),
+            dense.offsets,
+            ref_shift,
+            (1 << pos_bits) - 1,
+            ref_names=dense.ref_names,
+            ref_exts=dense.ref_exts,
+        )
+
     def device_arrays(self, paired: bool = True) -> dict:
         d = {
             "ctable": self.ctable.device_arrays(),

@@ -422,6 +422,13 @@ class SSHash:
         n = len(keys)
         if n == 0:
             return None
+        if n > (1 << 22):
+            # the round-randomized walk argsorts the whole key set per round
+            # (up to 512 rounds x 4 salts): past ~4M keys the sort-based
+            # bounded-bucket fallback builds in one pass and queries nearly
+            # as fast — at 500Mbp/load 0.5 the skew set hits tens of
+            # millions of keys and the walk effectively never terminates
+            return None
         T2 = 1 << max(6, int(np.ceil(np.log2(max(n / load, 64)))))
         for salt in range(4):
             h1 = (fold_hash32(keys) & np.uint32(T2 - 1)).astype(np.int64)
