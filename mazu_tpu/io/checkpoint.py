@@ -132,6 +132,9 @@ def _k2u_state(k2u) -> dict:
             "w": np.int64(k2u.w),
             "seed": np.int64(k2u.seed),
             "hash32": np.int64(1 if k2u.hash32 else 0),
+            "ordering": np.int64(
+                {"mix64": 0, "mix32": 1, "wyhash": 2}[k2u.ordering]
+            ),
             "direct_T": np.int64(k2u.direct_T or 0),
             "skew_param": np.int64(-1 if k2u.skew_param is None else k2u.skew_param),
             "prefix": k2u.occs_prefix_sum,
@@ -204,6 +207,9 @@ def _k2u_from(d):
             _iv_from(d["skew_pos"]) if "skew_pos" in d else None,
             seed=int(d["seed"]),
             hash32=bool(int(d.get("hash32", 0))),
+            ordering={0: "mix64", 1: "mix32", 2: "wyhash"}[
+                int(d.get("ordering", int(d.get("hash32", 0))))
+            ],
         )
         t = int(d.get("direct_T", 0))
         ss.direct_T = t or None

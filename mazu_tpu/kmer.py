@@ -163,7 +163,9 @@ def mix64(x, seed=U64(0)):
     wyhash (reference src/kphf/mod.rs:32-52) — the choice of ordering hash
     only affects which w-mer is the minimizer, never query results, and this
     mix uses only mul-lo/xor/shift, which maps cleanly onto TPU integer
-    lanes. Bit-exact wyhash is available in mazu_tpu.hashes for parity
+    lanes. A wyhash-v1 ordering (mazu_tpu.hashes.wyhash_u64, reconstructed —
+    see its provenance note) is selectable via ``ordering="wyhash"`` /
+    ``SSHash.from_unitig_set(minimizer_hash="wyhash")`` for parity
     experiments.
     """
     z = x ^ (U64(seed) * _SPLIT_C0)
@@ -177,7 +179,9 @@ def mix64(x, seed=U64(0)):
 # ----------------------------------------------------------------------------
 
 
-def canonical_minimizer_batch(xp, words, k: int, w: int, seed=0, hash32: bool = False):
+def canonical_minimizer_batch(
+    xp, words, k: int, w: int, seed=0, hash32: bool = False, ordering: str | None = None
+):
     """Canonical minimizer of each k-mer word in ``words``.
 
     Contract (matches the reference's deviation notes, src/kphf/sshash.rs:32-37:
@@ -200,11 +204,16 @@ def canonical_minimizer_batch(xp, words, k: int, w: int, seed=0, hash32: bool = 
     n_win = k - w + 1
     mw = mask2k(w)
     seed = U64(seed)
+    if ordering is None:
+        ordering = "mix32" if hash32 else "mix64"
+    hash32 = ordering == "mix32"
     if hash32:
         assert w <= 16, "hash32 minimizer ordering needs w <= 16"
         from .kphf.boophf32 import mix32
 
         seed32 = np.uint32(int(seed) & 0xFFFFFFFF)
+    elif ordering == "wyhash":
+        from .hashes import wyhash_u64
 
     canon, is_fw, _rc = canonicalize(words, k)
 
@@ -215,6 +224,8 @@ def canonical_minimizer_batch(xp, words, k: int, w: int, seed=0, hash32: bool = 
         mv = (canon >> U64(2 * j)) & mw
         if hash32:
             sc = mix32(mv.astype(xp.uint32) ^ seed32)
+        elif ordering == "wyhash":
+            sc = wyhash_u64(mv, seed)
         else:
             sc = mix64(mv, seed)
         if best_val is None:

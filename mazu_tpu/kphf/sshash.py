@@ -65,6 +65,7 @@ class SSHash:
         skew_pos: IntVector | None,
         seed: int = 0,
         hash32: bool = False,
+        ordering: str | None = None,
     ):
         self.unitigs = unitigs
         self.w = int(w)
@@ -81,12 +82,22 @@ class SSHash:
         self.skew_pos = skew_pos
         self.seed = int(seed)
         self.hash32 = bool(hash32)  # mix32 minimizer ordering (TPU fast path)
+        # minimizer-ordering hash: "mix64" (default), "mix32" (fast32/direct
+        # engines), or "wyhash" (reference-parity option, see hashes.wyhash_u64)
+        self.ordering = ordering or ("mix32" if hash32 else "mix64")
         self.direct_T = None  # set when the minimizer map is a direct bucket table
         self.skew_direct = None  # direct-mapped skew table (engine="direct")
 
     # ----------------------------------------------------------------- build
     @staticmethod
-    def _collect_minimizer_occs(unitigs: UnitigSet, w: int, seed: int, hash32: bool, chunk: int):
+    def _collect_minimizer_occs(
+        unitigs: UnitigSet,
+        w: int,
+        seed: int,
+        hash32: bool,
+        chunk: int,
+        ordering: str | None = None,
+    ):
         """Steps 1-3 of the build (reference src/kphf/sshash.rs:94-172):
         canonical minimizer occurrence per k-mer, per-stream consecutive
         dedup, value-sort. Returns (mm_set, mm_occs, ranges_start, mps_sorted)."""
@@ -105,8 +116,10 @@ class SSHash:
         k = unitigs.k
         kpos = unitigs.kmer_start_positions()
         _stage("kpos")
+        if ordering is None:
+            ordering = "mix32" if hash32 else "mix64"
         native = None
-        if hash32:
+        if ordering == "mix32":
             from ..io.native import minimizer_scan32
 
             native = minimizer_scan32(unitigs.useq.words, kpos, k, w, seed)
@@ -122,7 +135,7 @@ class SSHash:
                 sl = slice(s, s + chunk)
                 words = unitigs.get_kmer_u64(kpos[sl])
                 mm, off, is_fw, _ = canonical_minimizer_batch(
-                    np, words, k, w, seed, hash32=hash32
+                    np, words, k, w, seed, ordering=ordering
                 )
                 mm_all[sl] = mm
                 occ_pos_all[sl] = kpos[sl] + off.astype(np.int64)
@@ -178,15 +191,26 @@ class SSHash:
         engine: str = "parity",  # "parity" | "fast32" | "direct" (TPU-native)
         bucket_load: float = 0.5,  # direct engine: minimizers per bucket-table slot
         skew_bound_target: int = 4,  # direct engine: max skew-bucket probe count
+        minimizer_hash: str | None = None,  # parity engine: "mix64" | "wyhash"
     ) -> "SSHash":
         """Host-side build (reference src/kphf/sshash.rs:86-330, vectorized).
 
         ``engine="fast32"`` selects the TPU-native arithmetic: BooPHF32
         MPHFs (u32 chain hashes, power-of-two levels) and mix32 minimizer
         ordering — same structure and guarantees, ~all-32-bit query math.
+
+        ``minimizer_hash="wyhash"`` (parity engine only) orders minimizers
+        with the reconstructed wyhash-v1 of the reference's BuildHasher
+        (src/kphf/mod.rs:32-52); query results are identical under any
+        ordering, this only changes which w-mer each super-k-mer keys on.
         """
         k = unitigs.k
         assert w <= k
+        if minimizer_hash is not None and engine != "parity":
+            raise ValueError(
+                "minimizer_hash is a parity-engine option (fast32/direct use "
+                "the 32-bit native ordering)"
+            )
         if engine == "direct":
             return cls._from_unitig_set_direct(
                 unitigs,
@@ -200,9 +224,11 @@ class SSHash:
         hash32 = engine == "fast32"
         mphf_cls = BooPHF32 if hash32 else BooPHF
 
+        ordering = minimizer_hash or ("mix32" if hash32 else "mix64")
+
         # 1-3. minimizer occurrences, deduped and value-sorted
         mm_set, mm_occs, ranges_start, mps = cls._collect_minimizer_occs(
-            unitigs, w, seed, hash32, chunk
+            unitigs, w, seed, hash32, chunk, ordering=ordering
         )
 
         # 4. MPHF over the minimizer set
@@ -260,6 +286,7 @@ class SSHash:
             skew_pos_iv,
             seed,
             hash32=hash32,
+            ordering=ordering,
         )
         self._max_bucket = int(mm_occs.max()) if len(mm_occs) else 0
         return self
@@ -326,7 +353,7 @@ class SSHash:
             bfirst[0] = True
             np.not_equal(b_sorted[1:], b_sorted[:-1], out=bfirst[1:])
             run_start = np.flatnonzero(bfirst)
-            occ_cum = np.concatenate([[0], np.cumsum(occ_counts)])
+            occ_cum = np.concatenate([[0], cumsum_i64(occ_counts)])
             run_end = np.concatenate([run_start[1:], [len(b_sorted)]])
             ub = b_sorted[run_start]
             seg = occ_cum[run_end] - occ_cum[run_start]
@@ -336,7 +363,7 @@ class SSHash:
         # the dense T+1 prefix is NOT materialized here: the query path
         # needs only the flat2 pairs (built natively from this sparse form
         # in device_arrays) and everything else reads the lazy property
-        cum = np.cumsum(seg)
+        cum = cumsum_i64(seg)
         cum_excl = cum - seg
         _stage("bucket prefix")
 
@@ -599,6 +626,7 @@ class SSHash:
                 w=self.w,
                 seed=self.seed,
                 hash32=self.hash32,
+                ordering=self.ordering,
                 direct_t=self.direct_T or 0,
                 skew_param=-1 if self.skew_param is None else self.skew_param,
                 probe_bound=max(1, self.probe_bound()),
@@ -927,7 +955,7 @@ def sshash_k2u(
     rc = revcomp(fw, k)
 
     mm, offset, _is_fw, _canon = canonical_minimizer_batch(
-        xp, fw, k, w, m.seed, hash32=m.hash32
+        xp, fw, k, w, m.seed, ordering=getattr(m, "ordering", None), hash32=m.hash32
     )
     canon = xp.minimum(fw, rc)
     offset = offset.astype(xp.int64)
