@@ -317,7 +317,7 @@ def _place_two_choice(keys: np.ndarray, n_buckets: int):
 # ---------------------------------------------------------------------------
 
 
-def kcdict_k2u(d: dict, fw_words, xp, mode: str = "full"):
+def kcdict_k2u(d: dict, fw_words, xp, mode: str = "full", bucket_range=None):
     """Batched K2U: random row gather(s), elementwise compare, fused
     occurrence projection data. Returns the sshash_k2u-compatible dict
     (unitig_id, unitig_len, pos, mt, occ_word, occ_cnt).
@@ -328,7 +328,14 @@ def kcdict_k2u(d: dict, fw_words, xp, mode: str = "full"):
     scheme="mono": ONE gather of the main table; in mode="main" lanes not
     found there are flagged unresolved (displaced key or true miss — the
     compacted phase 2 sorts it out). mode="full" additionally probes the
-    two-choice side table, so full results are exact for every key."""
+    two-choice side table, so full results are exact for every key.
+
+    ``bucket_range=(blo, bhi)`` (mono/mono2 only): ``d["table"]`` holds
+    only buckets [blo, bhi) and this shard answers only lanes whose main
+    hash falls in that range — every output field is exact-zero for other
+    lanes, so a one-hot psum over bucket shards reassembles the full
+    result (parallel/sharding.make_mono_sharded_query). The side table is
+    replicated but the h1 owner alone reports side hits."""
     m = d["meta"]
     k = m.k
     if xp is not np:
@@ -427,6 +434,13 @@ def kcdict_k2u(d: dict, fw_words, xp, mode: str = "full"):
 
     tm = np.uint32(m.t - 1)
     h1 = (fold_hash32(canon) & tm).astype(xp.int64)
+    mine = None
+    if bucket_range is not None:
+        assert mono, "bucket_range shards the mono/mono2 single-hash table"
+        blo, bhi = bucket_range
+        mine = (h1 >= blo) & (h1 < bhi)
+        n_local = d["table"].shape[0] // (2 if split else 1)
+        h1 = xp.clip(h1 - blo, 0, n_local - 1)
     if not mono:
         probe(d["table"], h1)
         h2 = (fold_hash32b(canon, m.salt) & tm).astype(xp.int64)
@@ -467,4 +481,8 @@ def kcdict_k2u(d: dict, fw_words, xp, mode: str = "full"):
         out["unresolved"] = (
             ~found if mono else xp.zeros(xp.shape(canon), dtype=bool)
         )
+    if mine is not None:
+        # non-owner lanes report exact zeros (incl. unresolved=False): the
+        # one-hot psum across bucket shards is then the owner's verdict
+        out = {kk: xp.where(mine, v, xp.zeros_like(v)) for kk, v in out.items()}
     return out

@@ -490,6 +490,72 @@ def _psum_i(v, axis, xp):
     return jax.lax.psum(v, axis)
 
 
+_K2U_SHARD_FIELDS = (
+    "unitig_id",
+    "unitig_len",
+    "pos",
+    "mt",
+    "occ_word",
+    "occ_cnt",
+    "occ_start",
+    "occ_word2",
+    "use_skew",
+    "unresolved",
+)
+
+
+def _merge_k2u(r, bucket_axis, xp):
+    """One-hot psum merge of per-shard k2u outputs (exactly one bucket
+    shard reports nonzero fields per lane)."""
+    return {
+        kk: _psum_i(r[kk], bucket_axis, xp)
+        for kk in _K2U_SHARD_FIELDS
+        if kk in r
+    }
+
+
+def _proj_padded_sharded_occ(ct_local, clo, chi, r, xp, *, u2meta_only, k, mo, bucket_axis):
+    """Sharded analog of get_ref_pos_padded's projection: each shard
+    decodes the (overlapping pair-row) ctable words IT owns; a one-hot
+    psum reassembles the padded occurrence block."""
+    import jax  # noqa: F401  (psum via _psum_i)
+
+    from .. import MATCH_IDENTITY
+    from ..index.unitig_table import decode_words
+
+    hit = r["mt"] > 0
+    start = r["occ_start"]
+    cnt = xp.where(hit, r["occ_cnt"], xp.zeros_like(r["occ_cnt"]))
+    n_pairs = (mo + 1) // 2
+    jj = xp.arange(n_pairs, dtype=start.dtype) * 2
+    g = start[:, None] + jj[None, :]
+    own = (g >= clo) & (g < chi) & hit[:, None]
+    li = xp.clip(g - clo, 0, ct_local.shape[0] - 1)
+    r32 = ct_local[li]  # [M, n_pairs, 4] u32
+    lo32 = r32[..., 0::2].astype(xp.uint64)
+    hi32 = r32[..., 1::2].astype(xp.uint64)
+    words = (lo32 | (hi32 << np.uint64(32))).reshape(r32.shape[0], 2 * n_pairs)[
+        :, :mo
+    ]
+    own_w = xp.repeat(own, 2, axis=1)[:, :mo]
+    ref_id, occ_pos, occ_o = decode_words(u2meta_only, words, xp)
+    kpos = r["pos"][:, None]
+    ulen = r["unitig_len"][:, None]
+    ref_pos = xp.where(occ_o == 1, kpos + occ_pos, occ_pos + (ulen - kpos) - k)
+    o_match = (r["mt"] == MATCH_IDENTITY).astype(xp.int32)[:, None]
+    orient = xp.where(occ_o == 1, o_match, 1 - o_match)
+    zero = xp.zeros_like(ref_id)
+    return {
+        "ref_id": _psum_i(xp.where(own_w, ref_id, zero), bucket_axis, xp),
+        "ref_pos": _psum_i(xp.where(own_w, ref_pos, zero), bucket_axis, xp),
+        "orient": _psum_i(
+            xp.where(own_w, orient, xp.zeros_like(orient)), bucket_axis, xp
+        ),
+        "valid": xp.arange(mo, dtype=cnt.dtype)[None, :] < cnt[:, None],
+        "n_occs": cnt,
+    }
+
+
 def make_fused_sharded_query(
     index,
     mesh,
@@ -559,10 +625,8 @@ def build_fused_sharded_query(
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
 
-    from .. import MATCH_IDENTITY
     from ..kphf.sshash import sshash_k2u
     from ..index.twophase import _project_fused
-    from ..index.unitig_table import decode_words
     from ..ops.compact import flagged_lanes
 
     mo, plim, M2 = int(max_occs), probe_limit, int(m2)
@@ -572,59 +636,14 @@ def build_fused_sharded_query(
     proj_arrays_meta = {"u2pos": u2meta_only, "meta": shared_host["meta"]}
     shared, stacked = shared_dev, stacked_dev
 
-    K2U_FIELDS = (
-        "unitig_id",
-        "unitig_len",
-        "pos",
-        "mt",
-        "occ_word",
-        "occ_cnt",
-        "occ_start",
-        "occ_word2",
-        "use_skew",
-        "unresolved",
-    )
-
     def _merge(r):
-        return {
-            kk: _psum_i(r[kk], bucket_axis, jnp) for kk in K2U_FIELDS if kk in r
-        }
+        return _merge_k2u(r, bucket_axis, jnp)
 
     def _proj_padded_sharded(ct_local, clo, chi, r, xp):
-        """Sharded analog of get_ref_pos_padded's projection: each shard
-        decodes the ctable pair rows IT owns; one-hot psum reassembles."""
-        hit = r["mt"] > 0
-        start = r["occ_start"]
-        cnt = xp.where(hit, r["occ_cnt"], xp.zeros_like(r["occ_cnt"]))
-        n_pairs = (mo + 1) // 2
-        jj = xp.arange(n_pairs, dtype=start.dtype) * 2
-        g = start[:, None] + jj[None, :]
-        own = (g >= clo) & (g < chi) & hit[:, None]
-        li = xp.clip(g - clo, 0, ct_local.shape[0] - 1)
-        r32 = ct_local[li]  # [M, n_pairs, 4] u32
-        lo32 = r32[..., 0::2].astype(xp.uint64)
-        hi32 = r32[..., 1::2].astype(xp.uint64)
-        words = (lo32 | (hi32 << np.uint64(32))).reshape(r32.shape[0], 2 * n_pairs)[
-            :, :mo
-        ]
-        own_w = xp.repeat(own, 2, axis=1)[:, :mo]
-        ref_id, occ_pos, occ_o = decode_words(u2meta_only, words, xp)
-        kpos = r["pos"][:, None]
-        ulen = r["unitig_len"][:, None]
-        ref_pos = xp.where(occ_o == 1, kpos + occ_pos, occ_pos + (ulen - kpos) - k)
-        o_match = (r["mt"] == MATCH_IDENTITY).astype(xp.int32)[:, None]
-        orient = xp.where(occ_o == 1, o_match, 1 - o_match)
-        zero = xp.zeros_like(ref_id)
-        out = {
-            "ref_id": _psum_i(xp.where(own_w, ref_id, zero), bucket_axis, xp),
-            "ref_pos": _psum_i(xp.where(own_w, ref_pos, zero), bucket_axis, xp),
-            "orient": _psum_i(
-                xp.where(own_w, orient, xp.zeros_like(orient)), bucket_axis, xp
-            ),
-            "valid": xp.arange(mo, dtype=cnt.dtype)[None, :] < cnt[:, None],
-            "n_occs": cnt,
-        }
-        return out
+        return _proj_padded_sharded_occ(
+            ct_local, clo, chi, r, xp,
+            u2meta_only=u2meta_only, k=k, mo=mo, bucket_axis=bucket_axis,
+        )
 
     def shard_fn(sh, stk, kms):
         d_local = dict(sh["k2u"])
@@ -666,6 +685,183 @@ def build_fused_sharded_query(
             # per-DATA-shard pieces: lane indices are local to the shard's
             # query slice; the leading axis concatenates one M2-block per
             # data shard
+            "lanes": lanes,
+            "slot_real": slot_real,
+            "phase2": out2,
+            "n_ovf": n_ovf[None],
+            "over_budget": (n_ovf > M2)[None],
+        }
+
+    smapped = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(bucket_axis), P(data_axis)),
+        out_specs=P(data_axis),
+    )
+
+    @jax.jit
+    def query(kms):
+        return smapped(shared, stacked, kms)
+
+    return query
+
+
+def shard_mono_arrays(index, n_shards: int):
+    """Host-side partition of a mono/mono2 KCDict index into bucket shards.
+
+    The single-hash table splits into ``n_shards`` contiguous bucket
+    ranges (T is a power of two, so the splits are equal); the side table
+    (displaced keys, ~0.2-3% of keys) and the offsets prefix replicate;
+    the occurrence ctable splits into contiguous pair-row ranges exactly
+    like shard_fused_arrays. Returns (shared, stacked).
+    """
+    base = index.device_arrays(fused=True)
+    k2u = base["k2u"]
+    m = k2u["meta"]
+    assert m.kind == "kcdict" and getattr(m, "scheme", "") in ("mono", "mono2"), (
+        "mono sharding requires a mono/mono2 KCDict k2u"
+    )
+    T = m.t
+    nrows = k2u["table"].shape[0]
+    row_factor = nrows // T  # 2 for the split slot-row layout, else 1
+    assert T % n_shards == 0, "bucket count must divide the shard count"
+    bt = T // n_shards
+    table = np.ascontiguousarray(
+        np.asarray(k2u["table"]).reshape(
+            n_shards, bt * row_factor, k2u["table"].shape[1]
+        )
+    )
+    bounds = (np.arange(n_shards + 1) * bt).astype(np.int64)
+
+    ct2 = base["u2pos"]["ctable2"]
+    n_ct = ct2.shape[0]
+    cbounds = np.linspace(0, n_ct, n_shards + 1).astype(np.int64)
+    max_ct = max(1, int((cbounds[1:] - cbounds[:-1]).max()))
+    ct = np.zeros((n_shards, max_ct, ct2.shape[1]), dtype=ct2.dtype)
+    for s in range(n_shards):
+        ct[s, : cbounds[s + 1] - cbounds[s]] = ct2[cbounds[s] : cbounds[s + 1]]
+
+    stacked = {
+        "table": table,
+        "ctable2": ct,
+        "blo": bounds[:-1][:, None],
+        "bhi": bounds[1:][:, None],
+        "clo": cbounds[:-1][:, None],
+        "chi": cbounds[1:][:, None],
+    }
+    shared = {
+        "k2u": {kk: v for kk, v in k2u.items() if kk != "table"},
+        "u2pos": {
+            kk: v
+            for kk, v in base["u2pos"].items()
+            if kk not in ("ctable", "ctable2")
+        },
+        "meta": base["meta"],
+    }
+    return shared, stacked
+
+
+def make_mono_sharded_query(
+    index,
+    mesh,
+    m2: int,
+    max_occs: int | None = None,
+    data_axis: str = "data",
+    bucket_axis: str = "bucket",
+):
+    """Bucket-sharded FULL get_ref_pos over the mono/mono2 single-hash
+    engine — the same kernel the single-chip bench default runs
+    (kcdict_k2u one-gather probe + fused inline-occurrence projection +
+    scatter-free compaction + padded heavy phase), plus the ownership
+    mask and one-hot psums. Returns a jitted fn kms[N] -> the
+    merge=False dict of modindex.get_ref_pos_compact (lane indices local
+    to each data shard)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_shards = mesh.shape[bucket_axis]
+    shared, stacked = shard_mono_arrays(index, n_shards)
+    if max_occs is None:
+        max_occs = max(1, index.max_occs())
+    shared_dev = jax.device_put(shared, NamedSharding(mesh, P()))
+    stacked_dev = jax.device_put(stacked, NamedSharding(mesh, P(bucket_axis)))
+    return build_mono_sharded_query(
+        shared,
+        shared_dev,
+        stacked_dev,
+        mesh,
+        m2=m2,
+        max_occs=int(max_occs),
+        data_axis=data_axis,
+        bucket_axis=bucket_axis,
+    )
+
+
+def build_mono_sharded_query(
+    shared_host,
+    shared_dev,
+    stacked_dev,
+    mesh,
+    m2: int,
+    max_occs: int,
+    data_axis: str = "data",
+    bucket_axis: str = "bucket",
+):
+    """Kernel builder behind make_mono_sharded_query (split out so a
+    sharded-checkpoint loader can feed per-device-placed pytrees)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from ..kphf.kcdict import kcdict_k2u
+    from ..index.twophase import _project_fused
+    from ..ops.compact import flagged_lanes
+
+    mo, M2 = int(max_occs), int(m2)
+    k = shared_host["meta"].k
+    u2meta_only = {"meta": shared_host["u2pos"]["meta"]}
+    proj_arrays_meta = {"u2pos": u2meta_only, "meta": shared_host["meta"]}
+    shared, stacked = shared_dev, stacked_dev
+
+    def shard_fn(sh, stk, kms):
+        d_local = dict(sh["k2u"])
+        d_local["table"] = stk["table"][0]
+        blo, bhi = stk["blo"][0, 0], stk["bhi"][0, 0]
+        clo, chi = stk["clo"][0, 0], stk["chi"][0, 0]
+        ct_local = stk["ctable2"][0]
+
+        # ---- main phase: ONE owned-range gather per lane, fused projection
+        r = kcdict_k2u(d_local, kms, jnp, mode="main", bucket_range=(blo, bhi))
+        rm = _merge_k2u(r, bucket_axis, jnp)
+        p = _project_fused(proj_arrays_meta, rm, jnp)
+        overflow = p["overflow"] | rm["unresolved"]
+
+        # ---- scatter-free lane compaction (identical on every bucket shard)
+        lanes, n_ovf = flagged_lanes(overflow, M2, jnp)
+        fw2 = kms[lanes]
+
+        # ---- compacted heavy phase: full probe (side table gated to the
+        # h1 owner) + sharded padded occurrence projection
+        r2 = kcdict_k2u(d_local, fw2, jnp, mode="full", bucket_range=(blo, bhi))
+        r2m = _merge_k2u(r2, bucket_axis, jnp)
+        hit2 = r2m["mt"] > 0
+        uid2 = jnp.where(hit2, r2m["unitig_id"], jnp.zeros_like(r2m["unitig_id"]))
+        start2 = sh["u2pos"]["offsets"][uid2]
+        p2 = _proj_padded_sharded_occ(
+            ct_local, clo, chi, {**r2m, "occ_start": start2}, jnp,
+            u2meta_only=u2meta_only, k=k, mo=mo, bucket_axis=bucket_axis,
+        )
+        out2 = {
+            **{kk: r2m[kk] for kk in ("unitig_id", "unitig_len", "pos", "mt")},
+            **p2,
+        }
+        slot_real = jnp.arange(M2) < jnp.minimum(n_ovf, M2)
+        return {
+            "main": {
+                **{kk: rm[kk] for kk in ("unitig_id", "unitig_len", "pos", "mt")},
+                **p,
+            },
+            "overflow": overflow,
             "lanes": lanes,
             "slot_real": slot_real,
             "phase2": out2,

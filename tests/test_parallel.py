@@ -242,3 +242,119 @@ def test_sharded_checkpoint_roundtrip_and_validate(tmp_path):
 
     # validate_self driven through the sharded query (fw + rc, all k-mers)
     validate_k2u_self_sharded(qf, idx.k2u, batch=2048)
+
+
+def _mono_sharded_case(us, u2, refs, scheme, load, mesh_shape, n=2048, seed=9):
+    """Build a mono/mono2 index, query a mixed batch through the sharded
+    kernel, compare piece-by-piece vs single-device get_ref_pos_compact."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from mazu_tpu.index.modindex import ModIndex, get_ref_pos_compact
+    from mazu_tpu.kmer import revcomp
+    from mazu_tpu.kphf.kcdict import KCDict
+    from mazu_tpu.parallel.sharding import make_mono_sharded_query
+
+    kc = KCDict.from_unitig_set(us, occ_table=u2, scheme=scheme, load=load)
+    idx = ModIndex(kc, u2, refs, index_type="t")
+
+    kms = us.get_kmer_u64(us.kmer_start_positions())
+    rng = np.random.default_rng(seed)
+    work = np.tile(kms, -(-n // len(kms)))[:n]
+    flip = rng.random(n) < 0.5
+    work[flip] = revcomp(work[flip], idx.k)
+    miss = rng.random(n) < 0.05
+    work[miss] = rng.integers(0, 1 << 62, int(miss.sum()), dtype=np.uint64)
+    rng.shuffle(work)
+
+    mo = max(1, idx.max_occs())
+    arrays = idx.device_arrays(fused=True)
+    want = get_ref_pos_compact(arrays, work, np, mo, merge=False, m2=n)
+    M2 = max(64, -(-(int(want["n_ovf"]) + 32) // 64) * 64)
+    want = get_ref_pos_compact(arrays, work, np, mo, merge=False, m2=M2)
+
+    mesh = Mesh(
+        np.array(jax.devices()[:8]).reshape(*mesh_shape), ("data", "bucket")
+    )
+    qf = make_mono_sharded_query(idx, mesh, m2=M2, max_occs=mo)
+    got = jax.tree_util.tree_map(np.asarray, qf(jnp.asarray(work)))
+
+    n_data = mesh_shape[0]
+    assert not bool(want["over_budget"]) and not bool(got["over_budget"].any())
+    np.testing.assert_array_equal(got["overflow"], want["overflow"])
+    for kk in ("unitig_id", "unitig_len", "pos", "mt", "n_occs"):
+        np.testing.assert_array_equal(got["main"][kk], want["main"][kk], err_msg=kk)
+    mv = want["main"]["valid"]
+    np.testing.assert_array_equal(got["main"]["valid"], mv)
+    for kk in ("ref_id", "ref_pos", "orient"):
+        np.testing.assert_array_equal(
+            np.where(mv, got["main"][kk], 0),
+            np.where(mv, want["main"][kk], 0),
+            err_msg=kk,
+        )
+    # phase 2 lane blocks are per data shard; check each against its slice
+    half = n // n_data
+    for s in range(n_data):
+        w_s = get_ref_pos_compact(
+            arrays, work[s * half : (s + 1) * half], np, mo, merge=False, m2=M2
+        )
+        np.testing.assert_array_equal(
+            got["lanes"][s * M2 : (s + 1) * M2], w_s["lanes"]
+        )
+        sr = w_s["slot_real"]
+        np.testing.assert_array_equal(got["slot_real"][s * M2 : (s + 1) * M2], sr)
+        for kk in ("unitig_id", "unitig_len", "pos", "mt", "n_occs"):
+            np.testing.assert_array_equal(
+                np.where(sr, got["phase2"][kk][s * M2 : (s + 1) * M2], 0),
+                np.where(sr, w_s["phase2"][kk], 0),
+                err_msg=f"shard{s}:{kk}",
+            )
+        v2 = w_s["phase2"]["valid"] & sr[:, None]
+        np.testing.assert_array_equal(
+            got["phase2"]["valid"][s * M2 : (s + 1) * M2] & sr[:, None], v2
+        )
+        for kk in ("ref_id", "ref_pos", "orient"):
+            np.testing.assert_array_equal(
+                np.where(v2, got["phase2"][kk][s * M2 : (s + 1) * M2], 0),
+                np.where(v2, w_s["phase2"][kk], 0),
+                err_msg=f"shard{s}:{kk}",
+            )
+    return kc
+
+
+def test_mono_sharded_full_query_matches_single_chip():
+    """Bucket-sharded mono2 (the single-chip bench default engine): exact
+    agreement with get_ref_pos_compact on 1x8 and 2x4 meshes."""
+    import os
+
+    from mazu_tpu.index.spt import SPT
+    from mazu_tpu.io.cuttlefish import CfFiles
+    from tests.conftest import TEST_DATA
+
+    chr7 = os.path.join(TEST_DATA, "cf", "yeast_chr7", "yeast_chr7")
+    if not os.path.exists(chr7 + ".cf_seg"):
+        pytest.skip("chr7 fixture missing")
+    spt = SPT.from_cf(CfFiles(chr7))
+    us, u2, refs = spt.unitigs, spt.piscem_table(), spt.ref_seq_collection()
+    kc = _mono_sharded_case(us, u2, refs, "mono2", 0.25, (1, 8))
+    assert kc.occ32, "chr7 piscem packing should enable the occ32 slot layout"
+    _mono_sharded_case(us, u2, refs, "mono2", 0.25, (2, 4))
+
+
+def test_mono_sharded_side_table_gating():
+    """A high-load mono build displaces many keys into the replicated side
+    table: phase 2 must stay one-hot (only the h1 owner reports side
+    hits) or the psum merge would double-count."""
+    import os
+
+    from mazu_tpu.index.spt import SPT
+    from mazu_tpu.io.cuttlefish import CfFiles
+    from tests.conftest import TEST_DATA
+
+    chr7 = os.path.join(TEST_DATA, "cf", "yeast_chr7", "yeast_chr7")
+    if not os.path.exists(chr7 + ".cf_seg"):
+        pytest.skip("chr7 fixture missing")
+    spt = SPT.from_cf(CfFiles(chr7))
+    us, u2, refs = spt.unitigs, spt.piscem_table(), spt.ref_seq_collection()
+    kc = _mono_sharded_case(us, u2, refs, "mono", 4.0, (1, 8), n=512)
+    assert kc.side is not None and kc.side_T > 0
