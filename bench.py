@@ -122,6 +122,17 @@ def build_index():
 
 def main():
     t0 = time.time()
+    cache = os.environ.get("MAZU_BENCH_CACHE", "")
+    if cache:
+        # persistent XLA compilation cache: a warm dir turns the multi-
+        # minute remote compile into a disk read (measured on axon — see
+        # STATUS.md round 2). Opt-in while the remote-compile service is
+        # known to stall per-graph; flip to default if warm-run data holds.
+        import jax as _jax
+
+        _jax.config.update("jax_compilation_cache_dir", cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     mode = os.environ.get("MAZU_BENCH_MODE", "1graph")  # headline: one-graph fused full query
     if mode in ("1graph", "reads1graph") and "MAZU_BENCH_SKEW" not in os.environ:
         # measured round 2: skew=4 + inline2 + plim=2 cuts phase-2 lanes
