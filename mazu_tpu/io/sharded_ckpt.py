@@ -79,14 +79,7 @@ def _join(arrays, metas):
 
 
 # ------------------------------------------------------------------- save
-def save_fused_sharded(
-    dirpath: str, index, n_shards: int, pos_kind: str = "inline2"
-) -> None:
-    """Partition ``index`` into ``n_shards`` fused bucket shards and write
-    the sharded checkpoint directory."""
-    from ..parallel.sharding import shard_fused_arrays
-
-    shared, stacked = shard_fused_arrays(index, n_shards, pos_kind=pos_kind)
+def _save_sharded(dirpath: str, shared, stacked, n_shards: int, extra: dict):
     os.makedirs(dirpath, exist_ok=True)
     arrays: dict = {}
     metas: dict = {}
@@ -103,15 +96,51 @@ def save_fused_sharded(
     manifest = {
         "format_version": 1,
         "n_shards": int(n_shards),
-        "pos_kind": pos_kind,
-        "max_occs": int(max(1, index.max_occs())),
         "leaves": {
             k: {"shape": list(stacked[k].shape), "dtype": str(stacked[k].dtype)}
             for k in leaf_names
         },
+        **extra,
     }
     with open(os.path.join(dirpath, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)
+
+
+def save_fused_sharded(
+    dirpath: str, index, n_shards: int, pos_kind: str = "inline2"
+) -> None:
+    """Partition ``index`` into ``n_shards`` fused bucket shards and write
+    the sharded checkpoint directory."""
+    from ..parallel.sharding import shard_fused_arrays
+
+    shared, stacked = shard_fused_arrays(index, n_shards, pos_kind=pos_kind)
+    _save_sharded(
+        dirpath,
+        shared,
+        stacked,
+        n_shards,
+        {
+            "kind": "fused",
+            "pos_kind": pos_kind,
+            "max_occs": int(max(1, index.max_occs())),
+        },
+    )
+
+
+def save_mono_sharded(dirpath: str, index, n_shards: int) -> None:
+    """Partition a mono/mono2 KCDict index into bucket shards and write the
+    sharded checkpoint directory (same layout as the fused variant; the
+    manifest records kind="mono")."""
+    from ..parallel.sharding import shard_mono_arrays
+
+    shared, stacked = shard_mono_arrays(index, n_shards)
+    _save_sharded(
+        dirpath,
+        shared,
+        stacked,
+        n_shards,
+        {"kind": "mono", "max_occs": int(max(1, index.max_occs()))},
+    )
 
 
 # ------------------------------------------------------------------- load
@@ -198,6 +227,7 @@ def make_fused_sharded_query_from_ckpt(
     shared_host, shared_dev, stacked_dev, manifest = device_put_fused_sharded(
         dirpath, mesh, bucket_axis=bucket_axis
     )
+    assert manifest.get("kind", "fused") == "fused", manifest.get("kind")
     return build_fused_sharded_query(
         shared_host,
         shared_dev,
@@ -206,6 +236,34 @@ def make_fused_sharded_query_from_ckpt(
         m2=m2,
         max_occs=int(manifest["max_occs"]),
         probe_limit=probe_limit,
+        data_axis=data_axis,
+        bucket_axis=bucket_axis,
+    )
+
+
+def make_mono_sharded_query_from_ckpt(
+    dirpath: str,
+    mesh,
+    m2: int,
+    data_axis: str = "data",
+    bucket_axis: str = "bucket",
+):
+    """Mono checkpoint -> jitted bucket-sharded FULL query (same semantics
+    as parallel.sharding.make_mono_sharded_query) with per-device placement
+    from disk."""
+    from ..parallel.sharding import build_mono_sharded_query
+
+    shared_host, shared_dev, stacked_dev, manifest = device_put_fused_sharded(
+        dirpath, mesh, bucket_axis=bucket_axis
+    )
+    assert manifest.get("kind") == "mono", manifest.get("kind")
+    return build_mono_sharded_query(
+        shared_host,
+        shared_dev,
+        stacked_dev,
+        mesh,
+        m2=m2,
+        max_occs=int(manifest["max_occs"]),
         data_axis=data_axis,
         bucket_axis=bucket_axis,
     )

@@ -358,3 +358,69 @@ def test_mono_sharded_side_table_gating():
     us, u2, refs = spt.unitigs, spt.piscem_table(), spt.ref_seq_collection()
     kc = _mono_sharded_case(us, u2, refs, "mono", 4.0, (1, 8), n=512)
     assert kc.side is not None and kc.side_T > 0
+
+
+def test_mono_sharded_checkpoint_roundtrip_and_validate(tmp_path):
+    """>HBM deployment for the mono2 flagship engine: save bucket-sharded
+    mono checkpoint, load with per-device placement, validate_self through
+    the sharded query."""
+    import os
+
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from mazu_tpu.index.modindex import ModIndex, get_ref_pos_compact
+    from mazu_tpu.index.spt import SPT
+    from mazu_tpu.index.validate import merge_sharded_out, validate_k2u_self_sharded
+    from mazu_tpu.io.cuttlefish import CfFiles
+    from mazu_tpu.io.sharded_ckpt import (
+        load_shard,
+        make_mono_sharded_query_from_ckpt,
+        save_mono_sharded,
+    )
+    from mazu_tpu.kmer import revcomp
+    from mazu_tpu.kphf.kcdict import KCDict
+    from tests.conftest import TEST_DATA
+
+    chr7 = os.path.join(TEST_DATA, "cf", "yeast_chr7", "yeast_chr7")
+    if not os.path.exists(chr7 + ".cf_seg"):
+        pytest.skip("chr7 fixture missing")
+    spt = SPT.from_cf(CfFiles(chr7))
+    us, u2, refs = spt.unitigs, spt.piscem_table(), spt.ref_seq_collection()
+    kc = KCDict.from_unitig_set(us, occ_table=u2, scheme="mono2", load=0.25)
+    idx = ModIndex(kc, u2, refs, index_type="t")
+    ck = str(tmp_path / "mono_shards")
+    save_mono_sharded(ck, idx, n_shards=4)
+    s0 = load_shard(ck, 0)
+    assert s0["table"].shape[0] * 4 == kc.T  # genuinely partial shard files
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("data", "bucket"))
+    M2 = 1024
+    qf = make_mono_sharded_query_from_ckpt(ck, mesh, m2=M2)
+
+    kms = us.get_kmer_u64(us.kmer_start_positions())
+    rng = np.random.default_rng(23)
+    n = 2048
+    work = np.tile(kms, -(-n // len(kms)))[:n]
+    flip = rng.random(n) < 0.5
+    work[flip] = revcomp(work[flip], idx.k)
+    miss = rng.random(n) < 0.05
+    work[miss] = rng.integers(0, 1 << 62, int(miss.sum()), dtype=np.uint64)
+    rng.shuffle(work)
+    got = jax.tree_util.tree_map(np.asarray, qf(jnp.asarray(work)))
+    merged = merge_sharded_out(got)
+    mo = max(1, idx.max_occs())
+    arrays = idx.device_arrays(fused=True)
+    half = n // 2
+    for s in range(2):
+        w_s = get_ref_pos_compact(
+            arrays, work[s * half : (s + 1) * half], np, mo, m2=M2
+        )
+        for kk in ("unitig_id", "unitig_len", "pos", "mt"):
+            np.testing.assert_array_equal(
+                merged[kk][s * half : (s + 1) * half], w_s[kk],
+                err_msg=f"shard{s}:{kk}",
+            )
+
+    # validate_self through the sharded query (the >HBM invariant)
+    validate_k2u_self_sharded(qf, kc, batch=1024)
