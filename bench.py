@@ -138,10 +138,14 @@ def main():
         # measured round 2: skew=4 + inline2 + plim=2 cuts phase-2 lanes
         # 10.3% -> 3.05% on the chr01 workload
         os.environ["MAZU_BENCH_SKEW"] = "4"
-    if mode in ("1graph", "reads1graph") and "MAZU_BENCH_ENGINE" not in os.environ:
+    if mode == "1graph" and "MAZU_BENCH_ENGINE" not in os.environ:
         # mono2-occ32 at load 0.25: ONE 56B bucket-row gather resolves k2u
         # AND both occurrences for ~96% of lanes. chr01 sweep 2026-08-17:
-        # 96.4M (CH=64) / 101.4M (CH=128) vs 54.1M for sshash-direct
+        # 96.4M (CH=64) / 101.4M (CH=128) vs 54.1M for sshash-direct.
+        # reads1graph keeps sshash-direct: read k-mers arrive in sequence
+        # order, and consecutive k-mers share minimizer bucket rows (cache
+        # locality mono2's per-k-mer random hash cannot have) — measured
+        # 37.0M (sshash) vs 23.7M (mono2) read-kmers/s on chip.
         os.environ["MAZU_BENCH_ENGINE"] = "mono2"
         os.environ.setdefault("MAZU_BENCH_LOAD", "0.25")
     index = build_index()

@@ -43,9 +43,12 @@ def _build_parser():
             f.add_argument("-s", "--skew-param", type=int, default=DEFAULT_SKEW)
             f.add_argument(
                 "--engine",
-                choices=["parity", "fast32", "direct", "cuckoo"],
+                choices=["parity", "fast32", "direct", "cuckoo", "mono", "mono2"],
                 default="parity",
-                help="query arithmetic engine (direct/fast32 = TPU-native)",
+                help=(
+                    "query arithmetic engine (direct/fast32 = TPU-native; "
+                    "mono/mono2 = single-gather flagship)"
+                ),
             )
     v = idx.add_parser("validate-fasta")
     v.add_argument("-i", "--index", required=True)

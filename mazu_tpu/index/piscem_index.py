@@ -18,6 +18,13 @@ def piscem_index_from_spt(
         from ..kphf.kcdict import KCDict
 
         k2u = KCDict.from_unitig_set(spt.unitigs, occ_table=table)
+    elif engine in ("mono", "mono2"):
+        # the single-gather flagship engine (bench default at load 0.25)
+        from ..kphf.kcdict import KCDict
+
+        k2u = KCDict.from_unitig_set(
+            spt.unitigs, occ_table=table, scheme=engine, load=0.25
+        )
     else:
         k2u = SSHash.from_unitig_set(
             spt.unitigs, w, skew_param=skew_param, seed=seed, engine=engine

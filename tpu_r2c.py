@@ -28,6 +28,10 @@ def main():
         ("ch256", "1graph mono2 CH=256",
          {"MAZU_BENCH_CHUNKS": "256",
           "MAZU_BENCH_CACHE": "/root/repo/.xla_cache"}),
+        ("readsss", "reads1graph sshash-direct (locality control)",
+         {"MAZU_BENCH_MODE": "reads1graph",
+          "MAZU_BENCH_ENGINE": "direct",
+          "MAZU_BENCH_CACHE": "/root/repo/.xla_cache"}),
     ]
     for tag, desc, env in runs:
         if only and tag != only:
