@@ -16,8 +16,8 @@ import time
 
 import numpy as np
 
-# NOTE: no persistent compilation cache — the axon remote-compile path has
-# shown multi-minute stalls; keep the compile pipeline as simple as possible.
+# A persistent XLA compilation cache (.xla_cache, see main()) absorbs part
+# of the axon remote-compile cost: cold 141.5s -> warm 91.1s compile+first.
 
 
 def log(*a):
@@ -122,12 +122,15 @@ def build_index():
 
 def main():
     t0 = time.time()
-    cache = os.environ.get("MAZU_BENCH_CACHE", "")
-    if cache:
-        # persistent XLA compilation cache: a warm dir turns the multi-
-        # minute remote compile into a disk read (measured on axon — see
-        # STATUS.md round 2). Opt-in while the remote-compile service is
-        # known to stall per-graph; flip to default if warm-run data holds.
+    cache = os.environ.get(
+        "MAZU_BENCH_CACHE", os.path.join(os.path.dirname(__file__), ".xla_cache")
+    )
+    if cache and cache != "0":
+        # persistent XLA compilation cache (axon, measured 2026-08-17):
+        # cold compile+1st 141.5s -> warm 91.1s, bench total 166s -> 114s.
+        # The residual warm cost is per-graph remote round trips + first
+        # execution, not compilation. A stale/corrupt dir just recompiles;
+        # MAZU_BENCH_CACHE=0 disables.
         import jax as _jax
 
         _jax.config.update("jax_compilation_cache_dir", cache)
@@ -428,12 +431,13 @@ def main():
         from mazu_tpu.index.modindex import get_ref_pos_compact
         from mazu_tpu.index.pipeline import OneGraphIndexQuery
 
-        # CH sweep (chr01, 2026-08-17): 16 -> 46.1M, 32 -> 50.9M,
-        # 48 -> 51.7M, 64 -> 52.5M, 128 -> 54.1M. The per-pass
+        # CH sweep (chr01, 2026-08-17, sshash-direct): 16 -> 46.1M,
+        # 32 -> 50.9M, 48 -> 51.7M, 64 -> 52.5M, 128 -> 54.1M; mono2:
+        # 128 -> 101.6-102.4M, 256 -> 104.5M. The per-pass
         # dispatch+readback amortizes with CH and the scan body is
         # compiled once either way. plim=3/4 measured WORSE (41.6M/35.6M):
         # extra probe-row gathers for all lanes outweigh the phase-2 cut.
-        CH = int(os.environ.get("MAZU_BENCH_CHUNKS", 128))
+        CH = int(os.environ.get("MAZU_BENCH_CHUNKS", 256))
         plim_env = os.environ.get("MAZU_BENCH_PLIM", "2")
         plim = int(plim_env) if plim_env and plim_env != "0" else None
         pos_kind = pos_kind_env or "inline2"
