@@ -159,16 +159,23 @@ def main():
     # workload: every k-mer of the reference, fw/rc mixed, tiled to the batch
     from mazu_tpu.kmer import revcomp
 
-    kms_parts = [index.refs.ref_kmers(ri, k) for ri in range(min(index.n_refs, 128))]
+    n_ref_cap = int(os.environ.get("MAZU_BENCH_REFS", 128))
+    kms_parts = [index.refs.ref_kmers(ri, k) for ri in range(min(index.n_refs, n_ref_cap))]
     kms = np.concatenate(kms_parts)
     rng = np.random.default_rng(0)
     flip = rng.random(len(kms)) < 0.5
     kms[flip] = revcomp(kms[flip], k)
 
     batch = int(os.environ.get("MAZU_BENCH_BATCH", 1 << 20))
-    reps = -(-batch // len(kms))
-    work = np.tile(kms, reps)[:batch]
-    rng.shuffle(work)  # defeat streaming locality; this is the cold path
+    if len(kms) >= batch:
+        # uniform sample across the whole k-mer universe: at synthetic
+        # scale the working set must span the full table, not the first
+        # refs' buckets (otherwise the gather stress understates)
+        work = kms[rng.permutation(len(kms))[:batch]]
+    else:
+        reps = -(-batch // len(kms))
+        work = np.tile(kms, reps)[:batch]
+        rng.shuffle(work)  # defeat streaming locality; this is the cold path
 
     import jax
     import jax.numpy as jnp

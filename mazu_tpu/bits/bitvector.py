@@ -32,7 +32,9 @@ class BitVector:
         nw = (n_bits + 63) // 64
         assert len(words) >= nw
         self.n_bits = int(n_bits)
-        w = np.zeros(nw + 1, dtype=np.uint64)
+        # pad >= 2 words so _read_window's words[wi+1] stays in-bounds even
+        # for an empty vector (clipped gathers read bit 0 of word 0)
+        w = np.zeros(max(nw + 1, 2), dtype=np.uint64)
         w[:nw] = words[:nw]
         # mask tail bits beyond n_bits
         tail = n_bits % 64

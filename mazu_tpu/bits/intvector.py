@@ -22,7 +22,9 @@ class IntVector:
     def __init__(self, words: np.ndarray, length: int, width: int):
         assert 0 < width <= 58 or length == 0, f"width {width} unsupported"
         nw = (length * width + 63) // 64
-        w = np.zeros(nw + 1, dtype=np.uint64)
+        # pad >= 2 words so _read_window's words[wi+1] stays in-bounds even
+        # for an empty vector (clipped gathers read bit 0 of word 0)
+        w = np.zeros(max(nw + 1, 2), dtype=np.uint64)
         w[:nw] = words[:nw]
         self.words = w
         self.length = int(length)

@@ -62,11 +62,14 @@ def _build_parser():
     kp = sub.add_parser("kphf").add_subparsers(dest="cmd", required=True)
     b = kp.add_parser("build")
     bsub = b.add_subparsers(dest="flavor", required=True)
-    for flavor in ("sshash", "pfhash", "cuckoo", "mono", "mono2"):
+    for flavor in ("sshash", "pfhash", "sampled", "cuckoo", "mono", "mono2"):
         f = bsub.add_parser(flavor)
         f.add_argument("-p", "--cf-prefix", required=True)
         f.add_argument("-o", "--output", required=True)
         f.add_argument("--validate", action="store_true")
+        if flavor == "sampled":
+            f.add_argument("--sample-size", type=int, default=9)
+            f.add_argument("--extension-size", type=int, default=4)
         if flavor == "sshash":
             f.add_argument("-m", "--minimizer-size", type=int, default=DEFAULT_W)
             f.add_argument("-s", "--skew-param", type=int, default=DEFAULT_SKEW)
@@ -183,6 +186,14 @@ def _main(argv=None):
                 sp = None if args.skew_param <= 0 else args.skew_param
                 k2u = SSHash.from_unitig_set(
                     us, args.minimizer_size, skew_param=sp, engine=args.engine
+                )
+            elif args.flavor == "sampled":
+                from .kphf.sampled import SampledPFHash
+
+                k2u = SampledPFHash.from_unitig_set(
+                    us,
+                    sample_size=args.sample_size,
+                    extension_size=args.extension_size,
                 )
             elif args.flavor in ("cuckoo", "mono", "mono2"):
                 from .kphf.kcdict import KCDict

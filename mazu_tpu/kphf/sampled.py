@@ -1,4 +1,4 @@
-"""SampledPFHash: pufferfish sparse index k-mer dictionary (load-only).
+"""SampledPFHash: pufferfish sparse index k-mer dictionary.
 
 Parity: reference src/kphf/pfhash.rs:138-285. Only a sampled subset of
 k-mers store explicit positions; an unsampled k-mer walks up to
@@ -7,6 +7,12 @@ re-hashes, and shifts the sampled position back.
 
 The walk is a fixed ``extension_size``-step predicated loop (static bound
 from info.json), so the whole query stays one batched jit pipeline.
+
+``from_unitig_set`` BUILDS the sparse structure (the reference leaves this
+``todo!()`` at src/kphf/pfhash.rs:160-162 — load-only there); the build
+here inverts the query-walk semantics, so any structure it produces is
+validated by the same batched ``sampled_k2u`` the pf1 C++ fixtures load
+into.
 """
 
 from __future__ import annotations
@@ -55,6 +61,121 @@ class SampledPFHash:
     @property
     def n_kmers(self) -> int:
         return self.unitigs.n_kmers
+
+    @classmethod
+    def from_unitig_set(
+        cls,
+        unitigs: UnitigSet,
+        sample_size: int = 9,
+        extension_size: int = 4,
+        gamma: float = 1.7,
+    ) -> "SampledPFHash":
+        """Build the sparse pufferfish dictionary (reference ``todo!()``,
+        src/kphf/pfhash.rs:160-162).
+
+        Sampling rule: on each unitig, local k-mer positions ``lp`` with
+        ``lp % sample_size == 0`` are sampled, plus the unitig's LAST k-mer
+        when its phase exceeds ``extension_size`` (tail coverage). With
+        ``sample_size <= 2*extension_size + 1`` every unsampled k-mer is
+        within ``extension_size`` useq steps of a sample in one direction:
+        phase <= E walks backward, phase > E walks forward (to the next
+        multiple, or the extra-sampled last k-mer at the unitig tail).
+        """
+        k, s, E = unitigs.k, int(sample_size), int(extension_size)
+        assert 1 <= s <= 2 * E + 1, "unsampled k-mers must be within one walk"
+        n = unitigs.n_kmers
+        starts = unitigs.accum[:-1]
+        npos = (unitigs.accum[1:] - starts) - k + 1  # k-mers per unitig
+        p = unitigs.kmer_start_positions().astype(np.int64)
+        uid = np.repeat(np.arange(unitigs.n_unitigs, dtype=np.int64), npos)
+        lp = p - starts[uid]
+        last = npos[uid] - 1
+        d = lp % s
+        dL = last % s
+        sampled = (d == 0) | ((lp == last) & (dL > E))
+
+        # signed useq distance to the walk target (0 for sampled k-mers)
+        t_fwd = np.minimum(lp - d + s, last)  # next multiple, or tail sample
+        target = np.where(d > E, t_fwd, lp - d)
+        delta = np.where(sampled, 0, target - lp)
+        steps = np.abs(delta)
+        assert int(steps.max(initial=0)) <= E
+
+        fw = unitigs.get_kmer_u64(p)
+        rc = revcomp(fw, k)
+        canon = np.minimum(fw, rc)
+        mphf = BooPHF.build(canon, gamma=gamma)
+        h = np.asarray(mphf.lookup(canon)).astype(np.int64)
+        assert (h >= 0).all() and len(np.unique(h)) == n
+
+        bits = np.zeros(n, dtype=bool)
+        bits[h[sampled]] = True
+        rank_excl = np.cumsum(bits) - bits  # ones strictly before each slot
+
+        n_sampled = int(sampled.sum())
+        pos_by_rank = np.zeros(n_sampled, dtype=np.int64)
+        pos_by_rank[rank_excl[h[sampled]]] = p[sampled]
+
+        uns = ~sampled
+        e_idx = h[uns] - rank_excl[h[uns]]  # compressed unsampled index
+        n_uns = n - n_sampled
+        canonical_arr = np.zeros(n_uns, dtype=bool)
+        direction_arr = np.zeros(n_uns, dtype=bool)
+        sizes_arr = np.zeros(n_uns, dtype=np.int64)
+        bases_arr = np.zeros(n_uns, dtype=np.uint64)
+        if n_uns:
+            canonical_arr[e_idx] = (fw <= rc)[uns]
+            fwd = delta[uns] > 0
+            direction_arr[e_idx] = fwd
+            sizes_arr[e_idx] = steps[uns] - 1
+            # extension bases, high-to-low: step j's code at shift 2*(E-1-j).
+            # forward walk appends bases p+k+j; backward prepends p-1-j.
+            j = np.arange(E, dtype=np.int64)[None, :]
+            pu = p[uns][:, None]
+            bp = np.where(fwd[:, None], pu + k + j, pu - 1 - j)
+            mask = j < steps[uns][:, None]
+            bp = np.clip(bp, 0, unitigs.total_len - 1)
+            codes = unitigs.useq.get_base(bp.reshape(-1)).reshape(bp.shape)
+            word = (
+                codes.astype(np.uint64) << np.uint64(2) * (E - 1 - j).astype(np.uint64)
+            ) * mask
+            bases_arr[e_idx] = word.sum(axis=1, dtype=np.uint64)
+
+        return cls(
+            unitigs,
+            mphf,
+            sampled_pos=IntVector.from_array(pos_by_rank.astype(np.uint64)),
+            sampled_vec=BitVector.from_bools(bits),
+            canonical_vec=BitVector.from_bools(canonical_arr),
+            direction_vec=BitVector.from_bools(direction_arr),
+            ext_sizes=IntVector.from_array(
+                sizes_arr.astype(np.uint64), width=max(1, (E - 1).bit_length())
+            ),
+            ext_bases=IntVector.from_array(bases_arr, width=2 * E),
+            sample_size=s,
+            extension_size=E,
+        )
+
+    def print_stats(self, log=print) -> None:
+        n = max(1, self.n_kmers)
+        log(f"sampled_pos: {self.sampled_pos.length} entries")
+        log(f"sample_size: {self.sample_size}  extension_size: {self.extension_size}")
+        log(f"total: {self.num_bits() / n:.2f} bits per kmer")
+
+    def num_bits(self) -> int:
+        """Stats parity: total structure size (reference print_stats)."""
+        bv_bits = lambda b: len(b.words) * 64  # noqa: E731
+        iv_bits = lambda v: len(v.words) * 64  # noqa: E731
+        return (
+            self.unitigs.num_bits()
+            + self.mphf.num_bits()
+            + iv_bits(self.sampled_pos)
+            + bv_bits(self.sampled_vec)
+            + bv_bits(self.canonical_vec)
+            + bv_bits(self.direction_vec)
+            + iv_bits(self.ext_sizes)
+            + iv_bits(self.ext_bases)
+        )
 
     def device_arrays(self) -> dict:
         return {

@@ -190,3 +190,25 @@ def test_cli_missing_index_clean_error(capsys):
     rc = cli_main(["index", "validate-fasta", "-i", "/tmp/nope.npz", "-f", "x.fa"])
     assert rc == 1
     assert "no such file" in capsys.readouterr().err
+
+
+def test_cli_sampled_build(tmp_path):
+    """kphf build sampled: BUILD of the sparse dictionary (reference
+    todo!(), src/kphf/pfhash.rs:160-162) through the CLI, checkpoint
+    roundtrip, re-validate."""
+    if not os.path.exists(TINY + ".cf_seg"):
+        pytest.skip("fixture missing")
+    from mazu_tpu.cli import main
+
+    ko = str(tmp_path / "sampled.npz")
+    assert (
+        main(
+            [
+                "kphf", "build", "sampled", "-p", TINY, "-o", ko,
+                "--sample-size", "3", "--extension-size", "2", "--validate",
+            ]
+        )
+        == 0
+    )
+    assert main(["kphf", "validate", "-i", ko]) == 0
+    assert main(["kphf", "stats", "-i", ko]) == 0
