@@ -478,11 +478,39 @@ class ModIndex:
 
         return arrays, query
 
+    def unitigs_on_ref(self, ref_id: int) -> dict:
+        """Batched unitig tiling of reference ``ref_id``: inverts the
+        occurrence table (every ctable row naming this ref, sorted by
+        position) instead of walking the sequence with one query per tile.
+        Returns dict of arrays (unitig_id, unitig_len, pos, o) — equal,
+        entry for entry, to ``iter_unitigs_on_ref``'s walk (tested), at
+        decode cost O(n_occs) with no k-mer queries at all."""
+        from .unitig_table import decode_occs
+
+        u2 = self.u2pos.device_arrays()
+        n_occs = int(u2["meta"].n_occs)
+        idx = np.arange(n_occs, dtype=np.int64)
+        rid, pos, o = decode_occs(u2, idx, np)
+        m = np.asarray(rid) == ref_id
+        occ_i = idx[m]
+        uid = np.searchsorted(self.u2pos.offsets, occ_i, side="right") - 1
+        order = np.argsort(np.asarray(pos)[m], kind="stable")
+        uid = uid[order]
+        return {
+            "unitig_id": uid,
+            "unitig_len": np.asarray(self.k2u.unitigs.unitig_len(uid)),
+            "pos": np.asarray(pos)[m][order],
+            "o": np.asarray(o)[m][order].astype(np.int64),
+        }
+
     def iter_unitigs_on_ref(self, ref_id: int):
         """Walk reference ``ref_id``'s unitig tiling by querying the k-mer at
         each tile start and jumping unitig_len - k + 1 (parity: reference
         src/index.rs:363-424 RefSeqContigIterator). Yields dicts with
-        unitig_id, unitig_len, pos, o (1=fw)."""
+        unitig_id, unitig_len, pos, o (1=fw).
+
+        HOST/TEST-ONLY ORACLE: one scalar query per tile. Use
+        ``unitigs_on_ref`` (occurrence-table inversion, batched) at scale."""
         assert self.refs.has_seq
         arrays = self.device_arrays()
         k = self.k

@@ -126,6 +126,25 @@ class TestRefSeqAndContigIter:
         assert [c["unitig_len"] for c in ctgs1] == [5, 9, 9, 9, 5]
         assert [c["unitig_id"] for c in ctgs1] == [0, 5, 2, 6, 4]
 
+    def test_unitigs_on_ref_batched(self):
+        """Occurrence-table inversion == the query-walk oracle, per entry
+        (both refs of the multi-ref fixture + yeast chr01)."""
+        import numpy as np
+
+        for name, n_refs in (
+            ("tiny-multi-refs/tiny-multi-refs_index", 2),
+            ("yeast_chr01_index", 1),
+        ):
+            idx = _load(name)
+            for ri in range(n_refs):
+                walk = list(idx.iter_unitigs_on_ref(ri))
+                b = idx.unitigs_on_ref(ri)
+                assert len(walk) == len(b["unitig_id"])
+                for key in ("unitig_id", "unitig_len", "pos", "o"):
+                    assert (
+                        np.array([c[key] for c in walk]) == b[key]
+                    ).all(), (name, ri, key)
+
     def test_refseq_kmers(self):
         # reference src/refseq.rs:260-278
         idx = _load("tiny-multi-refs/tiny-multi-refs_index")
