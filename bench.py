@@ -338,6 +338,59 @@ def main():
         )
         return
 
+    if mode == "readscache":
+        # StreamingIndex device_scan: the reference's k-mer cache semantics
+        # (src/index/caching.rs) as ONE jitted lax.scan over read columns —
+        # no per-column host round trip. Exactness vs the host loop is
+        # asserted on the first chunk.
+        from mazu_tpu.index.streaming import StreamingIndex, kmerize_reads
+        from mazu_tpu.kmer import codes_to_seq
+
+        rng2 = np.random.default_rng(1)
+        seq_codes = index.refs.seq.get_base(
+            np.arange(0, int(index.refs.prefix_sum[min(index.n_refs, 8)]))
+        )
+        n_reads = int(os.environ.get("MAZU_BENCH_READS", 2048))
+        read_len = 150
+        starts = rng2.integers(0, max(len(seq_codes) - read_len, 1), n_reads)
+        reads = [
+            codes_to_seq(seq_codes[s : s + read_len]) for s in starts
+        ]
+        kms, valid, _ = kmerize_reads(reads, k)
+        si = StreamingIndex(index, device_scan=True)
+        host = StreamingIndex(index, use_jit=False)
+        a = host.k2u_reads(kms[:64], valid[:64])
+        b = si.k2u_reads(kms[:64], valid[:64])
+        for key in ("unitig_id", "pos", "mt"):
+            assert (a[key] == b[key]).all(), key
+        log(f"device_scan == host loop on 64 reads (cold {si.last_cold_fraction:.4f})")
+        kd, vd = jax.device_put(jnp.asarray(kms)), jax.device_put(jnp.asarray(valid))
+        fn = si._device_scan_fn()
+        t0 = time.time()
+        out, n_cold = fn(kd, vd)
+        n_cold = int(jax.device_get(n_cold))
+        log(f"compile+first {time.time()-t0:.1f}s (cold lanes {n_cold})")
+        iters = int(os.environ.get("MAZU_BENCH_ITERS", 10))
+        nq = int(valid.sum())
+        t0 = time.time()
+        for _ in range(iters):
+            _, nc = fn(kd, vd)
+            assert int(jax.device_get(nc)) == n_cold
+        dt = time.time() - t0
+        qps = nq * iters / dt
+        log(f"{iters} x {nq} read-kmers in {dt:.3f}s -> {qps/1e6:.2f}M/s")
+        print(
+            json.dumps(
+                {
+                    "metric": "streaming_cache_read_kmers_per_sec_per_chip",
+                    "value": qps,
+                    "unit": "queries/s",
+                    "vs_baseline": qps / 1e9,
+                }
+            )
+        )
+        return
+
     if mode == "reads1graph":
         # READS through the one-graph pass: read k-mers are just lanes.
         # Measured round 1: any warm-cache/runshare merge costs >= 1 extra

@@ -11,6 +11,20 @@ vectorized warm kernel on all R lanes; lanes that miss are compacted on the
 host and re-queried through the full k2u kernel in padded buckets (padded
 to powers of two to bound recompiles). Warm-hit rate on L-k-mer reads is
 ~(L-1)/L, so the expensive probe runs on a tiny fraction of k-mers.
+
+Two execution modes:
+
+- host loop (default): per-column dispatch with host compaction of cold
+  lanes — optimal WORK (cold probes only on cold lanes), the right mode
+  when the cold probe is expensive (compact parity engines) and dispatch
+  is cheap (CPU, local accelerators).
+- ``device_scan=True``: the WHOLE matrix runs as one jitted ``lax.scan``
+  over columns — no per-column host round trip (ruinous over the axon
+  tunnel: 3-28 ms sync floor per column). The cold kernel runs masked on
+  all lanes, so per-column work is not reduced; on TPU that is the right
+  trade anyway (measured: the flat batched cold kernel already resolves
+  ~1-2 random gathers/k-mer, less than any warm/merge scheme pays —
+  see bench.py reads1graph). Results are IDENTICAL to the host loop.
 """
 
 from __future__ import annotations
@@ -71,7 +85,7 @@ class StreamingIndex:
     """Batched streaming wrapper around a ModIndex — or a bare K2U
     dictionary (then only k2u_reads is available)."""
 
-    def __init__(self, index, use_jit: bool = True):
+    def __init__(self, index, use_jit: bool = True, device_scan: bool = False):
         if hasattr(index, "u2pos"):
             self.index = index
             self._np_arrays = index.device_arrays()
@@ -85,6 +99,9 @@ class StreamingIndex:
             }
         self.k = index.k
         self.use_jit = use_jit
+        self.device_scan = device_scan
+        assert not (device_scan and not use_jit), "device_scan requires jit"
+        self._scan_fn = None
         if use_jit:
             import jax
             import jax.numpy as jnp
@@ -109,15 +126,72 @@ class StreamingIndex:
             self._warm = lambda c, f: _warm_kernel(self._np_arrays, c, f, np)
             self._cold = lambda f: k2u_batch(self._np_arrays, f, np)
 
+    def _device_scan_fn(self):
+        """One jitted graph for the whole [R, L] matrix: lax.scan over
+        columns, warm kernel + masked cold kernel fused per step."""
+        if self._scan_fn is not None:
+            return self._scan_fn
+        import jax
+        import jax.numpy as jnp
+
+        def step(carry, col):
+            fw, val = col
+            w = _warm_kernel(self._arrays, carry, fw, jnp)
+            c = k2u_batch(self._arrays, fw, jnp)
+            warm = w["warm"] & val
+            res = {}
+            for key in ("unitig_id", "unitig_len", "pos"):
+                res[key] = jnp.where(
+                    warm, w[key], jnp.where(val, c[key], jnp.zeros_like(c[key]))
+                )
+            mt = jnp.where(
+                warm,
+                w["mt"].astype(jnp.uint8),
+                jnp.where(val, c["mt"].astype(jnp.uint8), jnp.uint8(0)),
+            )
+            res["mt"] = mt
+            carry2 = {
+                "unitig_id": res["unitig_id"],
+                "unitig_len": res["unitig_len"],
+                "pos": res["pos"],
+                "valid": mt > 0,
+            }
+            n_cold = (val & ~warm).sum()
+            return carry2, (res, n_cold)
+
+        @jax.jit
+        def scan(kmat, valid):
+            R = kmat.shape[0]
+            carry = {
+                "unitig_id": jnp.zeros(R, dtype=jnp.int64),
+                "unitig_len": jnp.zeros(R, dtype=jnp.int64),
+                "pos": jnp.zeros(R, dtype=jnp.int64),
+                "valid": jnp.zeros(R, dtype=bool),
+            }
+            _, (out, n_cold) = jax.lax.scan(step, carry, (kmat.T, valid.T))
+            return {kk: v.T for kk, v in out.items()}, n_cold.sum()
+
+        self._scan_fn = scan
+        return scan
+
     def k2u_reads(self, kmer_matrix: np.ndarray, valid: np.ndarray):
         """Streaming k2u over a lane-major k-mer matrix.
 
         kmer_matrix: uint64[R, L] (fw-orientation words), valid: bool[R, L]
         (False entries are skipped and reported as misses). Returns dict of
         [R, L] arrays (unitig_id, unitig_len, pos, mt) — identical to the
-        cold batched k2u, computed with ~1 cold probe per unitig run.
+        cold batched k2u, computed with ~1 cold probe per unitig run
+        (host loop) or in one dispatch (``device_scan``).
         """
         R, L = kmer_matrix.shape
+        if self.device_scan:
+            import jax.numpy as jnp
+
+            out, n_cold = self._device_scan_fn()(
+                jnp.asarray(kmer_matrix), jnp.asarray(valid)
+            )
+            self.last_cold_fraction = int(n_cold) / max(1, int(valid.sum()))
+            return {kk: np.asarray(v) for kk, v in out.items()}
         carry = {
             "unitig_id": np.zeros(R, dtype=np.int64),
             "unitig_len": np.zeros(R, dtype=np.int64),

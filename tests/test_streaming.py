@@ -79,3 +79,30 @@ def test_streaming_with_direct_engine():
         pytest.skip("tiny cf fixture missing")
     idx = piscem_index_from_cf_prefix(TINY, w=3, skew_param=2, engine="direct")
     validate_fasta_streaming(idx, TINY + ".fa")
+
+
+def test_device_scan_equals_host_loop():
+    """device_scan=True (one jitted lax.scan, no per-column host round
+    trips) returns bit-identical results and cold accounting."""
+    if not os.path.exists(YEAST + ".cf_seg"):
+        pytest.skip("yeast cf fixture missing")
+    idx = piscem_index_from_cf_prefix(YEAST, w=15, skew_param=32)
+    rng = np.random.default_rng(3)
+    seq = next(read_fasta(YEAST + ".fa"))[1]
+    reads = [seq[s : s + 120] for s in rng.integers(0, len(seq) - 120, 64)]
+    reads = [r if i % 2 else r.translate(COMP)[::-1] for i, r in enumerate(reads)]
+    reads[5] = reads[5][:40] + "N" + reads[5][41:]  # non-ACGT restart
+    kms, valid, _ = kmerize_reads(reads, idx.k)
+    host = StreamingIndex(idx)
+    dev = StreamingIndex(idx, device_scan=True)
+    a = host.k2u_reads(kms, valid)
+    b = dev.k2u_reads(kms, valid)
+    for key in ("unitig_id", "unitig_len", "pos", "mt"):
+        np.testing.assert_array_equal(a[key], b[key], err_msg=key)
+    assert host.last_cold_fraction == dev.last_cold_fraction
+
+    # full projection path through the scan
+    ra = host.get_ref_pos_reads(kms, valid)
+    rb = dev.get_ref_pos_reads(kms, valid)
+    for key in ("ref_id", "ref_pos", "orient", "valid", "n_occs"):
+        np.testing.assert_array_equal(ra[key], rb[key], err_msg=key)
