@@ -493,7 +493,10 @@ def main():
 
         # CH sweep (chr01, 2026-08-17, sshash-direct): 16 -> 46.1M,
         # 32 -> 50.9M, 48 -> 51.7M, 64 -> 52.5M, 128 -> 54.1M; mono2:
-        # 128 -> 101.6-102.4M, 256 -> 104.5M. The per-pass
+        # 128 -> 101.6-102.4M, 256 -> 104.5M, 512 -> 105.4M (+0.9% but
+        # compile+first 162s — not worth the driver-timeout risk);
+        # batch=2M CH=128 -> 79.0M (bigger lanes LOSE: phase-2 capacity
+        # and lane-compaction costs grow superlinearly). The per-pass
         # dispatch+readback amortizes with CH and the scan body is
         # compiled once either way. plim=3/4 measured WORSE (41.6M/35.6M):
         # extra probe-row gathers for all lanes outweigh the phase-2 cut.

@@ -41,9 +41,12 @@ def make_data_parallel_query(index_arrays, query_pipeline, mesh, axis: str = "da
     arrays = jax.device_put(index_arrays, repl)
 
     @jax.jit
-    def query(kms):
+    def query_impl(arr, kms):
         kms = jax.lax.with_sharding_constraint(kms, shard)
-        return query_pipeline(arrays, kms, jnp)
+        return query_pipeline(arr, kms, jnp)
+
+    def query(kms):
+        return query_impl(arrays, kms)
 
     return arrays, query
 
@@ -209,9 +212,12 @@ def make_bucket_sharded_query(ss, mesh, data_axis: str = "data", bucket_axis: st
         out_specs=P(data_axis),
     )
 
-    @jax.jit
+    # pass the device pytrees as jit ARGUMENTS: closing over them lowers
+    # the whole sharded index as captured constants (7.6GB graphs at 50Mbp)
+    query_impl = jax.jit(lambda sh, stk, kms: smapped(sh, stk, kms))
+
     def query(kms):
-        return smapped(shared, stacked, kms)
+        return query_impl(shared, stacked, kms)
 
     return query
 
@@ -390,9 +396,12 @@ def make_alltoall_sharded_query(ss, mesh, bucket_axis: str = "bucket", cap_facto
         out_specs=P(bucket_axis),
     )
 
-    @jax.jit
+    # pass the device pytrees as jit ARGUMENTS: closing over them lowers
+    # the whole sharded index as captured constants (7.6GB graphs at 50Mbp)
+    query_impl = jax.jit(lambda sh, stk, kms: smapped(sh, stk, kms))
+
     def query(kms):
-        return smapped(shared, stacked, kms)
+        return query_impl(shared, stacked, kms)
 
     return query
 
@@ -699,9 +708,12 @@ def build_fused_sharded_query(
         out_specs=P(data_axis),
     )
 
-    @jax.jit
+    # pass the device pytrees as jit ARGUMENTS: closing over them lowers
+    # the whole sharded index as captured constants (7.6GB graphs at 50Mbp)
+    query_impl = jax.jit(lambda sh, stk, kms: smapped(sh, stk, kms))
+
     def query(kms):
-        return smapped(shared, stacked, kms)
+        return query_impl(shared, stacked, kms)
 
     return query
 
@@ -876,8 +888,11 @@ def build_mono_sharded_query(
         out_specs=P(data_axis),
     )
 
-    @jax.jit
+    # pass the device pytrees as jit ARGUMENTS: closing over them lowers
+    # the whole sharded index as captured constants (7.6GB graphs at 50Mbp)
+    query_impl = jax.jit(lambda sh, stk, kms: smapped(sh, stk, kms))
+
     def query(kms):
-        return smapped(shared, stacked, kms)
+        return query_impl(shared, stacked, kms)
 
     return query
