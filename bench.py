@@ -358,27 +358,81 @@ def main():
         ]
         kms, valid, _ = kmerize_reads(reads, k)
         si = StreamingIndex(index, device_scan=True)
+        flat = StreamingIndex(index, mode="flat")
         host = StreamingIndex(index, use_jit=False)
         a = host.k2u_reads(kms[:64], valid[:64])
         b = si.k2u_reads(kms[:64], valid[:64])
+        c = flat.k2u_reads(kms[:64], valid[:64])
         for key in ("unitig_id", "pos", "mt"):
             assert (a[key] == b[key]).all(), key
-        log(f"device_scan == host loop on 64 reads (cold {si.last_cold_fraction:.4f})")
+            assert (a[key] == c[key]).all(), key
+        assert host.last_cold_fraction == flat.last_cold_fraction
+        log(
+            "scan + flat == host loop on 64 reads "
+            f"(cold {si.last_cold_fraction:.4f})"
+        )
         kd, vd = jax.device_put(jnp.asarray(kms)), jax.device_put(jnp.asarray(valid))
-        fn = si._device_scan_fn()
-        t0 = time.time()
-        out, n_cold = fn(kd, vd)
-        n_cold = int(jax.device_get(n_cold))
-        log(f"compile+first {time.time()-t0:.1f}s (cold lanes {n_cold})")
-        iters = int(os.environ.get("MAZU_BENCH_ITERS", 10))
         nq = int(valid.sum())
+        iters = int(os.environ.get("MAZU_BENCH_ITERS", 10))
+
+        def time_reads(fn, label):
+            t0 = time.time()
+            _, n_cold = fn(kd, vd)
+            n_cold = int(jax.device_get(n_cold))
+            log(f"{label}: compile+first {time.time()-t0:.1f}s (cold lanes {n_cold})")
+            t0 = time.time()
+            for _ in range(iters):
+                _, nc = fn(kd, vd)
+                assert int(jax.device_get(nc)) == n_cold
+            dt = time.time() - t0
+            r = nq * iters / dt
+            log(f"{label}: {iters} x {nq} read-kmers in {dt:.3f}s -> {r/1e6:.2f}M/s")
+            return r
+
+        qps_scan = time_reads(si._device_scan_fn(), "scan")
+
+        # flat mode, CH chunks of DIFFERENT reads scanned inside ONE jit —
+        # a single host sync per pass (the 245K-kmer single dispatch above
+        # is tunnel-sync-bound at ~34 ms/call). Same pattern as reads1graph.
+        CH = int(os.environ.get("MAZU_BENCH_CHUNKS", 8))
+        starts2 = rng2.integers(0, max(len(seq_codes) - read_len, 1), CH * n_reads)
+        reads2 = [codes_to_seq(seq_codes[s : s + read_len]) for s in starts2]
+        kms2, valid2, _ = kmerize_reads(reads2, k)
+        L2 = kms2.shape[1]
+        kst = jax.device_put(jnp.asarray(kms2.reshape(CH, n_reads, L2)))
+        vst = jax.device_put(jnp.asarray(valid2.reshape(CH, n_reads, L2)))
+        ff = flat._flat_fn()
+
+        @jax.jit
+        def flat_chunked(arrays, kst, vst):
+            def body(carry, cv):
+                km, v = cv
+                out, nc = ff(arrays, km, v)
+                chk = (
+                    out["unitig_id"]
+                    + out["pos"]
+                    + out["mt"].astype(out["pos"].dtype)
+                ).sum()
+                return carry, (nc, chk)
+
+            _, (ncs, chks) = jax.lax.scan(body, 0, (kst, vst))
+            return ncs.sum(), chks.sum()
+
+        t0 = time.time()
+        nc0, chk0 = (int(x) for x in jax.device_get(flat_chunked(flat._arrays, kst, vst)))
+        log(f"flatCH{CH}: compile+first {time.time()-t0:.1f}s (cold lanes {nc0})")
+        nq2 = int(valid2.sum())
         t0 = time.time()
         for _ in range(iters):
-            _, nc = fn(kd, vd)
-            assert int(jax.device_get(nc)) == n_cold
+            nc, chk = (int(x) for x in jax.device_get(flat_chunked(flat._arrays, kst, vst)))
+            assert (nc, chk) == (nc0, chk0)
         dt = time.time() - t0
-        qps = nq * iters / dt
-        log(f"{iters} x {nq} read-kmers in {dt:.3f}s -> {qps/1e6:.2f}M/s")
+        qps_flat = nq2 * iters / dt
+        log(
+            f"flatCH{CH}: {iters} x {nq2} read-kmers in {dt:.3f}s "
+            f"-> {qps_flat/1e6:.2f}M/s"
+        )
+        qps = max(qps_scan, qps_flat)
         print(
             json.dumps(
                 {

@@ -25,6 +25,16 @@ Two execution modes:
   trade anyway (measured: the flat batched cold kernel already resolves
   ~1-2 random gathers/k-mer, less than any warm/merge scheme pays —
   see bench.py reads1graph). Results are IDENTICAL to the host loop.
+- ``mode="flat"``: the TPU speed path for cache semantics. One jitted
+  graph: the flat batched cold kernel over all R*L k-mers (full gather
+  amortization — the scan's per-column dispatches are only R lanes wide),
+  then warm flags DERIVED vectorized from result continuity. K-mers in a
+  unitig set are unique (compacted dBG invariant the reference's cache
+  also relies on: a warm probe at prev_pos±1 succeeds iff the dictionary
+  maps this k-mer there), so ``warm(i,j) = hit(i,j) & hit(i,j-1) &
+  same_unitig & |Δpos| == 1`` reproduces the sequential cache's warm/cold
+  accounting bit-identically (asserted vs the host loop in tests and in
+  the readscache bench).
 """
 
 from __future__ import annotations
@@ -85,7 +95,13 @@ class StreamingIndex:
     """Batched streaming wrapper around a ModIndex — or a bare K2U
     dictionary (then only k2u_reads is available)."""
 
-    def __init__(self, index, use_jit: bool = True, device_scan: bool = False):
+    def __init__(
+        self,
+        index,
+        use_jit: bool = True,
+        device_scan: bool = False,
+        mode: str | None = None,
+    ):
         if hasattr(index, "u2pos"):
             self.index = index
             self._np_arrays = index.device_arrays()
@@ -99,9 +115,14 @@ class StreamingIndex:
             }
         self.k = index.k
         self.use_jit = use_jit
-        self.device_scan = device_scan
-        assert not (device_scan and not use_jit), "device_scan requires jit"
+        if mode is None:
+            mode = "scan" if device_scan else "host"
+        assert mode in ("host", "scan", "flat"), mode
+        self.mode = mode
+        self.device_scan = mode == "scan"
+        assert not (mode != "host" and not use_jit), f"{mode} requires jit"
         self._scan_fn = None
+        self._flat_fn_cache = None
         if use_jit:
             import jax
             import jax.numpy as jnp
@@ -174,6 +195,47 @@ class StreamingIndex:
         self._scan_fn = scan
         return scan
 
+    def _flat_fn(self):
+        """One jitted graph: flat batched cold kernel over all R*L k-mers +
+        vectorized warm-flag derivation (see module docstring). The index
+        pytree travels as a jit ARGUMENT (never a closure constant)."""
+        if self._flat_fn_cache is not None:
+            return self._flat_fn_cache
+        import jax
+        import jax.numpy as jnp
+
+        def flatq(arrays, kmat, valid):
+            R, L = kmat.shape
+            c = k2u_batch(arrays, kmat.reshape(R * L), jnp)
+            uid = c["unitig_id"].reshape(R, L)
+            ulen = c["unitig_len"].reshape(R, L)
+            pos = c["pos"].reshape(R, L)
+            mt = c["mt"].reshape(R, L).astype(jnp.uint8)
+            hit = (mt > 0) & valid
+            # warm(i,j): prev column hit the same unitig at pos±1. By k-mer
+            # uniqueness this is exactly when the sequential warm probe
+            # (reference src/index/caching.rs:73-97 + the bidirectional
+            # improvement) succeeds, so the accounting matches the scan.
+            same_u = uid[:, 1:] == uid[:, :-1]
+            dpos = pos[:, 1:] - pos[:, :-1]
+            warm_tail = (
+                hit[:, 1:] & hit[:, :-1] & same_u & ((dpos == 1) | (dpos == -1))
+            )
+            warm = jnp.concatenate(
+                [jnp.zeros((R, 1), dtype=bool), warm_tail], axis=1
+            )
+            n_cold = (valid & ~warm).sum()
+            out = {
+                "unitig_id": jnp.where(valid, uid, jnp.zeros_like(uid)),
+                "unitig_len": jnp.where(valid, ulen, jnp.zeros_like(ulen)),
+                "pos": jnp.where(valid, pos, jnp.zeros_like(pos)),
+                "mt": jnp.where(valid, mt, jnp.zeros_like(mt)),
+            }
+            return out, n_cold
+
+        self._flat_fn_cache = jax.jit(flatq)
+        return self._flat_fn_cache
+
     def k2u_reads(self, kmer_matrix: np.ndarray, valid: np.ndarray):
         """Streaming k2u over a lane-major k-mer matrix.
 
@@ -184,6 +246,14 @@ class StreamingIndex:
         (host loop) or in one dispatch (``device_scan``).
         """
         R, L = kmer_matrix.shape
+        if self.mode == "flat":
+            import jax.numpy as jnp
+
+            out, n_cold = self._flat_fn()(
+                self._arrays, jnp.asarray(kmer_matrix), jnp.asarray(valid)
+            )
+            self.last_cold_fraction = int(n_cold) / max(1, int(valid.sum()))
+            return {kk: np.asarray(v) for kk, v in out.items()}
         if self.device_scan:
             import jax.numpy as jnp
 

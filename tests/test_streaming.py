@@ -81,6 +81,36 @@ def test_streaming_with_direct_engine():
     validate_fasta_streaming(idx, TINY + ".fa")
 
 
+def test_flat_equals_host_loop():
+    """mode="flat" (one flat cold kernel + derived warm flags) returns
+    bit-identical results AND cold accounting vs the sequential host loop —
+    the k-mer-uniqueness argument in the module docstring, checked on real
+    mixed-strand reads with a non-ACGT restart."""
+    if not os.path.exists(YEAST + ".cf_seg"):
+        pytest.skip("yeast cf fixture missing")
+    idx = piscem_index_from_cf_prefix(YEAST, w=15, skew_param=32)
+    rng = np.random.default_rng(7)
+    seq = next(read_fasta(YEAST + ".fa"))[1]
+    reads = [seq[s : s + 120] for s in rng.integers(0, len(seq) - 120, 64)]
+    reads = [r if i % 2 else r.translate(COMP)[::-1] for i, r in enumerate(reads)]
+    reads[3] = reads[3][:50] + "N" + reads[3][51:]  # non-ACGT restart
+    reads[9] = "GATTACA" * 17  # read absent from the reference: all-miss lanes
+    kms, valid, _ = kmerize_reads(reads, idx.k)
+    host = StreamingIndex(idx)
+    flat = StreamingIndex(idx, mode="flat")
+    a = host.k2u_reads(kms, valid)
+    b = flat.k2u_reads(kms, valid)
+    for key in ("unitig_id", "unitig_len", "pos", "mt"):
+        np.testing.assert_array_equal(a[key], b[key], err_msg=key)
+    assert host.last_cold_fraction == flat.last_cold_fraction
+    assert 0 < flat.last_cold_fraction < 0.10
+
+    ra = host.get_ref_pos_reads(kms, valid)
+    rb = flat.get_ref_pos_reads(kms, valid)
+    for key in ("ref_id", "ref_pos", "orient", "valid", "n_occs"):
+        np.testing.assert_array_equal(ra[key], rb[key], err_msg=key)
+
+
 def test_device_scan_equals_host_loop():
     """device_scan=True (one jitted lax.scan, no per-column host round
     trips) returns bit-identical results and cold accounting."""
