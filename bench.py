@@ -394,7 +394,7 @@ def main():
         # flat mode, CH chunks of DIFFERENT reads scanned inside ONE jit —
         # a single host sync per pass (the 245K-kmer single dispatch above
         # is tunnel-sync-bound at ~34 ms/call). Same pattern as reads1graph.
-        CH = int(os.environ.get("MAZU_BENCH_CHUNKS", 8))
+        CH = int(os.environ.get("MAZU_BENCH_CHUNKS", 32))
         starts2 = rng2.integers(0, max(len(seq_codes) - read_len, 1), CH * n_reads)
         reads2 = [codes_to_seq(seq_codes[s : s + read_len]) for s in starts2]
         kms2, valid2, _ = kmerize_reads(reads2, k)
@@ -432,7 +432,96 @@ def main():
             f"flatCH{CH}: {iters} x {nq2} read-kmers in {dt:.3f}s "
             f"-> {qps_flat/1e6:.2f}M/s"
         )
-        qps = max(qps_scan, qps_flat)
+        # INGEST-HONEST passes: reads arrive from the host every pass.
+        # (a) words: upload the u64 k-mer matrix (8 B/k-mer) per pass.
+        # (b) packed: upload 2-bit packed bases (~0.31 B/k-mer, io/reads.py)
+        #     and k-merize ON DEVICE inside the same graph as the query.
+        from mazu_tpu.io.reads import kmerize_device, pack_reads
+
+        packed_host = pack_reads(reads2, k)
+        ffq = flat._flat_fn()
+
+        @jax.jit
+        def packed_chk(arrays, packed):
+            # same CH-chunk scan as the word path, but the k-mer matrix is
+            # reconstructed on device from the packed bases per chunk
+            def body(carry, ci):
+                km, v = kmerize_device(packed, jnp, ci * n_reads, n_reads)
+                out, nc = ffq(arrays, km, v)
+                chk = (
+                    out["unitig_id"]
+                    + out["pos"]
+                    + out["mt"].astype(out["pos"].dtype)
+                ).sum()
+                return carry, (nc, v.sum(), chk)
+
+            _, (ncs, nvs, chks) = jax.lax.scan(body, 0, jnp.arange(CH))
+            return ncs.sum(), nvs.sum(), chks.sum()
+
+        t0 = time.time()
+        nc0p, nv0p, chk0p = (
+            int(x)
+            for x in jax.device_get(
+                packed_chk(flat._arrays, jax.device_put(packed_host))
+            )
+        )
+        assert (nv0p, nc0p, chk0p) == (nq2, nc0, chk0), (nv0p, nc0p, chk0p)
+        log(f"packed-ingest: compile+first {time.time()-t0:.1f}s (cold {nc0p})")
+        t0 = time.time()
+        for _ in range(iters):
+            r = (
+                int(x)
+                for x in jax.device_get(
+                    packed_chk(flat._arrays, jax.device_put(packed_host))
+                )
+            )
+            assert tuple(r) == (nc0p, nv0p, chk0p)
+        dt = time.time() - t0
+        qps_packed = nq2 * iters / dt
+        mb = sum(a.nbytes for a in (packed_host["words"], packed_host["lengths"])) / 1e6
+        log(
+            f"packed-ingest ({mb:.1f} MB/pass up): {iters} x {nq2} in {dt:.3f}s "
+            f"-> {qps_packed/1e6:.2f}M/s end-to-end"
+        )
+        # pipelined serving loop: all uploads + dispatches submitted async
+        # (jax transfers and execution overlap); results collected at the
+        # end. This is how a server would run — upload batch i+1 while
+        # batch i computes.
+        t0 = time.time()
+        futs = [
+            packed_chk(flat._arrays, jax.device_put(packed_host))
+            for _ in range(iters)
+        ]
+        for f in futs:
+            assert tuple(int(x) for x in jax.device_get(f)) == (nc0p, nv0p, chk0p)
+        dt = time.time() - t0
+        qps_pipe = nq2 * iters / dt
+        log(
+            f"packed-pipelined: {iters} x {nq2} in {dt:.3f}s "
+            f"-> {qps_pipe/1e6:.2f}M/s end-to-end"
+        )
+        kms2_np = np.asarray(kms2.reshape(CH, n_reads, L2))
+        vst_host = np.asarray(valid2.reshape(CH, n_reads, L2))
+        t0 = time.time()
+        for _ in range(iters):
+            nc, chk = (
+                int(x)
+                for x in jax.device_get(
+                    flat_chunked(
+                        flat._arrays,
+                        jax.device_put(jnp.asarray(kms2_np)),
+                        jax.device_put(jnp.asarray(vst_host)),
+                    )
+                )
+            )
+            assert (nc, chk) == (nc0, chk0)
+        dt = time.time() - t0
+        qps_words = nq2 * iters / dt
+        log(
+            f"word-ingest ({kms2_np.nbytes/1e6:.1f} MB/pass up): "
+            f"{iters} x {nq2} in {dt:.3f}s -> {qps_words/1e6:.2f}M/s end-to-end"
+        )
+        qps = max(qps_scan, qps_flat, qps_packed, qps_pipe)
         print(
             json.dumps(
                 {

@@ -123,6 +123,7 @@ class StreamingIndex:
         assert not (mode != "host" and not use_jit), f"{mode} requires jit"
         self._scan_fn = None
         self._flat_fn_cache = None
+        self._flat_packed_cache = None
         if use_jit:
             import jax
             import jax.numpy as jnp
@@ -235,6 +236,41 @@ class StreamingIndex:
 
         self._flat_fn_cache = jax.jit(flatq)
         return self._flat_fn_cache
+
+    def _flat_packed_fn(self):
+        """Fused ingest+query graph: device k-merization of 2-bit packed
+        reads (io/reads.py — ~26x fewer host->device bytes than k-mer
+        words) feeding the flat cold kernel + derived warm flags. One jit;
+        index pytree and packed reads both travel as ARGUMENTS."""
+        if self._flat_packed_cache is not None:
+            return self._flat_packed_cache
+        import jax
+
+        from ..io.reads import kmerize_device
+
+        flatq = self._flat_fn()
+
+        def packedq(arrays, packed):
+            import jax.numpy as jnp
+
+            kmat, valid = kmerize_device(packed, jnp)
+            out, n_cold = flatq(arrays, kmat, valid)
+            return out, n_cold, valid.sum()
+
+        self._flat_packed_cache = jax.jit(packedq)
+        return self._flat_packed_cache
+
+    def k2u_reads_packed(self, packed: dict):
+        """k2u_reads from a ``pack_reads`` pytree: upload bases, k-merize
+        on device, query — results identical to
+        ``k2u_reads(*kmerize_reads(reads, k))``."""
+        import jax
+
+        out, n_cold, n_valid = self._flat_packed_fn()(
+            self._arrays, jax.device_put(packed)
+        )
+        self.last_cold_fraction = int(n_cold) / max(1, int(n_valid))
+        return {kk: np.asarray(v) for kk, v in out.items()}
 
     def k2u_reads(self, kmer_matrix: np.ndarray, valid: np.ndarray):
         """Streaming k2u over a lane-major k-mer matrix.

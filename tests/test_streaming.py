@@ -136,3 +136,55 @@ def test_device_scan_equals_host_loop():
     rb = dev.get_ref_pos_reads(kms, valid)
     for key in ("ref_id", "ref_pos", "orient", "valid", "n_occs"):
         np.testing.assert_array_equal(ra[key], rb[key], err_msg=key)
+
+
+def test_packed_reads_kmerize_device(tiny_index):
+    """pack_reads + kmerize_device == host kmerize_reads bit-for-bit, on
+    variable-length mixed-strand reads with non-ACGT bases and an empty-ish
+    short read."""
+    import jax
+    import jax.numpy as jnp
+
+    from mazu_tpu.io.reads import kmerize_device, pack_reads
+
+    k = tiny_index.k
+    refs = [seq for _, seq in read_fasta(TINY + ".fa")]
+    rng = np.random.default_rng(5)
+    reads = []
+    for seq in refs:
+        for _ in range(4):
+            ln = int(rng.integers(k, max(len(seq), k + 1)))
+            s = int(rng.integers(0, max(len(seq) - ln, 1)))
+            r = seq[s : s + ln]
+            if rng.random() < 0.5:
+                r = r.translate(COMP)[::-1]
+            reads.append(r)
+    reads[1] = reads[1][: k - 2]  # shorter than k: zero valid k-mers
+    reads[2] = reads[2][:5] + "N" + reads[2][6:]
+    reads[4] = "NRN" + reads[4][3:]  # IUPAC garbage too
+    want_kms, want_valid, _ = kmerize_reads(reads, k)
+    packed = pack_reads(reads, k)
+    got_kms, got_valid = jax.jit(lambda p: kmerize_device(p, jnp))(
+        jax.device_put(packed)
+    )
+    np.testing.assert_array_equal(np.asarray(got_valid), want_valid)
+    np.testing.assert_array_equal(np.asarray(got_kms), want_kms)
+
+
+def test_k2u_reads_packed_equals_host(tiny_index):
+    from mazu_tpu.io.reads import pack_reads
+
+    refs = [seq for _, seq in read_fasta(TINY + ".fa")]
+    reads = []
+    for seq in refs:
+        reads.append(seq)
+        reads.append(seq.translate(COMP)[::-1])
+    reads.append("GATTACA" * 12)  # foreign
+    kms, valid, _ = kmerize_reads(reads, tiny_index.k)
+    host = StreamingIndex(tiny_index, use_jit=False)
+    flat = StreamingIndex(tiny_index, mode="flat")
+    a = host.k2u_reads(kms, valid)
+    b = flat.k2u_reads_packed(pack_reads(reads, tiny_index.k))
+    for key in ("unitig_id", "unitig_len", "pos", "mt"):
+        np.testing.assert_array_equal(a[key], b[key], err_msg=key)
+    assert host.last_cold_fraction == flat.last_cold_fraction
