@@ -57,6 +57,12 @@ def _build_parser():
     mp = idx.add_parser("map")
     mp.add_argument("-i", "--index", required=True)
     mp.add_argument("-f", "--fasta", required=True, help="reads (FASTA)")
+    cc = idx.add_parser(
+        "colors",
+        help="build the color-class layer (unitig -> deduped ref-id set)",
+    )
+    cc.add_argument("-i", "--index", required=True)
+    cc.add_argument("-o", "--output", help="save color classes to .npz")
 
     # ---- kphf tool
     kp = sub.add_parser("kphf").add_subparsers(dest="cmd", required=True)
@@ -162,6 +168,15 @@ def _main(argv=None):
 
                 validate_fasta(idx, args.fasta)
             print("valid")
+        elif args.cmd == "colors":
+            idx = _load_index_arg(args.index)
+            t = time.time()
+            cc = idx.color_classes()
+            log.info("built in %.1fs", time.time() - t)
+            cc.print_stats()
+            if args.output:
+                cc.save(args.output)
+                print(f"wrote {args.output}")
         elif args.cmd == "map":
             import time as _t
 

@@ -478,6 +478,13 @@ class ModIndex:
 
         return arrays, query
 
+    def color_classes(self):
+        """Build the color-class layer (unitig -> deduped ref-id set) from
+        this index's occurrence table (see index/colors.py)."""
+        from .colors import ColorClasses
+
+        return ColorClasses.from_u2pos(self.u2pos)
+
     def unitigs_on_ref(self, ref_id: int) -> dict:
         """Batched unitig tiling of reference ``ref_id``: inverts the
         occurrence table (every ctable row naming this ref, sorted by

@@ -1,0 +1,123 @@
+"""Color classes (unitig -> deduped ref-id set): exactness vs the full
+occurrence projection, dedup behavior on a transcriptome, device parity.
+
+The reference reserves this capability (src/lib.rs:26 commented cc_index +
+test_data/color_classes fixtures) without implementing it; the oracle here
+is our own projection path, which is itself parity-tested against the
+reference's bundled pf1 indexes."""
+
+import os
+
+import numpy as np
+import pytest
+
+from mazu_tpu.index.colors import ColorClasses, colors_batch
+from mazu_tpu.index.piscem_index import piscem_index_from_cf_prefix
+from mazu_tpu.io.pf1_index import load_dense_index
+
+from conftest import TEST_DATA
+
+MULTI = os.path.join(TEST_DATA, "pf1", "tiny-multi-refs", "tiny-multi-refs_index")
+TXOME = os.path.join(TEST_DATA, "pf1", "small_txome_index")
+CC_TXOME = os.path.join(TEST_DATA, "color_classes", "small_txome", "small_txome")
+
+
+def _oracle_sets(index):
+    """Distinct ref-id set per unitig straight from the decoded table."""
+    from mazu_tpu.index.unitig_table import decode_occs
+
+    t = index.u2pos
+    d = t.device_arrays(paired=False)
+    total = int(t.offsets[-1])
+    ref_id, _, _ = decode_occs(d, np.arange(total, dtype=np.int64), np)
+    return [
+        sorted(set(ref_id[int(t.offsets[u]) : int(t.offsets[u + 1])].tolist()))
+        for u in range(t.n_unitigs)
+    ]
+
+
+def _check_exact(index):
+    cc = index.color_classes()
+    want = _oracle_sets(index)
+    assert cc.n_unitigs == len(want)
+    for u, w in enumerate(want):
+        got = cc.refs_of_class(int(cc.class_of(u))).tolist()
+        assert got == w, u
+    # dedup is exact: same set <=> same class id
+    by_set = {}
+    for u, w in enumerate(want):
+        by_set.setdefault(tuple(w), set()).add(int(cc.class_of(u)))
+    assert all(len(v) == 1 for v in by_set.values())
+    assert cc.n_classes == len(by_set)
+    return cc
+
+
+def test_multi_refs_colors():
+    if not os.path.isdir(MULTI):
+        pytest.skip("fixture missing")
+    _check_exact(load_dense_index(MULTI))
+
+
+def test_txome_colors_dedup_and_roundtrip(tmp_path):
+    if not os.path.isdir(TXOME):
+        pytest.skip("fixture missing")
+    index = load_dense_index(TXOME)
+    cc = _check_exact(index)
+    # a transcriptome shares unitigs across isoforms: dedup must bite
+    assert cc.n_classes < cc.n_unitigs
+    p = str(tmp_path / "cc.npz")
+    cc.save(p)
+    cc2 = ColorClasses.load(p)
+    np.testing.assert_array_equal(cc.u2c, cc2.u2c)
+    np.testing.assert_array_equal(cc.offsets, cc2.offsets)
+    np.testing.assert_array_equal(cc.refs, cc2.refs)
+    assert cc2.n_refs == cc.n_refs
+
+
+def test_colors_batch_device_parity():
+    """Jitted colors_batch == host numpy, and every reference k-mer's
+    color contains its own ref id (on the reserved cc fixture)."""
+    import jax
+    import jax.numpy as jnp
+
+    if not os.path.exists(CC_TXOME + ".cf_seg"):
+        pytest.skip("fixture missing")
+    index = piscem_index_from_cf_prefix(CC_TXOME, w=11, skew_param=4)
+    cc = index.color_classes()
+    ccd = cc.device_arrays()
+    arrays = index.device_arrays()
+    rng = np.random.default_rng(0)
+    from mazu_tpu.index.validate import valid_kmer_windows
+    from mazu_tpu.io.fasta import read_fasta
+
+    kms_parts = [
+        valid_kmer_windows(seq, index.k)[1]
+        for _name, seq in read_fasta(CC_TXOME + ".fa")
+    ]
+    owner = np.concatenate(
+        [np.full(len(p), ri) for ri, p in enumerate(kms_parts)]
+    )
+    kms = np.concatenate(kms_parts)
+    sel = rng.permutation(len(kms))[:2048]
+    kms, owner = kms[sel], owner[sel]
+    from mazu_tpu.kmer import revcomp
+
+    flip = rng.random(len(kms)) < 0.5
+    kms[flip] = revcomp(kms[flip], index.k)
+    M = cc.max_class_size()
+    host = colors_batch(arrays, ccd, kms, np, M)
+    dev = jax.jit(
+        lambda a, c, w: colors_batch(a, c, w, jnp, M)
+    )(jax.device_put(arrays), jax.device_put(ccd), jnp.asarray(kms))
+    for key in host:
+        np.testing.assert_array_equal(
+            np.asarray(dev[key]), np.asarray(host[key]), err_msg=key
+        )
+    assert (host["mt"] > 0).all()
+    contained = (host["refs"] == owner[:, None]) & host["valid"]
+    assert contained.any(axis=1).all()
+    # foreign k-mers: class_id -1, no refs
+    foreign = colors_batch(arrays, ccd, np.full(64, 0x5A5A5A5A5A, np.uint64), np, M)
+    miss = foreign["mt"] == 0
+    assert (foreign["class_id"][miss] == -1).all()
+    assert (foreign["n_refs"][miss] == 0).all()
