@@ -56,7 +56,7 @@ def _build_parser():
     v.add_argument("--streaming", action="store_true")
     mp = idx.add_parser("map")
     mp.add_argument("-i", "--index", required=True)
-    mp.add_argument("-f", "--fasta", required=True, help="reads (FASTA)")
+    mp.add_argument("-f", "--fasta", required=True, help="reads (FASTA/FASTQ, optionally .gz)")
     cc = idx.add_parser(
         "colors",
         help="build the color-class layer (unitig -> deduped ref-id set)",
@@ -185,7 +185,7 @@ def _main(argv=None):
             idx = _load_index_arg(args.index)
             mapper = ReadMapper(idx)
             t = _t.time()
-            results = mapper.map_fasta(args.fasta)
+            results = mapper.map_file(args.fasta)
             dt = _t.time() - t
             n_kmers = sum(r.n_kmers for r in results)
             n_hit = sum(r.n_hit for r in results)

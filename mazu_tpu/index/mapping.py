@@ -70,3 +70,9 @@ class ReadMapper:
         from ..io.fasta import read_fasta
 
         return self.map_reads([seq for _, seq in read_fasta(path)])
+
+    def map_file(self, path: str) -> list[ReadHits]:
+        """FASTA or FASTQ (optionally gzipped), format-sniffed."""
+        from ..io.fastq import read_seqs
+
+        return self.map_reads([seq for _, seq in read_seqs(path)])

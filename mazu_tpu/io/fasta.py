@@ -7,10 +7,19 @@ from __future__ import annotations
 from typing import Iterator
 
 
+def open_text(path: str):
+    """Open a text file, transparently gunzipping ``*.gz``."""
+    if path.endswith(".gz"):
+        import gzip
+
+        return gzip.open(path, "rt")
+    return open(path)
+
+
 def read_fasta(path: str) -> Iterator[tuple[str, str]]:
     name = None
     chunks: list[str] = []
-    with open(path) as f:
+    with open_text(path) as f:
         for line in f:
             line = line.rstrip("\n")
             if line.startswith(">"):
