@@ -63,6 +63,13 @@ def _build_parser():
     )
     cc.add_argument("-i", "--index", required=True)
     cc.add_argument("-o", "--output", help="save color classes to .npz")
+    pm = idx.add_parser(
+        "pseudomap",
+        help="pseudo-align reads: candidate refs = intersection of k-mer color sets",
+    )
+    pm.add_argument("-i", "--index", required=True)
+    pm.add_argument("-f", "--fasta", required=True, help="reads (FASTA/FASTQ, optionally .gz)")
+    pm.add_argument("--list", action="store_true", help="print per-read candidate refs")
 
     # ---- kphf tool
     kp = sub.add_parser("kphf").add_subparsers(dest="cmd", required=True)
@@ -177,6 +184,30 @@ def _main(argv=None):
             if args.output:
                 cc.save(args.output)
                 print(f"wrote {args.output}")
+        elif args.cmd == "pseudomap":
+            import time as _t
+
+            from .index.pseudoalign import PseudoAligner
+
+            idx = _load_index_arg(args.index)
+            pa = PseudoAligner(idx)
+            t = _t.time()
+            results = pa.map_file(args.fasta)
+            dt = _t.time() - t
+            names = idx.ref_names
+            mapped = sum(1 for r, h, _ in results if h and len(r))
+            n_k = sum(nk for _, _, nk in results)
+            print(
+                f"{len(results)} reads, {mapped} mapped "
+                f"({idx.n_refs} refs, {pa.cc.n_classes} color classes)"
+            )
+            print(f"{dt:.3f}s total, {dt / max(n_k, 1) * 1e9:.1f} ns/kmer")
+            if args.list:
+                for i, (r, h, nk) in enumerate(results):
+                    labels = [
+                        names[j] if j < len(names) else str(j) for j in r.tolist()
+                    ]
+                    print(f"read {i}: {h}/{nk} k-mers hit -> {','.join(labels)}")
         elif args.cmd == "map":
             import time as _t
 

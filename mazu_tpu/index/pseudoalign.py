@@ -1,0 +1,129 @@
+"""Pseudo-alignment: read -> candidate reference set via color-set
+intersection (themisto/salmon semantics, built on index/colors.py).
+
+A read's candidate references are the INTERSECTION of the color sets of
+its hitting k-mers (k-mer misses are ignored; ``n_hit``/``n_kmers`` are
+reported so callers can threshold). This is the core operation of
+transcript quantification front-ends; the reference reserves the color
+layer (src/lib.rs:26) but implements neither it nor this.
+
+TPU formulation: color sets are BITSET rows (u64[n_classes, W],
+W = ceil(n_refs/64)) — one wide row gather per hitting k-mer, then a
+bitwise-AND reduction along the read (miss lanes contribute the neutral
+all-ones row). The whole read batch is ONE fused graph reusing the flat
+streaming k2u kernel. Bitsets suit reference panels up to ~10^4-10^5
+sequences (W row bytes scale with n_refs); beyond that a CSR-merge
+variant belongs on the host.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..pytree import meta
+from .modindex import k2u_batch
+
+U64 = np.uint64
+
+
+def color_bitsets(cc) -> dict:
+    """Pack a ColorClasses CSR into bitset rows + static meta."""
+    W = max(1, -(-cc.n_refs // 64))
+    bits = np.zeros((max(cc.n_classes, 1), W * 64), dtype=bool)
+    if len(cc.refs):
+        cls = (
+            np.searchsorted(
+                cc.offsets, np.arange(len(cc.refs), dtype=np.int64), side="right"
+            )
+            - 1
+        )
+        bits[cls, cc.refs] = True
+    # LSB-first pack + little-endian u64 view = bit r of word w is ref
+    # 64*w + r (matches the unpack in map_reads)
+    words = np.packbits(bits, axis=1, bitorder="little").view(np.uint64)
+    return {
+        "u2c": cc.u2c,
+        "bitsets": words,
+        "meta": meta(n_refs=cc.n_refs, n_classes=cc.n_classes, W=W),
+    }
+
+
+def pseudoalign_batch(index_arrays: dict, cb: dict, kmat, valid, xp):
+    """[R, L] k-mer matrix -> per-read (bitset u64[R, W], n_hit, n_kmers).
+
+    One fused graph: flat k2u over all R*L k-mers, class-bitset row gather
+    per hit, AND-reduction along the read.
+    """
+    R, L = kmat.shape
+    r = k2u_batch(index_arrays, kmat.reshape(R * L), xp)
+    hit = (r["mt"].reshape(R, L) > 0) & valid
+    uid = xp.where(hit, r["unitig_id"].reshape(R, L), 0)
+    cid = cb["u2c"][uid].astype(xp.int64)
+    rows = cb["bitsets"][cid]  # [R, L, W]
+    neutral = ~xp.zeros_like(rows)
+    rows = xp.where(hit[:, :, None], rows, neutral)
+    if xp is np:
+        inter = np.bitwise_and.reduce(rows, axis=1)
+    else:
+        import jax
+
+        inter = jax.lax.reduce(
+            rows,
+            xp.asarray(~np.uint64(0)),
+            jax.lax.bitwise_and,
+            (1,),
+        )
+    n_hit = hit.sum(axis=1)
+    inter = xp.where((n_hit > 0)[:, None], inter, xp.zeros_like(inter))
+    return inter, n_hit, valid.sum(axis=1)
+
+
+class PseudoAligner:
+    """Batched pseudo-aligner over a ModIndex (+ its color classes)."""
+
+    def __init__(self, index, cc=None, use_jit: bool = True):
+        self.index = index
+        self.k = index.k
+        cc = index.color_classes() if cc is None else cc
+        self.cc = cc
+        self._cb = color_bitsets(cc)
+        self._arrays = index.device_arrays()
+        self.use_jit = use_jit
+        if use_jit:
+            import jax
+            import jax.numpy as jnp
+
+            self._d_arrays = jax.device_put(self._arrays)
+            self._d_cb = jax.device_put(self._cb)
+            self._fn = jax.jit(
+                lambda a, c, km, v: pseudoalign_batch(a, c, km, v, jnp)
+            )
+
+    def map_kmer_matrix(self, kmat: np.ndarray, valid: np.ndarray):
+        if self.use_jit:
+            import jax.numpy as jnp
+
+            inter, n_hit, n_k = self._fn(
+                self._d_arrays, self._d_cb, jnp.asarray(kmat), jnp.asarray(valid)
+            )
+            return np.asarray(inter), np.asarray(n_hit), np.asarray(n_k)
+        return pseudoalign_batch(self._arrays, self._cb, kmat, valid, np)
+
+    def map_reads(self, reads: list[str]):
+        """Returns per read: (sorted ref-id array, n_hit, n_kmers)."""
+        from .streaming import kmerize_reads
+
+        kmat, valid, _ = kmerize_reads(reads, self.k)
+        inter, n_hit, n_k = self.map_kmer_matrix(kmat, valid)
+        bits = np.unpackbits(
+            inter.view(np.uint8), bitorder="little", axis=1
+        )[:, : self.cc.n_refs]
+        return [
+            (np.flatnonzero(bits[i]), int(n_hit[i]), int(n_k[i]))
+            for i in range(len(reads))
+        ]
+
+    def map_file(self, path: str):
+        from ..io.fastq import read_seqs
+
+        return self.map_reads([seq for _, seq in read_seqs(path)])

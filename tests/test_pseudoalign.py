@@ -1,0 +1,87 @@
+"""Pseudo-alignment (color-set intersection over read k-mers): exactness
+vs a scalar host oracle built on the projection path, on the reserved
+color_classes transcriptome fixture."""
+
+import os
+
+import numpy as np
+import pytest
+
+from mazu_tpu.index.piscem_index import piscem_index_from_cf_prefix
+from mazu_tpu.index.pseudoalign import PseudoAligner
+from mazu_tpu.index.streaming import kmerize_reads
+from mazu_tpu.io.fasta import read_fasta
+
+from conftest import TEST_DATA
+
+CC_TXOME = os.path.join(TEST_DATA, "color_classes", "small_txome", "small_txome")
+COMP = str.maketrans("ACGT", "TGCA")
+
+
+@pytest.fixture(scope="module")
+def txome():
+    if not os.path.exists(CC_TXOME + ".cf_seg"):
+        pytest.skip("fixture missing")
+    idx = piscem_index_from_cf_prefix(CC_TXOME, w=11, skew_param=4)
+    refs = list(read_fasta(CC_TXOME + ".fa"))
+    return idx, refs
+
+
+def _oracle(idx, reads):
+    """Scalar oracle: intersect per-k-mer distinct ref-id sets from the
+    eager projection path."""
+    out = []
+    k = idx.k
+    kmat, valid, _ = kmerize_reads(reads, k)
+    for i in range(len(reads)):
+        words = kmat[i][valid[i]]
+        hits = idx.get_ref_pos_eager(words)
+        sets = [set(r for r, _p, _o in h) for h in hits if h is not None]
+        inter = sorted(set.intersection(*sets)) if sets else []
+        out.append((inter, len(sets), len(words)))
+    return out
+
+
+def test_pseudoalign_matches_oracle(txome):
+    idx, refs = txome
+    rng = np.random.default_rng(11)
+    reads = []
+    for ri in rng.integers(0, len(refs), 40):
+        seq = refs[int(ri)][1]
+        ln = int(rng.integers(idx.k + 5, min(120, len(seq))))
+        s = int(rng.integers(0, len(seq) - ln + 1))
+        r = seq[s : s + ln]
+        if rng.random() < 0.5:
+            r = r.translate(COMP)[::-1]
+        reads.append(r)
+    reads.append("GATTACA" * 18)  # foreign: zero hits -> empty set
+    reads[5] = reads[5][:12] + "N" + reads[5][13:]
+    pa = PseudoAligner(idx)
+    got = pa.map_reads(reads)
+    want = _oracle(idx, reads)
+    for i, ((g_refs, g_hit, g_k), (w_refs, w_hit, w_k)) in enumerate(zip(got, want)):
+        assert g_refs.tolist() == w_refs, i
+        assert (g_hit, g_k) == (w_hit, w_k), i
+    # host (numpy) path == jitted path
+    pa_np = PseudoAligner(idx, cc=pa.cc, use_jit=False)
+    got_np = pa_np.map_reads(reads)
+    for a, b in zip(got, got_np):
+        assert a[0].tolist() == b[0].tolist() and a[1:] == b[1:]
+
+
+def test_pseudoalign_source_ref_contained(txome):
+    idx, refs = txome
+    pa = PseudoAligner(idx)
+    rng = np.random.default_rng(3)
+    reads, srcs = [], []
+    for ri in range(len(refs)):
+        seq = refs[ri][1]
+        if len(seq) < idx.k + 20:
+            continue
+        s = int(rng.integers(0, len(seq) - idx.k - 19))
+        reads.append(seq[s : s + idx.k + 19])
+        srcs.append(ri)
+    got = pa.map_reads(reads)
+    for (g_refs, g_hit, g_k), ri in zip(got, srcs):
+        assert g_hit == g_k  # every k-mer of an indexed read hits
+        assert ri in g_refs.tolist()
