@@ -70,6 +70,7 @@ def _build_parser():
     pm.add_argument("-i", "--index", required=True)
     pm.add_argument("-f", "--fasta", required=True, help="reads (FASTA/FASTQ, optionally .gz)")
     pm.add_argument("--list", action="store_true", help="print per-read candidate refs")
+    pm.add_argument("--policy", choices=["intersect", "union"], default="intersect")
 
     # ---- kphf tool
     kp = sub.add_parser("kphf").add_subparsers(dest="cmd", required=True)
@@ -190,7 +191,7 @@ def _main(argv=None):
             from .index.pseudoalign import PseudoAligner
 
             idx = _load_index_arg(args.index)
-            pa = PseudoAligner(idx)
+            pa = PseudoAligner(idx, policy=args.policy)
             t = _t.time()
             results = pa.map_file(args.fasta)
             dt = _t.time() - t

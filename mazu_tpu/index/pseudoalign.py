@@ -48,44 +48,46 @@ def color_bitsets(cc) -> dict:
     }
 
 
-def pseudoalign_batch(index_arrays: dict, cb: dict, kmat, valid, xp):
+def pseudoalign_batch(index_arrays: dict, cb: dict, kmat, valid, xp, policy: str = "intersect"):
     """[R, L] k-mer matrix -> per-read (bitset u64[R, W], n_hit, n_kmers).
 
     One fused graph: flat k2u over all R*L k-mers, class-bitset row gather
-    per hit, AND-reduction along the read.
+    per hit, bitwise reduction along the read. ``policy``:
+    "intersect" (themisto default: refs covering EVERY hitting k-mer) or
+    "union" (refs covering ANY hitting k-mer).
     """
+    import jax
+
+    assert policy in ("intersect", "union"), policy
     R, L = kmat.shape
     r = k2u_batch(index_arrays, kmat.reshape(R * L), xp)
     hit = (r["mt"].reshape(R, L) > 0) & valid
     uid = xp.where(hit, r["unitig_id"].reshape(R, L), 0)
     cid = cb["u2c"][uid].astype(xp.int64)
     rows = cb["bitsets"][cid]  # [R, L, W]
-    neutral = ~xp.zeros_like(rows)
-    rows = xp.where(hit[:, :, None], rows, neutral)
-    if xp is np:
-        inter = np.bitwise_and.reduce(rows, axis=1)
+    if policy == "intersect":
+        neutral, op, red = ~np.uint64(0), jax.lax.bitwise_and, np.bitwise_and
     else:
-        import jax
-
-        inter = jax.lax.reduce(
-            rows,
-            xp.asarray(~np.uint64(0)),
-            jax.lax.bitwise_and,
-            (1,),
-        )
+        neutral, op, red = np.uint64(0), jax.lax.bitwise_or, np.bitwise_or
+    rows = xp.where(hit[:, :, None], rows, xp.full_like(rows, neutral))
+    if xp is np:
+        out = red.reduce(rows, axis=1)
+    else:
+        out = jax.lax.reduce(rows, xp.asarray(neutral), op, (1,))
     n_hit = hit.sum(axis=1)
-    inter = xp.where((n_hit > 0)[:, None], inter, xp.zeros_like(inter))
-    return inter, n_hit, valid.sum(axis=1)
+    out = xp.where((n_hit > 0)[:, None], out, xp.zeros_like(out))
+    return out, n_hit, valid.sum(axis=1)
 
 
 class PseudoAligner:
     """Batched pseudo-aligner over a ModIndex (+ its color classes)."""
 
-    def __init__(self, index, cc=None, use_jit: bool = True):
+    def __init__(self, index, cc=None, use_jit: bool = True, policy: str = "intersect"):
         self.index = index
         self.k = index.k
         cc = index.color_classes() if cc is None else cc
         self.cc = cc
+        self.policy = policy
         self._cb = color_bitsets(cc)
         self._arrays = index.device_arrays()
         self.use_jit = use_jit
@@ -96,7 +98,7 @@ class PseudoAligner:
             self._d_arrays = jax.device_put(self._arrays)
             self._d_cb = jax.device_put(self._cb)
             self._fn = jax.jit(
-                lambda a, c, km, v: pseudoalign_batch(a, c, km, v, jnp)
+                lambda a, c, km, v: pseudoalign_batch(a, c, km, v, jnp, policy)
             )
 
     def map_kmer_matrix(self, kmat: np.ndarray, valid: np.ndarray):
@@ -107,7 +109,7 @@ class PseudoAligner:
                 self._d_arrays, self._d_cb, jnp.asarray(kmat), jnp.asarray(valid)
             )
             return np.asarray(inter), np.asarray(n_hit), np.asarray(n_k)
-        return pseudoalign_batch(self._arrays, self._cb, kmat, valid, np)
+        return pseudoalign_batch(self._arrays, self._cb, kmat, valid, np, self.policy)
 
     def map_reads(self, reads: list[str]):
         """Returns per read: (sorted ref-id array, n_hit, n_kmers)."""

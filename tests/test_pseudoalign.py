@@ -85,3 +85,37 @@ def test_pseudoalign_source_ref_contained(txome):
     for (g_refs, g_hit, g_k), ri in zip(got, srcs):
         assert g_hit == g_k  # every k-mer of an indexed read hits
         assert ri in g_refs.tolist()
+
+
+def test_pseudoalign_union_policy(txome):
+    idx, refs = txome
+    rng = np.random.default_rng(21)
+    # chimeric reads: halves from two different transcripts -> intersection
+    # often empty, union covers both sources
+    reads = []
+    pairs = []
+    for _ in range(12):
+        a, b = rng.integers(0, len(refs), 2)
+        sa, sb = refs[int(a)][1], refs[int(b)][1]
+        if len(sa) < 70 or len(sb) < 70:
+            continue
+        reads.append(sa[:60] + sb[:60])
+        pairs.append((int(a), int(b)))
+    inter = PseudoAligner(idx, policy="intersect")
+    union = PseudoAligner(idx, cc=inter.cc, policy="union")
+    gi = inter.map_reads(reads)
+    gu = union.map_reads(reads)
+    # oracle
+    k = idx.k
+    kmat, valid, _ = kmerize_reads(reads, k)
+    for i in range(len(reads)):
+        hits = idx.get_ref_pos_eager(kmat[i][valid[i]])
+        sets = [set(r for r, _p, _o in h) for h in hits if h is not None]
+        assert gi[i][0].tolist() == (sorted(set.intersection(*sets)) if sets else [])
+        assert gu[i][0].tolist() == (sorted(set.union(*sets)) if sets else [])
+        a, b = pairs[i]
+        assert a in gu[i][0].tolist() and b in gu[i][0].tolist()
+    # numpy path parity for union too
+    un = PseudoAligner(idx, cc=inter.cc, policy="union", use_jit=False)
+    for x, y in zip(gu, un.map_reads(reads)):
+        assert x[0].tolist() == y[0].tolist() and x[1:] == y[1:]
