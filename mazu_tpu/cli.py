@@ -99,6 +99,12 @@ def _build_parser():
     c.add_argument("-i", "--input", required=True)
     c.add_argument("-f", "--fasta", required=True)
     c.add_argument("--streaming", action="store_true")
+    c.add_argument(
+        "--device",
+        action="store_true",
+        help="run the jitted batched kernel on the ambient JAX device "
+        "(reports compile and warm ns/kmer separately)",
+    )
     return p
 
 
@@ -282,7 +288,22 @@ def _main(argv=None):
             k2u = load_k2u(args.input)
             from .io.fasta import read_fasta
 
-            if args.streaming:
+            if args.streaming and args.device:
+                # flat cache mode: one jitted graph (cold kernel + derived
+                # warm flags), the TPU reads path
+                from .index.streaming import StreamingIndex, kmerize_reads
+
+                si = StreamingIndex(k2u, mode="flat")
+                reads = [seq for _, seq in read_fasta(args.fasta)]
+                kms, valid, _ = kmerize_reads(reads, k2u.k)
+                t = time.time()
+                r = si.k2u_reads(kms, valid)
+                print(f"compile+first: {time.time() - t:.2f}s")
+                t = time.time()
+                r = si.k2u_reads(kms, valid)
+                dt = time.time() - t
+                mt = r["mt"][valid]
+            elif args.streaming:
                 from .index.streaming import StreamingIndex, kmerize_reads
 
                 si = StreamingIndex(k2u, use_jit=False)
@@ -296,14 +317,31 @@ def _main(argv=None):
                 from .index.modindex import k2u_batch
                 from .index.validate import valid_kmer_windows
 
-                d = {"k2u": k2u.device_arrays()}
                 words = np.concatenate(
                     [valid_kmer_windows(seq, k2u.k)[1] for _, seq in read_fasta(args.fasta)]
                 )
-                t = time.time()
-                r = k2u_batch(d, words, np)
-                dt = time.time() - t
-                mt = np.asarray(r["mt"])
+                if args.device:
+                    import jax
+                    import jax.numpy as jnp
+
+                    d = jax.device_put({"k2u": k2u.device_arrays()})
+                    pad = (-len(words)) % 8192
+                    wp = np.concatenate([words, np.zeros(pad, dtype=np.uint64)])
+                    fn = jax.jit(lambda a, w: k2u_batch(a, w, jnp))
+                    dw = jax.device_put(jnp.asarray(wp))
+                    t = time.time()
+                    r = {kk: np.asarray(v) for kk, v in fn(d, dw).items()}
+                    print(f"compile+first: {time.time() - t:.2f}s")
+                    t = time.time()
+                    r = {kk: np.asarray(v) for kk, v in fn(d, dw).items()}
+                    dt = time.time() - t
+                    mt = r["mt"][: len(words)]
+                else:
+                    d = {"k2u": k2u.device_arrays()}
+                    t = time.time()
+                    r = k2u_batch(d, words, np)
+                    dt = time.time() - t
+                    mt = np.asarray(r["mt"])
             hits = int((mt > 0).sum())
             n = len(mt)
             print(f"{n} queries, {hits} hits, {n - hits} misses")
