@@ -121,3 +121,68 @@ def test_colors_batch_device_parity():
     miss = foreign["mt"] == 0
     assert (foreign["class_id"][miss] == -1).all()
     assert (foreign["n_refs"][miss] == 0).all()
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_colors_fuzz_random_tilings(trial):
+    """Random unitig sets + random multi-occurrence tilings (orientations,
+    repeats): colors and pseudo-alignment must match scalar oracles."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_fuzz import random_unitigs
+
+    from mazu_tpu.containers.refseq import RefSeqCollection
+    from mazu_tpu.containers.unitig_set import UnitigSet
+    from mazu_tpu.index.modindex import ModIndex
+    from mazu_tpu.index.pseudoalign import PseudoAligner
+    from mazu_tpu.index.spt import SPT
+    from mazu_tpu.kphf.sshash import SSHash
+
+    rng = np.random.default_rng(500 + trial)
+    k = int(rng.choice([7, 15, 31]))
+    seqs = random_unitigs(rng, int(rng.integers(4, 10)), k, max_len=90)
+    if len(seqs) < 2:
+        pytest.skip("degenerate draw")
+    us = UnitigSet.from_seqs(seqs, k)
+    n_refs = int(rng.integers(2, 7))
+    uids, refs_, poss, os_ = [], [], [], []
+    ref_lens = np.zeros(n_refs, dtype=np.int64)
+    for u, s in enumerate(seqs):
+        for ri in rng.choice(n_refs, size=int(rng.integers(1, 4)), replace=False):
+            uids.append(u)
+            refs_.append(int(ri))
+            poss.append(int(ref_lens[ri]))
+            os_.append(int(rng.integers(0, 2)))
+            ref_lens[ri] += len(s) + int(rng.integers(0, 9))  # gap
+    spt = SPT(
+        us,
+        [f"r{i}" for i in range(n_refs)],
+        np.array(uids, dtype=np.int64),
+        np.array(refs_, dtype=np.int64),
+        np.array(poss, dtype=np.int64),
+        np.array(os_, dtype=np.int64),
+        ref_lens + 1,
+    )
+    w = int(rng.integers(3, min(k, 15) + 1))
+    k2u = SSHash.from_unitig_set(us, w=w, skew_param=2, engine="direct")
+    refs = RefSeqCollection(
+        None,
+        np.concatenate([[0], np.cumsum(ref_lens + 1)]).astype(np.int64),
+        spt.ref_names,
+    )
+    idx = ModIndex(k2u, spt.piscem_table(), refs)
+    # colors == per-unitig distinct tiling refs
+    cc = _check_exact(idx)
+    want = {u: sorted({refs_[i] for i in range(len(uids)) if uids[i] == u})
+            for u in range(len(seqs))}
+    for u in range(len(seqs)):
+        assert cc.refs_of_class(int(cc.class_of(u))).tolist() == want[u]
+    # pseudoalign reads = unitig seqs fw/rc -> exactly that unitig's set
+    reads = []
+    for u, s in enumerate(seqs):
+        reads.append(s if u % 2 else s.translate(str.maketrans("ACGT", "TGCA"))[::-1])
+    pa = PseudoAligner(idx, cc=cc)
+    for (g_refs, g_hit, g_k), (u, _s) in zip(pa.map_reads(reads), enumerate(seqs)):
+        assert g_hit == g_k
+        assert g_refs.tolist() == want[u], u
