@@ -70,7 +70,10 @@ def _build_parser():
     pm.add_argument("-i", "--index", required=True)
     pm.add_argument("-f", "--fasta", required=True, help="reads (FASTA/FASTQ, optionally .gz)")
     pm.add_argument("--list", action="store_true", help="print per-read candidate refs")
-    pm.add_argument("--policy", choices=["intersect", "union"], default="intersect")
+    pm.add_argument(
+        "--policy", choices=["intersect", "union", "threshold"], default="intersect"
+    )
+    pm.add_argument("--tau", type=float, default=0.7, help="threshold-policy coverage fraction")
 
     # ---- kphf tool
     kp = sub.add_parser("kphf").add_subparsers(dest="cmd", required=True)
@@ -197,7 +200,7 @@ def _main(argv=None):
             from .index.pseudoalign import PseudoAligner
 
             idx = _load_index_arg(args.index)
-            pa = PseudoAligner(idx, policy=args.policy)
+            pa = PseudoAligner(idx, policy=args.policy, tau=args.tau)
             t = _t.time()
             results = pa.map_file(args.fasta)
             dt = _t.time() - t

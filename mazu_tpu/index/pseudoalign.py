@@ -79,15 +79,38 @@ def pseudoalign_batch(index_arrays: dict, cb: dict, kmat, valid, xp, policy: str
     return out, n_hit, valid.sum(axis=1)
 
 
-class PseudoAligner:
-    """Batched pseudo-aligner over a ModIndex (+ its color classes)."""
+def classify_kmers(index_arrays: dict, cb: dict, kmat, valid, xp):
+    """Per-k-mer class ids + hit mask (device part of the threshold
+    policy; the per-ref counting happens on host over these small
+    [R, L] outputs)."""
+    R, L = kmat.shape
+    r = k2u_batch(index_arrays, kmat.reshape(R * L), xp)
+    hit = (r["mt"].reshape(R, L) > 0) & valid
+    uid = xp.where(hit, r["unitig_id"].reshape(R, L), 0)
+    cid = cb["u2c"][uid].astype(xp.int32)
+    return xp.where(hit, cid, xp.full_like(cid, -1)), hit
 
-    def __init__(self, index, cc=None, use_jit: bool = True, policy: str = "intersect"):
+
+class PseudoAligner:
+    """Batched pseudo-aligner over a ModIndex (+ its color classes).
+
+    Policies (themisto-style):
+    - "intersect": refs covering EVERY hitting k-mer (default)
+    - "union": refs covering ANY hitting k-mer
+    - "threshold": refs covering >= ceil(tau * n_hit) hitting k-mers
+      (tau=1.0 == intersect, tau->0 == union); the per-ref counting runs
+      on host over the device-classified [R, L] class ids.
+    """
+
+    def __init__(self, index, cc=None, use_jit: bool = True, policy: str = "intersect", tau: float = 0.7):
         self.index = index
         self.k = index.k
+        assert policy in ("intersect", "union", "threshold"), policy
+        assert 0.0 < tau <= 1.0
         cc = index.color_classes() if cc is None else cc
         self.cc = cc
         self.policy = policy
+        self.tau = float(tau)
         self._cb = color_bitsets(cc)
         self._arrays = index.device_arrays()
         self.use_jit = use_jit
@@ -97,9 +120,14 @@ class PseudoAligner:
 
             self._d_arrays = jax.device_put(self._arrays)
             self._d_cb = jax.device_put(self._cb)
-            self._fn = jax.jit(
-                lambda a, c, km, v: pseudoalign_batch(a, c, km, v, jnp, policy)
-            )
+            if policy == "threshold":
+                self._fn = jax.jit(
+                    lambda a, c, km, v: classify_kmers(a, c, km, v, jnp)
+                )
+            else:
+                self._fn = jax.jit(
+                    lambda a, c, km, v: pseudoalign_batch(a, c, km, v, jnp, policy)
+                )
 
     def map_kmer_matrix(self, kmat: np.ndarray, valid: np.ndarray):
         if self.use_jit:
@@ -111,11 +139,40 @@ class PseudoAligner:
             return np.asarray(inter), np.asarray(n_hit), np.asarray(n_k)
         return pseudoalign_batch(self._arrays, self._cb, kmat, valid, np, self.policy)
 
+    def _map_threshold(self, kmat: np.ndarray, valid: np.ndarray):
+        import math
+
+        if self.use_jit:
+            import jax.numpy as jnp
+
+            cid, hit = self._fn(
+                self._d_arrays, self._d_cb, jnp.asarray(kmat), jnp.asarray(valid)
+            )
+            cid, hit = np.asarray(cid), np.asarray(hit)
+        else:
+            cid, hit = classify_kmers(self._arrays, self._cb, kmat, valid, np)
+        out = []
+        for i in range(len(kmat)):
+            cids = cid[i][hit[i]]
+            n_hit, n_k = len(cids), int(valid[i].sum())
+            if n_hit == 0:
+                out.append((np.zeros(0, dtype=np.int64), 0, n_k))
+                continue
+            need = max(1, math.ceil(self.tau * n_hit))
+            uc, cnt = np.unique(cids, return_counts=True)
+            ref_counts = np.zeros(self.cc.n_refs, dtype=np.int64)
+            for c, n in zip(uc.tolist(), cnt.tolist()):
+                ref_counts[self.cc.refs_of_class(c)] += n
+            out.append((np.flatnonzero(ref_counts >= need), n_hit, n_k))
+        return out
+
     def map_reads(self, reads: list[str]):
         """Returns per read: (sorted ref-id array, n_hit, n_kmers)."""
         from .streaming import kmerize_reads
 
         kmat, valid, _ = kmerize_reads(reads, self.k)
+        if self.policy == "threshold":
+            return self._map_threshold(kmat, valid)
         inter, n_hit, n_k = self.map_kmer_matrix(kmat, valid)
         bits = np.unpackbits(
             inter.view(np.uint8), bitorder="little", axis=1

@@ -119,3 +119,53 @@ def test_pseudoalign_union_policy(txome):
     un = PseudoAligner(idx, cc=inter.cc, policy="union", use_jit=False)
     for x, y in zip(gu, un.map_reads(reads)):
         assert x[0].tolist() == y[0].tolist() and x[1:] == y[1:]
+
+
+def test_pseudoalign_threshold_policy(txome):
+    idx, refs = txome
+    rng = np.random.default_rng(33)
+    reads = []
+    for _ in range(10):
+        a, b = rng.integers(0, len(refs), 2)
+        sa, sb = refs[int(a)][1], refs[int(b)][1]
+        if len(sa) < 100 or len(sb) < 50:
+            continue
+        # 3:1 chimeric mix: tau=0.5 should keep the dominant source only
+        reads.append(sa[:90] + sb[:50])
+    reads.append(refs[0][1][:80])
+    inter = PseudoAligner(idx, policy="intersect")
+    cc = inter.cc
+    # tau=1.0 == intersect; tiny tau == union
+    t1 = PseudoAligner(idx, cc=cc, policy="threshold", tau=1.0)
+    te = PseudoAligner(idx, cc=cc, policy="threshold", tau=1e-9)
+    union = PseudoAligner(idx, cc=cc, policy="union")
+    gi, g1 = inter.map_reads(reads), t1.map_reads(reads)
+    gu, ge = union.map_reads(reads), te.map_reads(reads)
+    for a, b in zip(gi, g1):
+        assert a[0].tolist() == b[0].tolist() and a[1:] == b[1:]
+    for a, b in zip(gu, ge):
+        assert a[0].tolist() == b[0].tolist() and a[1:] == b[1:]
+    # mid tau vs scalar oracle
+    import math
+
+    tm = PseudoAligner(idx, cc=cc, policy="threshold", tau=0.5)
+    gm = tm.map_reads(reads)
+    kmat, valid, _ = kmerize_reads(reads, idx.k)
+    for i in range(len(reads)):
+        hits = idx.get_ref_pos_eager(kmat[i][valid[i]])
+        sets = [set(r for r, _p, _o in h) for h in hits if h is not None]
+        if not sets:
+            assert gm[i][0].size == 0
+            continue
+        need = max(1, math.ceil(0.5 * len(sets)))
+        from collections import Counter
+
+        cnt = Counter()
+        for s in sets:
+            cnt.update(s)
+        want = sorted(r for r, n in cnt.items() if n >= need)
+        assert gm[i][0].tolist() == want, i
+    # numpy path parity
+    tn = PseudoAligner(idx, cc=cc, policy="threshold", tau=0.5, use_jit=False)
+    for x, y in zip(gm, tn.map_reads(reads)):
+        assert x[0].tolist() == y[0].tolist() and x[1:] == y[1:]
