@@ -68,6 +68,13 @@ _LAZY = {
     "piscem_index_from_cf_prefix": "mazu_tpu.index.piscem_index",
     "validate_self": "mazu_tpu.index.validate",
     "validate_fasta": "mazu_tpu.index.validate",
+    "ColorClasses": "mazu_tpu.index.colors",
+    "PseudoAligner": "mazu_tpu.index.pseudoalign",
+    "ReadMapper": "mazu_tpu.index.mapping",
+    "pack_reads": "mazu_tpu.io.reads",
+    "read_fasta": "mazu_tpu.io.fasta",
+    "read_fastq": "mazu_tpu.io.fastq",
+    "read_seqs": "mazu_tpu.io.fastq",
 }
 
 

@@ -100,6 +100,12 @@ class PseudoAligner:
     - "threshold": refs covering >= ceil(tau * n_hit) hitting k-mers
       (tau=1.0 == intersect, tau->0 == union); the per-ref counting runs
       on host over the device-classified [R, L] class ids.
+
+    Panel-size note: intersect/union gather W = ceil(n_refs/64) u64 words
+    per hitting k-mer — right up to ~10^4-10^5 refs. For larger panels use
+    policy="threshold" (tau=1.0 reproduces intersect exactly): its device
+    part is bitset-free and the host counting touches only each read's
+    own classes.
     """
 
     def __init__(self, index, cc=None, use_jit: bool = True, policy: str = "intersect", tau: float = 0.7):
