@@ -88,7 +88,11 @@ def build_index():
         log("fallback toy index")
     skew = int(os.environ.get("MAZU_BENCH_SKEW", 2))
     engine = os.environ.get("MAZU_BENCH_ENGINE", "direct")
-    load = float(os.environ.get("MAZU_BENCH_LOAD", 0.0625))
+    # load 0.0625 is the chr01-tuned default (table cache residency wins);
+    # at synthetic scale the bucket table is 1/load-proportional and
+    # nothing is cached, so sparse tables only waste HBM (200Mbp at
+    # 0.0625 measured 10.5GB -> OOM; 0.25 fits)
+    load = float(os.environ.get("MAZU_BENCH_LOAD", 0.25 if synth else 0.0625))
     if engine in ("cuckoo", "mono", "mono2"):
         from mazu_tpu.kphf.kcdict import KCDict
 
