@@ -1,13 +1,19 @@
 """Command-line interface (reference parity: src/bin/index/main.rs and
 src/bin/kphf/main.rs).
 
-  mazu-tpu index build piscem     -p <cf_prefix> -o out.piscem.npz [-m W] [-s SKEW]
+  mazu-tpu index build piscem     -p <cf_prefix> -o out.piscem.npz [-m W] [-s SKEW] [--engine E]
   mazu-tpu index build pufferfish -p <cf_prefix> -o out.pf_dense.npz
   mazu-tpu index validate-fasta   -i out.npz -f refs.fa [--streaming]
-  mazu-tpu kphf build  (sshash|pfhash|cuckoo|mono|mono2) -p <cf_prefix> -o out.npz [-m W] [-s SKEW] [--validate]
+  mazu-tpu index map       -i out.npz -f reads.(fa|fastq)[.gz]
+  mazu-tpu index colors    -i out.npz [-o colors.npz]
+  mazu-tpu index pseudomap -i out.npz -f reads.(fa|fastq)[.gz] [--policy P] [--tau T] [--list]
+  mazu-tpu kphf build  (sshash|pfhash|sampled|cuckoo|mono|mono2) -p <cf_prefix> -o out.npz [--validate]
   mazu-tpu kphf validate -i kphf.npz
   mazu-tpu kphf stats    -i kphf.npz
-  mazu-tpu kphf bench    -i kphf.npz -f queries.fa [--streaming]
+  mazu-tpu kphf bench    -i kphf.npz -f queries.fa [--streaming] [--device]
+
+Index arguments also accept a pufferfish (C++) index DIRECTORY anywhere an
+.npz is accepted (dense or sparse, auto-detected).
 """
 
 from __future__ import annotations
