@@ -188,3 +188,23 @@ def test_k2u_reads_packed_equals_host(tiny_index):
     for key in ("unitig_id", "unitig_len", "pos", "mt"):
         np.testing.assert_array_equal(a[key], b[key], err_msg=key)
     assert host.last_cold_fraction == flat.last_cold_fraction
+
+
+def test_pack_reads_edge_cases():
+    """Degenerate inputs: empty list, read shorter than k, all-N read,
+    empty read, N-split — kmerize_device must equal kmerize_reads."""
+    from mazu_tpu.io.reads import kmerize_device, pack_reads
+
+    k = 31
+    for reads in (
+        [],
+        ["ACG"],
+        ["N" * 40],
+        ["ACGT" * 20, ""],
+        ["ACGTNNNNACGTACGTACGTACGTACGTACGTACG"],
+    ):
+        p = pack_reads(reads, k)
+        km_d, v_d = kmerize_device(p, np)
+        km_h, v_h, _ = kmerize_reads(reads, k)
+        np.testing.assert_array_equal(v_d, v_h)
+        np.testing.assert_array_equal(km_d, km_h)
