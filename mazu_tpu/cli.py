@@ -56,6 +56,8 @@ def _build_parser():
                     "mono/mono2 = single-gather flagship)"
                 ),
             )
+    st = idx.add_parser("stats", help="size accounting down the index stack")
+    st.add_argument("-i", "--index", required=True)
     v = idx.add_parser("validate-fasta")
     v.add_argument("-i", "--index", required=True)
     v.add_argument("-f", "--fasta", required=True)
@@ -180,6 +182,17 @@ def _main(argv=None):
             log.info("built in %.1fs", time.time() - t)
             save_index(idx, args.output)
             print(f"wrote {args.output}")
+        elif args.cmd == "stats":
+            idx = _load_index_arg(args.index)
+            n_k = max(1, idx.n_kmers)
+            print(f"index_type: {idx.index_type}   k: {idx.k}")
+            print(f"n_kmers: {idx.n_kmers}  n_unitigs: {idx.n_unitigs}  n_refs: {idx.n_refs}")
+            k2u_bits = idx.k2u.num_bits()
+            u2_bits = idx.u2pos.num_bits() if hasattr(idx.u2pos, "num_bits") else 0
+            print(f"k2u:   {k2u_bits/8e6:10.2f} MB  ({k2u_bits/n_k:6.2f} bits/kmer)")
+            print(f"u2pos: {u2_bits/8e6:10.2f} MB  ({u2_bits/n_k:6.2f} bits/kmer)")
+            if hasattr(idx.k2u, "print_stats"):
+                idx.k2u.print_stats()
         elif args.cmd == "validate-fasta":
             idx = _load_index_arg(args.index)
             if args.streaming:

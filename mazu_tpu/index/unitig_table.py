@@ -66,6 +66,9 @@ class DenseUnitigTable:
         self.ref_names = ref_names or []
         self.ref_exts = ref_exts
 
+    def num_bits(self) -> int:
+        return 8 * (self.ctable.nbytes + self.offsets.nbytes)
+
     @property
     def n_unitigs(self) -> int:
         return len(self.offsets) - 1
@@ -115,6 +118,9 @@ class PiscemUnitigTable:
         self.pos_mask = int(pos_mask)
         self.ref_names = ref_names or []
         self.ref_exts = ref_exts
+
+    def num_bits(self) -> int:
+        return self.ctable.num_bits() + 8 * self.offsets.nbytes
 
     @property
     def n_unitigs(self) -> int:
