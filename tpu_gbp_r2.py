@@ -43,7 +43,8 @@ def main():
     unitigs, refs, u2pos = bench.build_synthetic(NB)
     log(f"synth {NB/1e9:.2f}Gbp in {time.time()-t0:.0f}s: {unitigs.n_kmers} kmers")
     t0 = time.time()
-    k2u = SSHash.from_unitig_set(unitigs, w=15, skew_param=4, engine="fast32")
+    skew = int(os.environ.get("MAZU_GBP_SKEW", 4))
+    k2u = SSHash.from_unitig_set(unitigs, w=15, skew_param=skew, engine="fast32")
     log(
         f"fast32 build {time.time()-t0:.0f}s: bits/kmer="
         f"{k2u.num_bits()/k2u.n_kmers:.2f} skew_kmers={k2u.n_kmers_in_skew_index}"
