@@ -153,6 +153,16 @@ def colors_lookup(cc: dict, uid, xp, max_refs: int):
 def colors_batch(index_arrays: dict, cc: dict, fw_words, xp, max_refs: int):
     """Batched k-mer -> color query: k2u + colors_lookup, miss-safe."""
     r = k2u_batch(index_arrays, fw_words, xp)
+    return colors_from_k2u(cc, r, xp, max_refs)
+
+
+def colors_from_k2u(cc: dict, r: dict, xp, max_refs: int):
+    """Color resolution over per-lane k2u fields (unitig_id, mt) — the
+    back half of colors_batch, split out so SHARDED deployments can run
+    it over merged sharded-query outputs: the cc arrays are small
+    (deduplicated classes) and REPLICATE across shards, so colors are an
+    elementwise per-lane pass once the k2u answer is merged
+    (validate.merge_sharded_out of a make_*_sharded_query result)."""
     hit = r["mt"] > 0
     uid = xp.where(hit, r["unitig_id"], xp.zeros_like(r["unitig_id"]))
     cid, refs, valid, cnt = colors_lookup(cc, uid, xp, max_refs)

@@ -21,9 +21,13 @@ from ..pytree import meta
 from .unitig_table import decode_occs
 
 
-def k2u_batch(d: dict, fw_words, xp):
-    """Dispatch on the (static) k2u kind."""
+def k2u_batch(d: dict, fw_words, xp, probe_start: int = 0):
+    """Dispatch on the (static) k2u kind. ``probe_start`` (sshash only)
+    skips candidate rows [0, probe_start) — see sshash_k2u's exactness
+    contract; every other kind requires probe_start == 0."""
     kind = d["k2u"]["meta"].kind
+    if kind != "sshash":
+        assert probe_start == 0, "probe_start is an sshash-only contract"
     if kind == "pfhash":
         from ..kphf.pfhash import pfhash_k2u
 
@@ -31,7 +35,7 @@ def k2u_batch(d: dict, fw_words, xp):
     if kind == "sshash":
         from ..kphf.sshash import sshash_k2u
 
-        return sshash_k2u(d["k2u"], fw_words, xp)
+        return sshash_k2u(d["k2u"], fw_words, xp, probe_start=probe_start)
     if kind == "sampled":
         from ..kphf.sampled import sampled_k2u
 
@@ -85,7 +89,7 @@ def _occ_projection_wide(d: dict, r: dict, xp, max_occs: int):
     }
 
 
-def get_ref_pos_padded(d: dict, fw_words, xp, max_occs: int):
+def get_ref_pos_padded(d: dict, fw_words, xp, max_occs: int, probe_start: int = 0):
     """Batched get_ref_pos with padded occurrence lists.
 
     Returns dict with
@@ -95,7 +99,7 @@ def get_ref_pos_padded(d: dict, fw_words, xp, max_occs: int):
 
     Projection parity: reference src/index.rs:193-216.
     """
-    r = k2u_batch(d, fw_words, xp)
+    r = k2u_batch(d, fw_words, xp, probe_start=probe_start)
     return {**r, **_occ_projection_wide(d, r, xp, max_occs)}
 
 
@@ -137,12 +141,16 @@ def _merge_compact(d, p, r, pieces, N, max_occs, xp):
     return full
 
 
-def _compact_split(d, fw, r, p, overflow, m_a, m_b, max_occs, merge, xp):
+def _compact_split(d, fw, r, p, overflow, m_a, m_b, max_occs, merge, xp, probe_start=0):
     """TYPE-SPLIT heavy phase (see get_ref_pos_compact ``m2b``): type-A
-    lanes (k2u resolved, unitig occurrences exceed the fused width) reuse
-    the main probe's occ_start/occ_cnt and pay ONLY the wide occurrence
-    fetch; type-B lanes (skew bucket or probe depth exceeded) re-run the
-    full padded pipeline. One 2-channel MXU scan ranks both lane sets."""
+    lanes (k2u resolved, unitig occurrences exceed the main width) reuse
+    the main probe's occ bounds — fused rows carry them inline, non-fused
+    layouts re-gather them from the offsets table on the compacted lanes —
+    and pay ONLY the wide occurrence fetch; type-B lanes (skew bucket or
+    probe depth exceeded) re-run the full padded pipeline, starting at
+    ``probe_start`` (exact: type-B non-skew lanes already probed and
+    missed rows [0, probe_start) in the shallow main phase). One
+    2-channel MXU scan ranks both lane sets."""
     from ..ops.compact import flagged_lanes2
 
     N = fw.shape[0]
@@ -153,13 +161,18 @@ def _compact_split(d, fw, r, p, overflow, m_a, m_b, max_occs, merge, xp):
 
     rA = {
         kk: r[kk][lanes_a]
-        for kk in ("unitig_id", "unitig_len", "pos", "mt", "occ_start", "occ_cnt")
+        for kk in ("unitig_id", "unitig_len", "pos", "mt")
     }
+    if "occ_start" in r:
+        rA["occ_start"] = r["occ_start"][lanes_a]
+        rA["occ_cnt"] = r["occ_cnt"][lanes_a]
+    # else: _occ_projection_wide re-gathers the bounds from the offsets
+    # table for the M compacted lanes (2 tiny gathers, not N-sized)
     outA = {
         **{kk: rA[kk] for kk in ("unitig_id", "unitig_len", "pos", "mt")},
         **_occ_projection_wide(d, rA, xp, max_occs),
     }
-    outB = get_ref_pos_padded(d, fw[lanes_b], xp, max_occs)
+    outB = get_ref_pos_padded(d, fw[lanes_b], xp, max_occs, probe_start=probe_start)
     sa = xp.arange(m_a) < xp.minimum(n_a, m_a)
     sb = xp.arange(m_b) < xp.minimum(n_b, m_b)
 
@@ -221,7 +234,13 @@ def get_ref_pos_compact(
     re-run the full padded pipeline. Results identical; ~2x cheaper type-A
     lanes, one 2-channel MXU scan for both compactions.
 
-    Requires ``ModIndex.device_arrays(fused=True)`` arrays.
+    Works with BOTH array layouts:
+    - fused inline rows (``ModIndex.device_arrays(fused=True)``): the
+      speed tier — zero-gather main projection from the fused occ word(s).
+    - non-fused compact layouts (packed IntVector positions, EF/flat
+      prefix): the capacity tier — main projection via the offsets table
+      at width 2, and (with ``m2b``) the type-B re-probe starts at
+      ``probe_limit`` so deep buckets pay only the remaining depth.
     """
     from ..kphf.sshash import sshash_k2u
     from ..ops.compact import flagged_lanes
@@ -230,19 +249,32 @@ def get_ref_pos_compact(
     fw = xp.asarray(fw_words)
     N = fw.shape[0]
     M = int(m2) if m2 else max(64, N // budget_div)
+    probe_start = 0
     if d["k2u"]["meta"].kind == "kcdict":
         from ..kphf.kcdict import kcdict_k2u
 
         r = kcdict_k2u(d["k2u"], fw, xp, mode="main")
     else:
         r = sshash_k2u(d["k2u"], fw, xp, mode="main", probe_limit=probe_limit)
-    assert "occ_cnt" in r, "compact path requires fused device arrays"
-    p = _project_fused(d, r, xp)
+        if probe_limit is not None:
+            # phase-2B lanes either never probe (use_skew) or already
+            # probed and missed rows [0, probe_limit): the type-split
+            # re-probe may start past them (sshash_k2u exactness contract)
+            probe_start = min(int(probe_limit), int(d["k2u"]["meta"].probe_bound))
+    if "occ_cnt" in r:
+        p = _project_fused(d, r, xp)
+    else:
+        # non-fused (packed/EF compact tiers): occ bounds come from the
+        # offsets table (2 extra gathers); main projection width 2
+        from .twophase import _project_offsets
+
+        p = _project_offsets(d, r, xp, small_occs=2)
     overflow = p["overflow"] | r["unresolved"]
 
     if m2b is not None:
         return _compact_split(
-            d, fw, r, p, overflow, M, int(m2b), max_occs, merge, xp
+            d, fw, r, p, overflow, M, int(m2b), max_occs, merge, xp,
+            probe_start=probe_start,
         )
 
     lanes, n_ovf = flagged_lanes(overflow, M, xp)
@@ -386,13 +418,21 @@ class ModIndex:
     def max_occs(self) -> int:
         return self.u2pos.max_occs()
 
-    def device_arrays(self, fused: bool = False, pos_kind: str | None = None) -> dict:
-        # pos_kind is an SSHash layout knob; other K2Us take no arguments
-        k2u_takes_pos_kind = pos_kind is not None and hasattr(self.k2u, "pos")
+    def device_arrays(
+        self,
+        fused: bool = False,
+        pos_kind: str | None = None,
+        prefix_kind: str | None = None,
+    ) -> dict:
+        # pos_kind/prefix_kind are SSHash layout knobs; other K2Us take no
+        # arguments
+        k2u_takes_kinds = (
+            pos_kind is not None or prefix_kind is not None
+        ) and hasattr(self.k2u, "pos")
         d = {
             "k2u": (
-                self.k2u.device_arrays(pos_kind=pos_kind)
-                if k2u_takes_pos_kind
+                self.k2u.device_arrays(prefix_kind=prefix_kind, pos_kind=pos_kind)
+                if k2u_takes_kinds
                 else self.k2u.device_arrays()
             ),
             "u2pos": self.u2pos.device_arrays(),

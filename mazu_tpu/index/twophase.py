@@ -23,8 +23,6 @@ from .modindex import ModIndex, get_ref_pos_padded
 
 
 def _main_phase(arrays, fw, xp, small_occs: int, probe_limit: int | None = None):
-    from .unitig_table import decode_words, fetch_occ_block
-
     if arrays["k2u"]["meta"].kind == "kcdict":
         from ..kphf.kcdict import kcdict_k2u
 
@@ -33,9 +31,6 @@ def _main_phase(arrays, fw, xp, small_occs: int, probe_limit: int | None = None)
         from ..kphf.sshash import sshash_k2u
 
         r = sshash_k2u(arrays["k2u"], fw, xp, mode="main", probe_limit=probe_limit)
-    u2 = arrays["u2pos"]
-    hit = r["mt"] > 0
-    k = arrays["meta"].k
 
     if "occ_cnt" in r:
         # fused layout: the probe row carried (first_occ_word, occ_cnt) —
@@ -45,10 +40,28 @@ def _main_phase(arrays, fw, xp, small_occs: int, probe_limit: int | None = None)
             p["overflow"] = p["overflow"] | r["unresolved"]
         return p
 
+    return _project_offsets(arrays, r, xp, small_occs)
+
+
+def _project_offsets(arrays, r, xp, small_occs: int):
+    """Small-width occurrence projection via the offsets table (2 extra
+    gathers) for NON-fused layouts (the packed/EF compact tiers).
+
+    ``overflow`` folds in heavy-bucket lanes (use_skew), shallow-probe
+    lanes left unsettled (unresolved — present when a probe_limit was
+    set), and lanes whose unitig has more occurrences than ``small_occs``;
+    all of those re-resolve exactly in the caller's phase 2."""
+    from .unitig_table import fetch_occ_block
+
+    u2 = arrays["u2pos"]
+    k = arrays["meta"].k
+    hit = r["mt"] > 0
     uid = xp.where(hit, r["unitig_id"], xp.zeros_like(r["unitig_id"]))
     start = u2["offsets"][uid]
     cnt = xp.where(hit, u2["offsets"][uid + 1] - start, xp.zeros_like(start))
     overflow = r["use_skew"] | (cnt > small_occs)
+    if "unresolved" in r:
+        overflow = overflow | r["unresolved"]
 
     j = xp.arange(small_occs, dtype=start.dtype)
     valid = (j[None, :] < cnt[:, None]) & (~overflow)[:, None]

@@ -226,26 +226,46 @@ class SSHash:
 
         ordering = minimizer_hash or ("mix32" if hash32 else "mix64")
 
+        import os as _os
+        import time as _time
+
+        _timing = bool(_os.environ.get("MAZU_BUILD_TIMING"))
+        _t = [_time.time()]
+
+        def _stage(tag):
+            if _timing:
+                now = _time.time()
+                print(f"[build   {tag:22s}] {now - _t[0]:6.1f}s", flush=True)
+                _t[0] = now
+
         # 1-3. minimizer occurrences, deduped and value-sorted
         mm_set, mm_occs, ranges_start, mps = cls._collect_minimizer_occs(
             unitigs, w, seed, hash32, chunk, ordering=ordering
         )
+        _t[0] = _time.time()
 
         # 4. MPHF over the minimizer set
         mphf = mphf_cls.build(mm_set, gamma=gamma)
+        _stage("mphf build")
 
         # 5. occs prefix sum in hash order + position scatter
         h = mphf.lookup(mm_set)
         assert (h >= 0).all()
+        _stage("mphf lookup")
         n_occs_by_h = np.zeros(len(mm_set), dtype=np.int64)
         n_occs_by_h[h] = mm_occs
-        prefix = np.concatenate([[0], np.cumsum(n_occs_by_h)]).astype(np.int64)
+        from ..io.native import cumsum_i64
+
+        prefix = np.zeros(len(mm_set) + 1, dtype=np.int64)
+        prefix[1:] = cumsum_i64(n_occs_by_h)
         n_total = int(mm_occs.sum())
         dest_start = np.repeat(prefix[h], mm_occs)
         within = np.arange(n_total) - np.repeat(ranges_start, mm_occs)
         posv = np.zeros(n_total, dtype=np.uint64)
         posv[dest_start + within] = mps.astype(np.uint64)
+        _stage("pos scatter")
         pos_iv = IntVector.from_array(posv)
+        _stage("pos pack")
 
         # 6. skew index over heavy buckets
         skew_mphf = skew_pos_iv = None
@@ -925,6 +945,7 @@ def sshash_k2u(
     mode: str = "full",
     probe_limit: int | None = None,
     bucket_range=None,
+    probe_start: int = 0,
 ):
     """Batched SSHash k2u (parity: reference src/kphf/sshash.rs:471-554).
 
@@ -934,6 +955,15 @@ def sshash_k2u(
     skew structures and returns a ``use_skew`` flag instead (the caller
     re-queries flagged lanes via mode="full" on a compacted sub-batch —
     see TwoPhaseSSHash); heavy-bucket lanes cost the whole batch nothing.
+
+    ``probe_start``: skip candidate rows [0, probe_start) batch-wide.
+    EXACTNESS CONTRACT: the caller guarantees every lane in the batch
+    either never probes (use_skew) or already probed those rows and
+    missed — i.e. the lanes are a mode="main" pass's ``use_skew`` /
+    ``unresolved`` set with probe_limit == probe_start. This is the
+    phase-2B re-probe optimization of the compact-tier driver
+    (get_ref_pos_compact with non-fused arrays): deep buckets pay only
+    the depth beyond the shallow main probe.
 
     ``bucket_range``: (lo, hi) traced scalars for SHARDED execution (see
     parallel/sharding.py): ``d`` holds only the minimizer buckets in hash
@@ -1232,7 +1262,7 @@ def sshash_k2u(
         bound = min(bound, probe_limit)
     if xp is np or bound <= 8:
         # small static bound: unroll (avoids while_loop lowering entirely)
-        for j in range(bound):
+        for j in range(probe_start, bound):
             state = probe_body(j, state)
     else:
         import jax.lax as lax
@@ -1244,7 +1274,9 @@ def sshash_k2u(
             xp.max(xp.where(use_skew, xp.zeros_like(n_occs), n_occs)),
             bound,
         ).astype(xp.int32)
-        state = lax.fori_loop(0, dyn_bound, probe_body, state)
+        state = lax.fori_loop(
+            xp.int32(probe_start), dyn_bound, probe_body, state
+        )
 
     found, out_uid, out_ulen, out_pos, out_mt, out_ow, out_oc, out_ow2 = state
 

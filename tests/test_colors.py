@@ -186,3 +186,72 @@ def test_colors_fuzz_random_tilings(trial):
     for (g_refs, g_hit, g_k), (u, _s) in zip(pa.map_reads(reads), enumerate(seqs)):
         assert g_hit == g_k
         assert g_refs.tolist() == want[u], u
+
+
+def test_colors_over_sharded_query():
+    """SHARDED deployments (STATUS round-3 item): cc arrays replicate;
+    colors_from_k2u over the merged mono-sharded full-query output must
+    equal the single-device colors_batch exactly."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from mazu_tpu.containers.refseq import RefSeqCollection
+    from mazu_tpu.containers.unitig_set import UnitigSet
+    from mazu_tpu.index.colors import colors_from_k2u
+    from mazu_tpu.index.modindex import ModIndex
+    from mazu_tpu.index.spt import SPT
+    from mazu_tpu.index.validate import merge_sharded_out
+    from mazu_tpu.kmer import revcomp
+    from mazu_tpu.kphf.kcdict import KCDict
+    from mazu_tpu.parallel.sharding import make_mono_sharded_query
+
+    rng = np.random.default_rng(17)
+    k = 21
+    seqs = ["".join(rng.choice(list("ACGT"), 90)) for _ in range(24)]
+    us = UnitigSet.from_seqs(seqs, k)
+    n = us.n_unitigs
+    # each unitig occurs on refs u and u+n: classes of size 2
+    names = [f"r{i}" for i in range(2 * n)]
+    spt = SPT(
+        us,
+        names,
+        np.concatenate([np.arange(n), np.arange(n)]).astype(np.int64),
+        np.arange(2 * n, dtype=np.int64),
+        np.zeros(2 * n, dtype=np.int64),
+        np.ones(2 * n, dtype=np.int64),
+        np.concatenate([us.unitig_len(np.arange(n))] * 2).astype(np.int64),
+    )
+    u2 = spt.piscem_table()
+    refs = RefSeqCollection(
+        None, np.concatenate([[0], np.cumsum(spt.ref_lens)]).astype(np.int64), names
+    )
+    kc = KCDict.from_unitig_set(us, occ_table=u2, scheme="mono2", load=0.25)
+    idx = ModIndex(kc, u2, refs, index_type="t")
+    cc = idx.color_classes()
+    assert cc.n_refs == 2 * n and cc.max_class_size() == 2
+    ccd = cc.device_arrays()
+
+    kms = us.get_kmer_u64(us.kmer_start_positions())
+    B = 1024
+    work = np.tile(kms, -(-B // len(kms)))[:B]
+    flip = rng.random(B) < 0.5
+    work[flip] = revcomp(work[flip], k)
+    miss = rng.random(B) < 0.05
+    work[miss] = rng.integers(0, 1 << 62, int(miss.sum()), dtype=np.uint64)
+    rng.shuffle(work)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("data", "bucket"))
+    qf = make_mono_sharded_query(idx, mesh, m2=512)
+    out = jax.tree_util.tree_map(np.asarray, qf(jnp.asarray(work)))
+    merged = merge_sharded_out(out)
+    mr = max(1, cc.max_class_size())
+    got = colors_from_k2u(ccd, merged, np, mr)
+    want = colors_batch(idx.device_arrays(), ccd, work, np, mr)
+    for kk in ("mt", "class_id", "n_refs"):
+        np.testing.assert_array_equal(got[kk], want[kk], err_msg=kk)
+    np.testing.assert_array_equal(got["valid"], want["valid"])
+    np.testing.assert_array_equal(
+        np.where(want["valid"], got["refs"], 0),
+        np.where(want["valid"], want["refs"], 0),
+    )

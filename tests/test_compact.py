@@ -448,6 +448,112 @@ class TestCompactSplit:
         assert og_split.checksum_host(stack) == want
 
 
+class TestCompactTierNonFused:
+    """get_ref_pos_compact on NON-fused layouts (packed IntVector
+    positions, EF/flat prefix — the Gbp capacity tier) must equal the
+    padded oracle exactly, including the probe_start phase-2B re-probe."""
+
+    def _setup(self, engine, prefix_kind, skew, seed=31):
+        from mazu_tpu.kmer import revcomp
+
+        idx = piscem_index_from_cf_prefix(CHR7, 15, engine=engine, skew_param=skew)
+        us = idx.k2u.unitigs
+        kms = us.get_kmer_u64(us.kmer_start_positions())
+        rng = np.random.default_rng(seed)
+        n = 4096
+        work = np.tile(kms, -(-n // len(kms)))[:n]
+        flip = rng.random(n) < 0.5
+        work[flip] = revcomp(work[flip], idx.k)
+        miss = rng.random(n) < 0.05
+        work[miss] = rng.integers(0, 1 << 62, int(miss.sum()), dtype=np.uint64)
+        rng.shuffle(work)
+        arrays = idx.device_arrays(pos_kind="packed", prefix_kind=prefix_kind)
+        return idx, arrays, work
+
+    @pytest.mark.parametrize(
+        "engine,prefix_kind,skew,plim,m2b",
+        [
+            ("fast32", "flat32", 64, 2, None),
+            ("fast32", "ef", 64, 2, 512),  # the 3Gbp capacity configuration
+            ("fast32", "flat32", 4, 1, 512),  # heavy skew traffic
+            ("parity", "ef", 8, 2, 512),
+        ],
+    )
+    def test_equals_padded(self, engine, prefix_kind, skew, plim, m2b):
+        idx, arrays, work = self._setup(engine, prefix_kind, skew)
+        mo = max(1, idx.max_occs())
+        want = get_ref_pos_padded(arrays, work, np, mo)
+        got = get_ref_pos_compact(
+            arrays, work, np, mo, probe_limit=plim, m2=2048, m2b=m2b
+        )
+        assert not bool(got["over_budget"])
+        for kk in ("unitig_id", "pos", "mt", "n_occs"):
+            np.testing.assert_array_equal(want[kk], got[kk], err_msg=kk)
+        v = want["valid"]
+        np.testing.assert_array_equal(got["valid"], v)
+        for kk in ("ref_id", "ref_pos", "orient"):
+            np.testing.assert_array_equal(
+                np.where(v, want[kk], 0), np.where(v, got[kk], 0), err_msg=kk
+            )
+
+    def test_probe_start_exercised(self):
+        """The type-split phase-2B must actually skip the shallow rows:
+        deep lanes exist, and results stay exact (vs a probe_start=0
+        oracle through the same split path)."""
+        from mazu_tpu.kphf.sshash import sshash_k2u
+
+        idx, arrays, work = self._setup("fast32", "flat32", 64, seed=33)
+        r = sshash_k2u(arrays["k2u"], work, np, mode="main", probe_limit=1)
+        assert bool(r["unresolved"].any()), "workload has no deep lanes"
+        mo = max(1, idx.max_occs())
+        want = get_ref_pos_padded(arrays, work, np, mo)
+        got = get_ref_pos_compact(
+            arrays, work, np, mo, probe_limit=1, m2=2048, m2b=2048
+        )
+        assert not bool(got["over_budget"])
+        for kk in ("unitig_id", "pos", "mt", "n_occs"):
+            np.testing.assert_array_equal(want[kk], got[kk], err_msg=kk)
+
+    def test_onegraph_device_equals_host(self):
+        import jax
+        import jax.numpy as jnp
+
+        from mazu_tpu.index.pipeline import OneGraphIndexQuery
+        from mazu_tpu.kmer import revcomp
+
+        idx, arrays, _ = self._setup("fast32", "ef", 64)
+        us = idx.k2u.unitigs
+        kms = us.get_kmer_u64(us.kmer_start_positions())
+        rng = np.random.default_rng(35)
+        n, CH = 4096, 2
+        stack = np.zeros((CH, n), dtype=np.uint64)
+        for c in range(CH):
+            w = np.tile(kms, -(-n // len(kms)))[:n]
+            flip = rng.random(n) < 0.5
+            w[flip] = revcomp(w[flip], idx.k)
+            rng.shuffle(w)
+            stack[c] = w
+        og = OneGraphIndexQuery(
+            idx, batch=n, n_chunks=CH, m2=2048, m2b=2048, probe_limit=2,
+            host_arrays=arrays,
+        )
+        got, (wa, wb) = og.checksum_pass(jax.device_put(jnp.asarray(stack)))
+        assert wa <= og.M2 and wb <= og.M2B
+        assert got == og.checksum_host(stack)
+
+    def test_twophase_probe_limit_nonfused(self):
+        """TwoPhaseIndexQuery with probe_limit on non-fused arrays: the
+        unresolved lanes must overflow to phase 2 (regression: they used
+        to silently report misses)."""
+        from mazu_tpu.index.twophase import TwoPhaseIndexQuery
+
+        idx, arrays, work = self._setup("fast32", "flat32", 64, seed=37)
+        tp = TwoPhaseIndexQuery(idx, fused=False, probe_limit=1)
+        got = tp.get_ref_pos_eager(work[:1024])
+        want = idx.get_ref_pos_eager(work[:1024])
+        assert got == want
+
+
 class TestFlaggedLanesHier:
     """The hierarchical rank-select algorithm (round 2): edge shapes and
     exactness vs the flat oracle and the round-1 searchsorted algorithm."""

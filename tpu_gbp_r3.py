@@ -1,0 +1,179 @@
+"""Round-3 TPU session: Gbp-scale COMPACT tier with the two-phase driver.
+
+Round 2 proved the 1Gbp compact index (fast32 engine, packed IntVector
+positions) is exact on chip but slow through the one-kernel PADDED query:
+0.41M q/s at skew=4 (15% skew traffic) and 0.24M at skew=64 (every lane
+pays the probe_bound=64 loop). This session runs the same index through
+get_ref_pos_compact with the TYPE-SPLIT heavy phase (shallow main probe
+batch-wide; deep/skew lanes compacted on device and re-probed from
+probe_start=plim) inside the OneGraphIndexQuery scan driver.
+
+Also the 3Gbp HUMAN-SCALE fit: prefix_kind="ef" drops the flat32 bucket
+prefix (~0.5GB/Gbp) to ~2 bits/minimizer so a 3Gbp index fits one chip.
+
+Env knobs: MAZU_GBP_BASES (1e9), MAZU_GBP_SKEW (64), MAZU_GBP_PREFIX (ef),
+MAZU_GBP_PLIM (2), MAZU_GBP_CH (8), MAZU_GBP_ITERS (5).
+
+Run: timeout 7200 python tpu_gbp_r3.py   (3Gbp needs ~2h host build)
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    os.environ.setdefault("MAZU_BUILD_TIMING", "1")
+    cache = os.path.join(os.path.dirname(__file__), ".xla_cache")
+    import jax
+
+    if os.environ.get("MAZU_GBP_CPU"):  # small-scale smoke run off-chip
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
+
+    import bench
+    from mazu_tpu.index.modindex import ModIndex, get_ref_pos_compact
+    from mazu_tpu.index.pipeline import OneGraphIndexQuery
+    from mazu_tpu.kmer import revcomp
+    from mazu_tpu.kphf.sshash import SSHash
+    from mazu_tpu.pytree import tree_bytes
+
+    NB = int(os.environ.get("MAZU_GBP_BASES", 1_000_000_000))
+    PIECE = 10_000
+    k = 31
+    t0 = time.time()
+    unitigs, refs, u2pos = bench.build_synthetic(NB)
+    log(f"synth {NB/1e9:.2f}Gbp in {time.time()-t0:.0f}s: {unitigs.n_kmers} kmers")
+    t0 = time.time()
+    skew = int(os.environ.get("MAZU_GBP_SKEW", 64))
+    k2u = SSHash.from_unitig_set(unitigs, w=15, skew_param=skew, engine="fast32")
+    log(
+        f"fast32 build {time.time()-t0:.0f}s: bits/kmer="
+        f"{k2u.num_bits()/k2u.n_kmers:.2f} skew_kmers={k2u.n_kmers_in_skew_index}"
+    )
+    index = ModIndex(k2u, u2pos, refs)
+    t0 = time.time()
+    prefix_kind = os.environ.get("MAZU_GBP_PREFIX", "ef")
+    host_arrays = {
+        "k2u": k2u.device_arrays(prefix_kind=prefix_kind, pos_kind="packed"),
+        "u2pos": u2pos.device_arrays(),
+        "refs": refs.device_arrays(),
+        "meta": index.device_arrays()["meta"],
+    }
+    host_arrays["refs"].pop("seq", None)  # workload sampling stays host-side
+    log(
+        f"host arrays ({prefix_kind}) {time.time()-t0:.0f}s, device footprint "
+        f"{tree_bytes(host_arrays)/1e9:.2f} GB"
+    )
+    t0 = time.time()
+    arrays = jax.device_put(host_arrays)
+    jax.block_until_ready(arrays)
+    log(f"device placement {time.time()-t0:.0f}s")
+
+    # uniform 1M-query sample with ground truth
+    B = int(os.environ.get("MAZU_GBP_BATCH", 1 << 20))
+    rng = np.random.default_rng(0)
+    upos = rng.integers(0, PIECE - k + 1, B)
+    uid = rng.integers(0, unitigs.n_unitigs, B)
+    gpos = uid * PIECE + upos
+    kms = unitigs.useq.get_kmer_u64(gpos, k)
+    flip = rng.random(B) < 0.5
+    kms[flip] = revcomp(kms[flip], k)
+
+    plim = int(os.environ.get("MAZU_GBP_PLIM", 2))
+    mo = max(1, index.max_occs())
+    # generous first-pass capacities; the validation run reports true
+    # counts and the bench driver is rebuilt tight
+    M2_0 = max(8192, B // 4)
+    M2B_0 = max(8192, B // 4)
+
+    @jax.jit
+    def probe(arrays, kms):
+        return get_ref_pos_compact(
+            arrays, kms, jnp, mo, merge=False, probe_limit=plim,
+            m2=M2_0, m2b=M2B_0,
+        )
+
+    d_kms = jax.device_put(jnp.asarray(kms))
+    t0 = time.time()
+    out = jax.device_get(probe(arrays, d_kms))
+    log(f"validation pass compile+first+download {time.time()-t0:.0f}s")
+    assert not bool(out["over_budget"]), "validation capacities exceeded"
+    n_a, n_b = int(out["n_ovf"]), int(out["n_ovf_b"])
+    log(f"overflow: type-A (occ-wide) {n_a}, type-B (deep/skew) {n_b} of {B}")
+
+    # ---- exact ground-truth merge on host
+    m_ = out["main"]
+    muid = np.asarray(m_["unitig_id"]).copy()
+    mpos = np.asarray(m_["pos"]).copy()
+    mmt = np.asarray(m_["mt"]).copy()
+    mrp = np.where(np.asarray(m_["valid"]), np.asarray(m_["ref_pos"]), -1)[:, 0].copy()
+    for pk, lk, sk in (("phase2", "lanes", "slot_real"), ("phase2b", "lanes_b", "slot_real_b")):
+        p2 = out[pk]
+        real = np.asarray(out[sk])
+        lanes = np.asarray(out[lk])[real]
+        muid[lanes] = np.asarray(p2["unitig_id"])[real]
+        mpos[lanes] = np.asarray(p2["pos"])[real]
+        mmt[lanes] = np.asarray(p2["mt"])[real]
+        mrp[lanes] = np.where(
+            np.asarray(p2["valid"]), np.asarray(p2["ref_pos"]), -1
+        )[real][:, 0]
+    assert (mmt > 0).all(), f"misses: {(mmt == 0).sum()}"
+    np.testing.assert_array_equal(muid, uid)
+    np.testing.assert_array_equal(mpos, upos)
+    np.testing.assert_array_equal(mrp, upos)  # ref == unitig in this synth
+    # foreign probes must miss
+    fo = jax.device_get(
+        probe(arrays, jnp.full(B, np.uint64(0x3FF3FF3FF3FF3FF), jnp.uint64))
+    )
+    fmt = np.asarray(fo["main"]["mt"]).copy()
+    for pk, lk, sk in (("phase2", "lanes", "slot_real"), ("phase2b", "lanes_b", "slot_real_b")):
+        real = np.asarray(fo[sk])
+        fmt[np.asarray(fo[lk])[real]] = np.asarray(fo[pk]["mt"])[real]
+    assert (fmt == 0).all()
+    log(f"EXACT: all {B} sampled queries (fw+rc) + foreign misses clean")
+
+    # ---- throughput: OneGraph CH-chunk scan with tight capacities
+    CH = int(os.environ.get("MAZU_GBP_CH", 8))
+    fit = lambda c: max(1024, -(-(int(c) + 256) // 1024) * 1024)  # noqa: E731
+    M2, M2B = fit(n_a * 1.3), fit(n_b * 1.15)
+    log(f"building OneGraph driver CH={CH} M2={M2} M2B={M2B} plim={plim}")
+    og = OneGraphIndexQuery(
+        index, B, n_chunks=CH, m2=M2, m2b=M2B, probe_limit=plim,
+        host_arrays=host_arrays,
+    )
+    rng3 = np.random.default_rng(7)
+    stack_host = np.stack([rng3.permutation(kms) for _ in range(CH)])
+    d_stack = jax.device_put(jnp.asarray(stack_host))
+    t0 = time.time()
+    chk0, worst = og.checksum_pass(d_stack)
+    log(f"compile+first pass {time.time()-t0:.0f}s worst_ovf={worst}")
+    wa, wb = worst
+    assert wa <= M2 and wb <= M2B, f"capacity exceeded: {worst}"
+    iters = int(os.environ.get("MAZU_GBP_ITERS", 5))
+    t0 = time.time()
+    for _ in range(iters):
+        chk, _ = og.checksum_pass(d_stack)
+        assert chk == chk0
+    dt = time.time() - t0
+    qps = B * CH * iters / dt
+    log(
+        f"{iters} x {CH}x{B} full queries in {dt:.2f}s -> {qps/1e6:.2f}M q/s "
+        f"(chk={chk0})"
+    )
+    print(
+        f'{{"metric": "compact_tier_qps_{NB}", "value": {qps:.0f}, '
+        f'"unit": "queries/s", "vs_baseline": {qps/1e9:.6f}}}'
+    )
+
+
+if __name__ == "__main__":
+    main()
