@@ -326,7 +326,10 @@ def _unflatten(flat: dict) -> dict:
     return root
 
 
-def save_index(index: ModIndex, path: str) -> None:
+def save_index(index: ModIndex, path: str, compress: bool = True) -> None:
+    """``compress=False`` writes a STORE-only npz — at Gbp scale the zlib
+    pass costs many minutes on this host for ~15% size; capacity-tier
+    checkpoints that will be re-loaded the same day should skip it."""
     import json
 
     tree = {
@@ -340,7 +343,7 @@ def save_index(index: ModIndex, path: str) -> None:
     }
     flat: dict = {}
     _flatten("", tree, flat)
-    np.savez_compressed(path, **flat)
+    (np.savez_compressed if compress else np.savez)(path, **flat)
 
 
 def load_index(path: str) -> ModIndex:
@@ -362,10 +365,10 @@ def load_index(path: str) -> ModIndex:
     return idx
 
 
-def save_k2u(k2u, path: str) -> None:
+def save_k2u(k2u, path: str, compress: bool = True) -> None:
     flat: dict = {}
     _flatten("", {"format_version": np.int64(FORMAT_VERSION), "k2u": _k2u_state(k2u)}, flat)
-    np.savez_compressed(path, **flat)
+    (np.savez_compressed if compress else np.savez)(path, **flat)
 
 
 def load_k2u(path: str):

@@ -212,3 +212,19 @@ def test_cli_sampled_build(tmp_path):
     )
     assert main(["kphf", "validate", "-i", ko]) == 0
     assert main(["kphf", "stats", "-i", ko]) == 0
+
+
+def test_index_roundtrip_uncompressed():
+    """compress=False (STORE-only npz) — the Gbp capacity-tier checkpoint
+    path (host_gbp_build.py) — must roundtrip identically."""
+    if not os.path.exists(TINY + ".cf_seg"):
+        pytest.skip("fixture missing")
+    idx = piscem_index_from_cf_prefix(TINY, w=3, skew_param=8, engine="fast32")
+    p = _tmp()
+    save_index(idx, p, compress=False)
+    idx2 = load_index(p)
+    us = idx.k2u.unitigs
+    kms = us.get_kmer_u64(us.kmer_start_positions())
+    assert idx2.get_ref_pos_eager(kms) == idx.get_ref_pos_eager(kms)
+    validate_fasta(idx2, TINY_FA)
+    os.unlink(p)

@@ -49,17 +49,28 @@ def main():
     NB = int(os.environ.get("MAZU_GBP_BASES", 1_000_000_000))
     PIECE = 10_000
     k = 31
-    t0 = time.time()
-    unitigs, refs, u2pos = bench.build_synthetic(NB)
-    log(f"synth {NB/1e9:.2f}Gbp in {time.time()-t0:.0f}s: {unitigs.n_kmers} kmers")
-    t0 = time.time()
-    skew = int(os.environ.get("MAZU_GBP_SKEW", 64))
-    k2u = SSHash.from_unitig_set(unitigs, w=15, skew_param=skew, engine="fast32")
-    log(
-        f"fast32 build {time.time()-t0:.0f}s: bits/kmer="
-        f"{k2u.num_bits()/k2u.n_kmers:.2f} skew_kmers={k2u.n_kmers_in_skew_index}"
-    )
-    index = ModIndex(k2u, u2pos, refs)
+    ckpt = os.environ.get("MAZU_GBP_CKPT")
+    if ckpt:
+        from mazu_tpu.io.checkpoint import load_index
+
+        t0 = time.time()
+        index = load_index(ckpt)
+        k2u, u2pos, refs = index.k2u, index.u2pos, index.refs
+        unitigs = k2u.unitigs
+        NB = unitigs.total_len
+        log(f"loaded {ckpt} in {time.time()-t0:.0f}s: {unitigs.n_kmers} kmers")
+    else:
+        t0 = time.time()
+        unitigs, refs, u2pos = bench.build_synthetic(NB)
+        log(f"synth {NB/1e9:.2f}Gbp in {time.time()-t0:.0f}s: {unitigs.n_kmers} kmers")
+        t0 = time.time()
+        skew = int(os.environ.get("MAZU_GBP_SKEW", 64))
+        k2u = SSHash.from_unitig_set(unitigs, w=15, skew_param=skew, engine="fast32")
+        log(
+            f"fast32 build {time.time()-t0:.0f}s: bits/kmer="
+            f"{k2u.num_bits()/k2u.n_kmers:.2f} skew_kmers={k2u.n_kmers_in_skew_index}"
+        )
+        index = ModIndex(k2u, u2pos, refs)
     t0 = time.time()
     prefix_kind = os.environ.get("MAZU_GBP_PREFIX", "ef")
     host_arrays = {
