@@ -17,11 +17,18 @@ U64 = np.uint64
 
 
 class SeqVector:
-    def __init__(self, words: np.ndarray, length: int):
+    def __init__(self, words: np.ndarray, length: int, _adopt: bool = False):
         nw = (2 * length + 63) // 64
-        w = np.zeros(nw + 1, dtype=np.uint64)
-        w[:nw] = words[:nw]
-        self.words = w
+        if _adopt:
+            # caller guarantees words is uint64[nw+1] with a zero guard
+            # word — skip the defensive copy (0.5 GB of fresh pages per
+            # Gbp otherwise)
+            assert len(words) == nw + 1 and words.dtype == np.uint64
+            self.words = words
+        else:
+            w = np.zeros(nw + 1, dtype=np.uint64)
+            w[:nw] = words[:nw]
+            self.words = w
         self.length = int(length)  # number of bases
 
     @classmethod
@@ -29,6 +36,11 @@ class SeqVector:
         codes = np.asarray(codes, dtype=np.uint8)
         assert (codes < 4).all(), "invalid base code"
         n = len(codes)
+        from ..io.native import pack_codes2
+
+        words = pack_codes2(codes)
+        if words is not None:  # native: one parallel pass, no u64 temps
+            return cls(words, n, _adopt=True)
         pad = (-n) % 32
         c = np.concatenate([codes, np.zeros(pad, dtype=np.uint8)]).astype(np.uint64)
         c = c.reshape(-1, 32)

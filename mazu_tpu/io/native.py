@@ -219,6 +219,27 @@ def pack_width(values: np.ndarray, width: int, nw: int) -> np.ndarray | None:
     return words[:nw]
 
 
+def pack_codes2(codes: np.ndarray) -> np.ndarray | None:
+    """2-bit DNA packing from byte codes (SeqVector word layout): one
+    parallel seam-free pass, no 8x-expanded u64 temp (the NumPy path
+    allocates ~17 bytes of fresh pages per base — ruinous at Gbp scale,
+    see the round-3 host-fault note in STATUS). None without the lib."""
+    lib = _load()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    n = len(codes)
+    nw = (2 * n + 63) // 64
+    # nw+1 with a zero guard word: SeqVector adopts this buffer as-is
+    words = np.zeros(nw + 1, dtype=np.uint64)
+    lib.pack_codes2(
+        codes.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(n),
+        words.ctypes.data_as(ctypes.c_void_p),
+    )
+    return words
+
+
 def minimizer_scan32(useq_words: np.ndarray, kpos: np.ndarray, k: int, w: int, seed: int):
     """Canonical minimizers (hash32 ordering) of the k-mers at ``kpos`` in a
     packed 2-bit useq. Returns (mm u64, offset i32, is_fw bool) with exact

@@ -22,7 +22,7 @@ import numpy as np
 
 from ..bits.elias_fano import EFVector, ef_get
 from ..bits.intvector import IntVector, iv_get
-from ..containers.unitig_set import UnitigSet, us_get_kmer
+from ..containers.unitig_set import UnitigSet, us_get_kmer, us_is_valid_pos
 from ..kmer import canonical_minimizer_batch, revcomp, word_equivalency
 from ..pytree import meta
 from .boophf import BooPHF, boophf_lookup
@@ -1130,6 +1130,15 @@ def sshash_k2u(
         return found, out_uid, out_ulen, out_pos, out_mt, out_ow, out_oc, out_ow2
 
     def probe_body_generic(j, state):
+        """DEFERRED-MAP probe for the packed/EF compact tiers: candidates
+        are validated with ``us_is_valid_pos`` (one 2-word boundary-bv
+        window read — provably equivalent to the unitig-extent check: the
+        boundary bit of the containing unitig sits at end-1, so it falls
+        inside [km_pos, km_pos+k-1) exactly when km_pos+k > end; this is
+        the same predicate the reference uses at src/kphf/pfhash.rs:253).
+        The winning useq position is stored in the ``pos`` slot and mapped
+        to (unitig_id, len, upos) by ONE _map_hit after the loop — the
+        rank+extent gathers are paid per LANE, not per candidate."""
         found, out_uid, out_ulen, out_pos, out_mt, out_ow, out_oc, out_ow2 = state
         active = (~found) & (j < n_occs) & (~use_skew)
         mm_pos = _pos_get(d, xp.clip(ps + j, 0, n_pos - 1), xp)
@@ -1139,11 +1148,9 @@ def sshash_k2u(
             km_pos_c = xp.clip(km_pos, 0, max(last_km_start, 0))
             kw = us_get_kmer(d["us"], km_pos_c, xp)
             mt = word_equivalency(fw, rc, kw, k)
-            uid, ulen, upos, end_ok = _map_hit(d, km_pos_c, xp)
-            hit = active & in_range & (mt > 0) & end_ok
-            out_uid = xp.where(hit, uid, out_uid)
-            out_ulen = xp.where(hit, ulen, out_ulen)
-            out_pos = xp.where(hit, upos, out_pos)
+            ok = us_is_valid_pos(d["us"], km_pos_c, xp)
+            hit = active & in_range & (mt > 0) & ok
+            out_pos = xp.where(hit, km_pos_c, out_pos)  # useq pos, mapped later
             out_mt = xp.where(hit, mt, out_mt)
             found = found | hit
             active = active & (~hit)
@@ -1279,6 +1286,15 @@ def sshash_k2u(
         )
 
     found, out_uid, out_ulen, out_pos, out_mt, out_ow, out_oc, out_ow2 = state
+    if probe_body is probe_body_generic:
+        # deferred mapping of the winning useq positions (see probe body):
+        # one rank + one extent fetch per LANE instead of per candidate
+        uid, ulen, upos, _end_ok = _map_hit(
+            d, xp.where(found, out_pos, xp.zeros_like(out_pos)), xp
+        )
+        out_uid = xp.where(found, uid, out_uid)
+        out_ulen = xp.where(found, ulen, out_ulen)
+        out_pos = xp.where(found, upos, out_pos)
 
     # skew path (reference src/kphf/sshash.rs:415-433)
     if mode == "main":

@@ -258,6 +258,20 @@ void dedup_flags(const uint64_t* mm, const int64_t* pos, const uint8_t* isfw,
 // (IntVector layout). Parallel without atomics: chunks of 64 elements
 // span exactly `width` words (64*width bits), so thread seams are always
 // word-aligned and writes never overlap.
+// 2-bit DNA packing from byte codes: word w = codes[32w..32w+32), LSB-first
+// (SeqVector layout). One thread per word range — seam-free by construction.
+void pack_codes2(const uint8_t* codes, int64_t n, uint64_t* words) {
+    int64_t nw = (2 * n + 63) / 64;
+#pragma omp parallel for schedule(static)
+    for (int64_t w = 0; w < nw; w++) {
+        int64_t i0 = w * 32, i1 = i0 + 32 < n ? i0 + 32 : n;
+        uint64_t acc = 0;
+        for (int64_t i = i0; i < i1; i++)
+            acc |= (uint64_t)(codes[i] & 3) << ((i - i0) * 2);
+        words[w] = acc;
+    }
+}
+
 void pack_width(const uint64_t* vals, int64_t n, int width, uint64_t* words) {
     const uint64_t mask = (width >= 64) ? ~0ull : ((1ull << width) - 1);
     int64_t nchunk = (n + 63) / 64;
