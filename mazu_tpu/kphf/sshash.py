@@ -845,6 +845,24 @@ class SSHash:
             d["pos"] = self.pos.device_arrays()
         if prefix_kind == "ef":
             d["prefix"] = self.ef_occs_prefix_sum().device_arrays()
+        elif prefix_kind == "grouped16":
+            # two-level prefix for the Gbp capacity tier: int64 base per
+            # 1024-bucket group + u16 in-group delta. ~2.06 B/bucket (vs
+            # 12 B flat32, vs EF's ~0.4 B but ~46-gather select chains):
+            # bounds resolve in 2 small gathers + 1 u16 gather per side.
+            p = self.occs_prefix_sum
+            base = np.ascontiguousarray(p[::1024]).astype(np.int64)
+            delta = p - base[np.arange(len(p), dtype=np.int64) >> 10]
+            if int(delta.max(initial=0)) >= (1 << 16):
+                raise ValueError(
+                    "grouped16 prefix overflow: a 1024-bucket group holds "
+                    ">= 2^16 occurrences — use prefix_kind='ef' for this "
+                    "(pathologically skewed) minimizer distribution"
+                )
+            d["prefix"] = {
+                "gbase": base,
+                "gdelta": delta.astype(np.uint16),
+            }
         elif prefix_kind == "flat32":
             sp = getattr(self, "_sparse_prefix", None)
             pairs = None
@@ -915,8 +933,14 @@ class SSHash:
 
 
 def _prefix_get(d: dict, i, xp):
-    if d["meta"].prefix_kind == "ef":
+    pk = d["meta"].prefix_kind
+    if pk == "ef":
         return ef_get(d["prefix"], i, xp).astype(xp.int64)
+    if pk == "grouped16":
+        return (
+            d["prefix"]["gbase"][i >> 10].astype(xp.int64)
+            + d["prefix"]["gdelta"][i].astype(xp.int64)
+        )
     return d["prefix"]["flat"][i].astype(xp.int64)
 
 

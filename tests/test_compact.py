@@ -474,9 +474,11 @@ class TestCompactTierNonFused:
         "engine,prefix_kind,skew,plim,m2b",
         [
             ("fast32", "flat32", 64, 2, None),
-            ("fast32", "ef", 64, 2, 512),  # the 3Gbp capacity configuration
+            ("fast32", "ef", 64, 2, 512),
+            ("fast32", "grouped16", 64, 2, 512),  # the 3Gbp capacity config
             ("fast32", "flat32", 4, 1, 512),  # heavy skew traffic
             ("parity", "ef", 8, 2, 512),
+            ("parity", "grouped16", 8, 2, 512),
         ],
     )
     def test_equals_padded(self, engine, prefix_kind, skew, plim, m2b):

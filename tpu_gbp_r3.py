@@ -8,11 +8,14 @@ get_ref_pos_compact with the TYPE-SPLIT heavy phase (shallow main probe
 batch-wide; deep/skew lanes compacted on device and re-probed from
 probe_start=plim) inside the OneGraphIndexQuery scan driver.
 
-Also the 3Gbp HUMAN-SCALE fit: prefix_kind="ef" drops the flat32 bucket
-prefix (~0.5GB/Gbp) to ~2 bits/minimizer so a 3Gbp index fits one chip.
+Also the 3Gbp HUMAN-SCALE fit: prefix_kind="grouped16" drops the flat32
+bucket prefix (12B/minimizer incl. flat2 pairs) to ~2.06B/minimizer at a
+~3-gather bounds cost (EF would be ~0.4B but its device select is a
+~23-gather binary search per bound), so a 3Gbp index fits one chip.
 
-Env knobs: MAZU_GBP_BASES (1e9), MAZU_GBP_SKEW (64), MAZU_GBP_PREFIX (ef),
-MAZU_GBP_PLIM (2), MAZU_GBP_CH (8), MAZU_GBP_ITERS (5).
+Env knobs: MAZU_GBP_BASES (1e9), MAZU_GBP_SKEW (64), MAZU_GBP_PREFIX
+(grouped16), MAZU_GBP_PLIM (2), MAZU_GBP_CH (8), MAZU_GBP_ITERS (5),
+MAZU_GBP_CKPT (load a host_gbp_build.py checkpoint instead of building).
 
 Run: timeout 7200 python tpu_gbp_r3.py   (3Gbp needs ~2h host build)
 """
@@ -72,7 +75,7 @@ def main():
         )
         index = ModIndex(k2u, u2pos, refs)
     t0 = time.time()
-    prefix_kind = os.environ.get("MAZU_GBP_PREFIX", "ef")
+    prefix_kind = os.environ.get("MAZU_GBP_PREFIX", "grouped16")
     host_arrays = {
         "k2u": k2u.device_arrays(prefix_kind=prefix_kind, pos_kind="packed"),
         "u2pos": u2pos.device_arrays(),
