@@ -673,22 +673,19 @@ def main():
         plim_env = os.environ.get("MAZU_BENCH_PLIM", "2")
         plim = int(plim_env) if plim_env and plim_env != "0" else None
         pos_kind = pos_kind_env or "inline2"
-        rng3 = np.random.default_rng(7)
-        chunks_host = []
-        for i in range(CH):
-            c = work.copy()
-            rng3.shuffle(c)
-            chunks_host.append(c)
-        stack_host = np.stack(chunks_host)
 
-        # host oracle on chunk 0: checksum (M2-independent once the budget
-        # fits) + the true overflow count that sizes phase 2. Every chunk
-        # is a reshuffle of the same multiset and the checksum is a
-        # permutation-invariant reduction, so total == CH * chunk0.
+        # chunks are DERIVED ON DEVICE as rolls of ``work`` (distinct
+        # permutations of the same multiset) — the former host-side
+        # [CH, batch] stack cost 2 GB of fresh-page writes + upload,
+        # which this VM's fault pathology stretches past the driver
+        # timeout. Host oracle on chunk 0 (== work): checksum
+        # (M2-independent once the budget fits) + the true overflow count
+        # that sizes phase 2; checksums are permutation-invariant, so
+        # total == CH * chunk0.
         fused_host = index.device_arrays(fused=True, pos_kind=pos_kind)
         t0 = time.time()
         out0 = get_ref_pos_compact(
-            fused_host, chunks_host[0], np, max(1, index.max_occs()),
+            fused_host, work, np, max(1, index.max_occs()),
             merge=False, probe_limit=plim, m2=max(8192, batch // 8),
         )
         assert not bool(out0["over_budget"]), "host probe over budget"
@@ -702,7 +699,7 @@ def main():
             from mazu_tpu.kphf.sshash import sshash_k2u
 
             rr = sshash_k2u(
-                fused_host["k2u"], chunks_host[0], np, mode="main",
+                fused_host["k2u"], work, np, mode="main",
                 probe_limit=plim,
             )
             n_b = int((rr["use_skew"] | rr["unresolved"]).sum())
@@ -732,10 +729,10 @@ def main():
             index, batch, n_chunks=CH, m2=M2, m2b=M2B, probe_limit=plim,
             pos_kind=pos_kind, host_arrays=fused_host,
         )
-        d_stack = jax.device_put(jnp.asarray(stack_host))
+        d_work1 = jax.device_put(jnp.asarray(work))
         log(f"compiling 1graph pass (CH={CH}, M2={M2}, plim={plim}, pos={pos_kind})...")
         t0 = time.time()
-        chk0, worst = og.checksum_pass(d_stack)
+        chk0, worst = og.checksum_pass_rolled(d_work1)
         log(f"compile+first pass {time.time()-t0:.1f}s (chk={chk0}, worst_ovf={worst})")
         if M2B is not None:
             wa, wb = worst
@@ -747,7 +744,7 @@ def main():
         iters = int(os.environ.get("MAZU_BENCH_ITERS", 5))
         t0 = time.time()
         for _ in range(iters):
-            chk0, _ = og.checksum_pass(d_stack)
+            chk0, _ = og.checksum_pass_rolled(d_work1)
         dt = time.time() - t0
         assert chk0 == CH * host_chk
         qps = batch * CH * iters / dt

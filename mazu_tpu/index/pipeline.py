@@ -91,6 +91,33 @@ class OneGraphIndexQuery:
 
         self._pass = pass_fn
 
+        @jax.jit
+        def pass_roll(arrays, work):
+            # derived chunks: chunk i = roll(work, i * prime) — a distinct
+            # permutation of the SAME multiset per chunk, generated on
+            # device. The bench's host path used to materialize and upload
+            # a [CH, batch] stack (2 GB at CH=256): host fresh-page writes
+            # + tunnel upload that the VM's fault pathology turns into
+            # minutes. Checksums are permutation-invariant reductions, so
+            # the parity oracle (total == CH * host_chk) is unchanged.
+            def step(carry, i):
+                chunk = jnp.roll(work, i * jnp.int64(40009))
+                out = get_ref_pos_compact(
+                    arrays, chunk, jnp, mo, merge=False, probe_limit=plim,
+                    m2=M2, m2b=M2B,
+                )
+                novf = jnp.stack(
+                    [out["n_ovf"], out.get("n_ovf_b", jnp.zeros_like(out["n_ovf"]))]
+                )
+                return carry + OneGraphIndexQuery.checksum(out, jnp), novf
+
+            tot, novf = jax.lax.scan(
+                step, jnp.int64(0), jnp.arange(self.CH, dtype=jnp.int64)
+            )
+            return tot, jnp.max(novf, axis=0)
+
+        self._pass_roll = pass_roll
+
     @staticmethod
     def checksum(out: dict, xp):
         """Device-reduced checksum over a merge=False compact result: sums
@@ -127,9 +154,20 @@ class OneGraphIndexQuery:
         exceeded and the results are invalid — rebuild with larger m2.
         With the type-split phase (m2b set), worst_ovf is a (worst_a,
         worst_b) pair checked against (m2, m2b)."""
+        return self._finish(self._pass(self.arrays, stack_dev))
+
+    def checksum_pass_rolled(self, work_dev):
+        """One fused pass over CH device-derived chunks: chunk i is
+        roll(work, i*40009) — no [CH, batch] host stack, no stack upload.
+        Same return contract as checksum_pass; chunk 0 is ``work`` itself
+        so a host oracle on ``work`` sizes capacities and the full-pass
+        checksum equals CH * oracle(work)."""
+        return self._finish(self._pass_roll(self.arrays, work_dev))
+
+    def _finish(self, out):
         import jax
 
-        tot, worst = self._pass(self.arrays, stack_dev)
+        tot, worst = out
         worst = jax.device_get(worst)
         if self.M2B is not None:
             return int(jax.device_get(tot)), (int(worst[0]), int(worst[1]))

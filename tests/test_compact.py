@@ -250,6 +250,33 @@ class TestOneGraphDriver:
         want = og.checksum_host(stack)
         assert got == want
 
+    def test_checksum_pass_rolled_equals_stack(self):
+        """Device-derived roll chunks == the explicit [CH, batch] stack
+        (bench's host-stack-free path)."""
+        import jax
+        import jax.numpy as jnp
+
+        from mazu_tpu.index.pipeline import OneGraphIndexQuery
+        from mazu_tpu.index.piscem_index import piscem_index_from_cf_prefix
+        from mazu_tpu.kmer import revcomp
+
+        idx = piscem_index_from_cf_prefix(CHR7, 15, engine="direct", skew_param=4)
+        us = idx.k2u.unitigs
+        kms = us.get_kmer_u64(us.kmer_start_positions())
+        rng = np.random.default_rng(41)
+        n, CH = 4096, 3
+        work = np.tile(kms, -(-n // len(kms)))[:n]
+        flip = rng.random(n) < 0.5
+        work[flip] = revcomp(work[flip], idx.k)
+        rng.shuffle(work)
+        og = OneGraphIndexQuery(idx, batch=n, n_chunks=CH, m2=1024, probe_limit=2)
+        got, worst = og.checksum_pass_rolled(jax.device_put(jnp.asarray(work)))
+        assert worst <= og.M2
+        stack = np.stack([np.roll(work, i * 40009) for i in range(CH)])
+        want, _ = og.checksum_pass(jax.device_put(jnp.asarray(stack)))
+        assert got == want
+        assert got == CH * og.checksum_host(work[None, :])
+
     def test_compact_inline2_equals_padded(self):
         from mazu_tpu.index.piscem_index import piscem_index_from_cf_prefix
         from mazu_tpu.kmer import revcomp

@@ -164,18 +164,15 @@ def main():
         index, B, n_chunks=CH, m2=M2, m2b=M2B, probe_limit=plim,
         host_arrays=host_arrays,
     )
-    rng3 = np.random.default_rng(7)
-    stack_host = np.stack([rng3.permutation(kms) for _ in range(CH)])
-    d_stack = jax.device_put(jnp.asarray(stack_host))
     t0 = time.time()
-    chk0, worst = og.checksum_pass(d_stack)
+    chk0, worst = og.checksum_pass_rolled(d_kms)
     log(f"compile+first pass {time.time()-t0:.0f}s worst_ovf={worst}")
     wa, wb = worst
     assert wa <= M2 and wb <= M2B, f"capacity exceeded: {worst}"
     iters = int(os.environ.get("MAZU_GBP_ITERS", 5))
     t0 = time.time()
     for _ in range(iters):
-        chk, _ = og.checksum_pass(d_stack)
+        chk, _ = og.checksum_pass_rolled(d_kms)
         assert chk == chk0
     dt = time.time() - t0
     qps = B * CH * iters / dt
