@@ -126,21 +126,13 @@ def build_index():
 
 def _host_memory_mitigations():
     """This VM intermittently supplies fresh anonymous pages at ~150s/GB
-    (hypervisor throttling, see CLAUDE.md). Two safe, reversible-by-reboot
-    mitigations keep the bench inside the driver's timeout: THP=always
-    (~12x fewer+bigger faults) and glibc heap reuse (freed pages stay
-    warm). Both are no-ops if unavailable."""
+    (hypervisor throttling, see CLAUDE.md). THP=always is the fix (~12x:
+    2MB-granular faults); a no-op if sysfs is unavailable. Deliberately NO
+    malloc heap-reuse knobs: a brk-grown heap faults at 4K granularity,
+    which DEFEATS THP for first touch (measured 90s/GB vs 13s/GB)."""
     try:
         with open("/sys/kernel/mm/transparent_hugepage/enabled", "w") as f:
             f.write("always")
-    except Exception:
-        pass
-    try:
-        import ctypes
-
-        libc = ctypes.CDLL("libc.so.6", use_errno=True)
-        libc.mallopt(-4, 0)  # M_MMAP_MAX = 0: large allocs on the reusable heap
-        libc.mallopt(-1, 0x7FFFFFFF)  # M_TRIM_THRESHOLD: never return pages
     except Exception:
         pass
 
