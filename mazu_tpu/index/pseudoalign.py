@@ -79,6 +79,72 @@ def pseudoalign_batch(index_arrays: dict, cb: dict, kmat, valid, xp, policy: str
     return out, n_hit, valid.sum(axis=1)
 
 
+def tau_q32(tau: float) -> int:
+    """Quantize the threshold fraction to 32 fractional bits.
+
+    Both the device kernel and the host counting loop derive
+    ``need = max(1, ceil(num * n_hit / 2**32))`` from this integer, so the
+    two paths agree EXACTLY (a float ``ceil(tau * n_hit)`` can differ
+    between float32/float64 at integer boundaries). Exactly-representable
+    taus (0.5, 0.25, 1.0, ...) are unchanged by the quantization.
+    """
+    assert 0.0 < tau <= 1.0
+    return max(1, min(int(round(tau * (1 << 32))), 1 << 32))
+
+
+def pseudoalign_threshold_batch(index_arrays: dict, cb: dict, kmat, valid, xp, tau_num: int):
+    """Threshold policy fully on device: refs covered by >= ceil(tau *
+    n_hit) of a read's hitting k-mers, as a candidate bitset u64[R, W].
+
+    Per-ref counts are accumulated with BIT-SLICED vertical counters: a
+    scan over the read's L bitset rows ripple-carries into
+    ``P = ceil(log2(L+1))`` u64 bit planes (pure word ops, 64 refs per
+    lane), so the only per-ref expansion is the final [R, n_refs] i32
+    compare against ``need``. Suits panels up to ~10^4-10^5 refs (the
+    count matrix is R * n_refs i32); beyond that use the host counting
+    path (PseudoAligner(threshold_on="host")).
+    """
+    R, L = kmat.shape
+    r = k2u_batch(index_arrays, kmat.reshape(R * L), xp)
+    hit = (r["mt"].reshape(R, L) > 0) & valid
+    uid = xp.where(hit, r["unitig_id"].reshape(R, L), 0)
+    cid = cb["u2c"][uid].astype(xp.int64)
+    rows = cb["bitsets"][cid]  # [R, L, W]
+    rows = xp.where(hit[:, :, None], rows, xp.zeros_like(rows))  # miss = +0
+    W = rows.shape[2]
+    P = max(1, int(L).bit_length())  # counts <= L < 2**P
+    if xp is np:
+        planes = [np.zeros((R, W), dtype=U64) for _ in range(P)]
+        for col in range(L):
+            carry = rows[:, col]
+            for b in range(P):
+                planes[b], carry = planes[b] ^ carry, planes[b] & carry
+    else:
+        import jax
+
+        def body(pl, row):
+            carry = row
+            out = []
+            for b in range(P):
+                out.append(pl[b] ^ carry)
+                carry = pl[b] & carry
+            return tuple(out), None
+
+        init = tuple(xp.zeros((R, W), U64) for _ in range(P))
+        planes, _ = jax.lax.scan(body, init, xp.swapaxes(rows, 0, 1))
+    shifts = xp.arange(64, dtype=U64)
+    counts = xp.zeros((R, W, 64), xp.int32)
+    for b in range(P):
+        bit = ((planes[b][:, :, None] >> shifts) & U64(1)).astype(xp.int32)
+        counts = counts + (bit << b)
+    n_hit = hit.sum(axis=1).astype(xp.int64)
+    # need = ceil(tau_num * n_hit / 2**32), clamped to >= 1
+    need = xp.maximum(1, -(-(tau_num * n_hit) // (1 << 32)))
+    cand = (counts >= need[:, None, None]) & (n_hit > 0)[:, None, None]
+    words = (cand.astype(U64) << shifts).sum(axis=2)
+    return words, n_hit, valid.sum(axis=1)
+
+
 def classify_kmers(index_arrays: dict, cb: dict, kmat, valid, xp):
     """Per-k-mer class ids + hit mask (device part of the threshold
     policy; the per-ref counting happens on host over these small
@@ -98,25 +164,40 @@ class PseudoAligner:
     - "intersect": refs covering EVERY hitting k-mer (default)
     - "union": refs covering ANY hitting k-mer
     - "threshold": refs covering >= ceil(tau * n_hit) hitting k-mers
-      (tau=1.0 == intersect, tau->0 == union); the per-ref counting runs
-      on host over the device-classified [R, L] class ids.
+      (tau=1.0 == intersect, tau->0 == union). By default the per-ref
+      counting runs ON DEVICE (bit-sliced vertical counters over the
+      color bitsets, one fused graph); ``threshold_on="host"`` keeps the
+      device part bitset-free (classify only) and counts on host.
 
-    Panel-size note: intersect/union gather W = ceil(n_refs/64) u64 words
-    per hitting k-mer — right up to ~10^4-10^5 refs. For larger panels use
-    policy="threshold" (tau=1.0 reproduces intersect exactly): its device
-    part is bitset-free and the host counting touches only each read's
-    own classes.
+    Panel-size note: intersect/union/threshold(device) gather
+    W = ceil(n_refs/64) u64 words per hitting k-mer — right up to
+    ~10^4-10^5 refs (the device count matrix is R * n_refs i32). For
+    larger panels use policy="threshold", threshold_on="host" (tau=1.0
+    reproduces intersect exactly): the host counting touches only each
+    read's own classes. tau is quantized to 32 fractional bits (tau_q32)
+    so both counting paths share one exact integer ``need``.
     """
 
-    def __init__(self, index, cc=None, use_jit: bool = True, policy: str = "intersect", tau: float = 0.7):
+    def __init__(
+        self,
+        index,
+        cc=None,
+        use_jit: bool = True,
+        policy: str = "intersect",
+        tau: float = 0.7,
+        threshold_on: str = "device",
+    ):
         self.index = index
         self.k = index.k
         assert policy in ("intersect", "union", "threshold"), policy
+        assert threshold_on in ("device", "host"), threshold_on
         assert 0.0 < tau <= 1.0
         cc = index.color_classes() if cc is None else cc
         self.cc = cc
         self.policy = policy
         self.tau = float(tau)
+        self.threshold_on = threshold_on
+        self._tau_num = tau_q32(self.tau)
         self._cb = color_bitsets(cc)
         self._arrays = index.device_arrays()
         self.use_jit = use_jit
@@ -126,9 +207,14 @@ class PseudoAligner:
 
             self._d_arrays = jax.device_put(self._arrays)
             self._d_cb = jax.device_put(self._cb)
-            if policy == "threshold":
+            if policy == "threshold" and threshold_on == "host":
                 self._fn = jax.jit(
                     lambda a, c, km, v: classify_kmers(a, c, km, v, jnp)
+                )
+            elif policy == "threshold":
+                tn = self._tau_num
+                self._fn = jax.jit(
+                    lambda a, c, km, v: pseudoalign_threshold_batch(a, c, km, v, jnp, tn)
                 )
             else:
                 self._fn = jax.jit(
@@ -143,11 +229,13 @@ class PseudoAligner:
                 self._d_arrays, self._d_cb, jnp.asarray(kmat), jnp.asarray(valid)
             )
             return np.asarray(inter), np.asarray(n_hit), np.asarray(n_k)
+        if self.policy == "threshold":
+            return pseudoalign_threshold_batch(
+                self._arrays, self._cb, kmat, valid, np, self._tau_num
+            )
         return pseudoalign_batch(self._arrays, self._cb, kmat, valid, np, self.policy)
 
     def _map_threshold(self, kmat: np.ndarray, valid: np.ndarray):
-        import math
-
         if self.use_jit:
             import jax.numpy as jnp
 
@@ -164,7 +252,7 @@ class PseudoAligner:
             if n_hit == 0:
                 out.append((np.zeros(0, dtype=np.int64), 0, n_k))
                 continue
-            need = max(1, math.ceil(self.tau * n_hit))
+            need = max(1, -(-self._tau_num * n_hit // (1 << 32)))
             uc, cnt = np.unique(cids, return_counts=True)
             ref_counts = np.zeros(self.cc.n_refs, dtype=np.int64)
             for c, n in zip(uc.tolist(), cnt.tolist()):
@@ -177,7 +265,7 @@ class PseudoAligner:
         from .streaming import kmerize_reads
 
         kmat, valid, _ = kmerize_reads(reads, self.k)
-        if self.policy == "threshold":
+        if self.policy == "threshold" and self.threshold_on == "host":
             return self._map_threshold(kmat, valid)
         inter, n_hit, n_k = self.map_kmer_matrix(kmat, valid)
         bits = np.unpackbits(

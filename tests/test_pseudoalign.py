@@ -169,3 +169,29 @@ def test_pseudoalign_threshold_policy(txome):
     tn = PseudoAligner(idx, cc=cc, policy="threshold", tau=0.5, use_jit=False)
     for x, y in zip(gm, tn.map_reads(reads)):
         assert x[0].tolist() == y[0].tolist() and x[1:] == y[1:]
+    # device bit-sliced counting == host per-class counting (same reads)
+    th = PseudoAligner(idx, cc=cc, policy="threshold", tau=0.5, threshold_on="host")
+    for x, y in zip(gm, th.map_reads(reads)):
+        assert x[0].tolist() == y[0].tolist() and x[1:] == y[1:]
+
+
+def test_pseudoalign_threshold_device_host_tau_fuzz(txome):
+    """Device bit-sliced counting must agree with the host counting loop
+    for arbitrary taus (both derive need from the same tau_q32 integer)."""
+    idx, refs = txome
+    rng = np.random.default_rng(77)
+    reads = []
+    for _ in range(8):
+        a, b = rng.integers(0, len(refs), 2)
+        sa, sb = refs[int(a)][1], refs[int(b)][1]
+        ln_a = min(len(sa), int(rng.integers(idx.k, 90)))
+        reads.append(sa[:ln_a] + sb[: min(len(sb), 40)])
+    reads.append("GATTACA" * 12)  # zero hits
+    base = PseudoAligner(idx, policy="intersect")
+    for tau in (0.2, 1 / 3, 0.7, 0.9999, float(rng.random() * 0.98 + 0.01)):
+        td = PseudoAligner(idx, cc=base.cc, policy="threshold", tau=tau)
+        th = PseudoAligner(
+            idx, cc=base.cc, policy="threshold", tau=tau, threshold_on="host"
+        )
+        for i, (x, y) in enumerate(zip(td.map_reads(reads), th.map_reads(reads))):
+            assert x[0].tolist() == y[0].tolist() and x[1:] == y[1:], (tau, i)

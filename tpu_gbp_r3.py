@@ -74,8 +74,21 @@ def main():
             f"{k2u.num_bits()/k2u.n_kmers:.2f} skew_kmers={k2u.n_kmers_in_skew_index}"
         )
         index = ModIndex(k2u, u2pos, refs)
+    for prefix_kind in os.environ.get("MAZU_GBP_PREFIX", "grouped16").split(","):
+        run_prefix(prefix_kind, index, k2u, u2pos, refs, unitigs, NB, PIECE, k)
+
+
+def run_prefix(prefix_kind, index, k2u, u2pos, refs, unitigs, NB, PIECE, k):
+    import jax
+    import jax.numpy as jnp
+
+    from mazu_tpu.index.modindex import get_ref_pos_compact
+    from mazu_tpu.index.pipeline import OneGraphIndexQuery
+    from mazu_tpu.kmer import revcomp
+    from mazu_tpu.pytree import tree_bytes
+
+    log(f"==== prefix_kind={prefix_kind} ====")
     t0 = time.time()
-    prefix_kind = os.environ.get("MAZU_GBP_PREFIX", "grouped16")
     host_arrays = {
         "k2u": k2u.device_arrays(prefix_kind=prefix_kind, pos_kind="packed"),
         "u2pos": u2pos.device_arrays(),
@@ -181,7 +194,7 @@ def main():
         f"(chk={chk0})"
     )
     print(
-        f'{{"metric": "compact_tier_qps_{NB}", "value": {qps:.0f}, '
+        f'{{"metric": "compact_tier_qps_{NB}_{prefix_kind}", "value": {qps:.0f}, '
         f'"unit": "queries/s", "vs_baseline": {qps/1e9:.6f}}}'
     )
 
