@@ -74,11 +74,12 @@ def main():
             f"{k2u.num_bits()/k2u.n_kmers:.2f} skew_kmers={k2u.n_kmers_in_skew_index}"
         )
         index = ModIndex(k2u, u2pos, refs)
+    plims = [int(p) for p in os.environ.get("MAZU_GBP_PLIM", "2").split(",")]
     for prefix_kind in os.environ.get("MAZU_GBP_PREFIX", "grouped16").split(","):
-        run_prefix(prefix_kind, index, k2u, u2pos, refs, unitigs, NB, PIECE, k)
+        run_prefix(prefix_kind, index, k2u, u2pos, refs, unitigs, NB, PIECE, k, plims)
 
 
-def run_prefix(prefix_kind, index, k2u, u2pos, refs, unitigs, NB, PIECE, k):
+def run_prefix(prefix_kind, index, k2u, u2pos, refs, unitigs, NB, PIECE, k, plims=(2,)):
     import jax
     import jax.numpy as jnp
 
@@ -115,7 +116,21 @@ def run_prefix(prefix_kind, index, k2u, u2pos, refs, unitigs, NB, PIECE, k):
     flip = rng.random(B) < 0.5
     kms[flip] = revcomp(kms[flip], k)
 
-    plim = int(os.environ.get("MAZU_GBP_PLIM", 2))
+    for plim in plims:
+        run_plim(
+            plim, prefix_kind, index, arrays, host_arrays, kms,
+            uid, upos, B, NB,
+        )
+
+
+def run_plim(plim, prefix_kind, index, arrays, host_arrays, kms, uid, upos, B, NB):
+    import jax
+    import jax.numpy as jnp
+
+    from mazu_tpu.index.modindex import get_ref_pos_compact
+    from mazu_tpu.index.pipeline import OneGraphIndexQuery
+
+    log(f"---- plim={plim} ----")
     mo = max(1, index.max_occs())
     # generous first-pass capacities; the validation run reports true
     # counts and the bench driver is rebuilt tight
@@ -194,7 +209,7 @@ def run_prefix(prefix_kind, index, k2u, u2pos, refs, unitigs, NB, PIECE, k):
         f"(chk={chk0})"
     )
     print(
-        f'{{"metric": "compact_tier_qps_{NB}_{prefix_kind}", "value": {qps:.0f}, '
+        f'{{"metric": "compact_tier_qps_{NB}_{prefix_kind}_plim{plim}", "value": {qps:.0f}, '
         f'"unit": "queries/s", "vs_baseline": {qps/1e9:.6f}}}'
     )
 

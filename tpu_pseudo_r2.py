@@ -131,6 +131,39 @@ def main():
     qps = nk0 * iters / dt
     log(f"{iters} x {nk0} read-kmers in {dt:.3f}s -> {qps/1e6:.2f}M read-kmers/s pseudoaligned")
 
+    # ---- threshold policy (device bit-sliced per-ref counting), tau=0.5.
+    # Clean single-source reads: every hitting k-mer's class is
+    # {u, u+U, u+2U}, so counts == n_hit for exactly those refs and the
+    # threshold output must equal intersect.
+    from mazu_tpu.index.pseudoalign import pseudoalign_threshold_batch, tau_q32
+
+    tn = tau_q32(0.5)
+    th_h, _, _ = pseudoalign_threshold_batch(arrays, cb, kms[:64], valid[:64], np, tn)
+    np.testing.assert_array_equal(th_h, inter_h)
+
+    @jax.jit
+    def chunked_th(a, c, kst, vst):
+        def body(carry, cv):
+            km, v = cv
+            w, nh, nk = pseudoalign_threshold_batch(a, c, km, v, jnp, tn)
+            return carry, (w.sum(), nh.sum(), nk.sum())
+
+        _, (s, nh, nk) = jax.lax.scan(body, 0, (kst, vst))
+        return s.sum(), nh.sum(), nk.sum()
+
+    t0 = time.time()
+    rt0 = tuple(int(x) for x in jax.device_get(chunked_th(d_arrays, d_cb, kst, vst)))
+    log(f"threshold compile+first {time.time()-t0:.1f}s")
+    t0 = time.time()
+    for _ in range(iters):
+        r = tuple(int(x) for x in jax.device_get(chunked_th(d_arrays, d_cb, kst, vst)))
+        assert r == rt0
+    dt = time.time() - t0
+    log(
+        f"threshold(tau=0.5): {iters} x {rt0[2]} read-kmers in {dt:.3f}s -> "
+        f"{rt0[2]*iters/dt/1e6:.2f}M read-kmers/s"
+    )
+
 
 if __name__ == "__main__":
     main()
