@@ -211,6 +211,7 @@ def get_ref_pos_compact(
     probe_limit: int | None = None,
     m2: int | None = None,
     m2b: int | None = None,
+    defer_valid: bool = False,
 ):
     """One-kernel full query with an ON-DEVICE compacted heavy phase.
 
@@ -241,6 +242,12 @@ def get_ref_pos_compact(
       prefix): the capacity tier — main projection via the offsets table
       at width 2, and (with ``m2b``) the type-B re-probe starts at
       ``probe_limit`` so deep buckets pay only the remaining depth.
+
+    ``defer_valid``: main-phase probe skips the per-candidate boundary
+    validation and validates winners once per lane (see sshash_k2u);
+    failed lanes join type-B, which then re-probes from row 0 with full
+    validation. Results identical; ~2 fewer gathers per probe iteration
+    on the non-fused tiers.
     """
     from ..kphf.sshash import sshash_k2u
     from ..ops.compact import flagged_lanes
@@ -255,11 +262,17 @@ def get_ref_pos_compact(
 
         r = kcdict_k2u(d["k2u"], fw, xp, mode="main")
     else:
-        r = sshash_k2u(d["k2u"], fw, xp, mode="main", probe_limit=probe_limit)
-        if probe_limit is not None:
+        r = sshash_k2u(
+            d["k2u"], fw, xp, mode="main", probe_limit=probe_limit,
+            defer_valid=defer_valid,
+        )
+        if probe_limit is not None and not defer_valid:
             # phase-2B lanes either never probe (use_skew) or already
             # probed and missed rows [0, probe_limit): the type-split
-            # re-probe may start past them (sshash_k2u exactness contract)
+            # re-probe may start past them (sshash_k2u exactness contract).
+            # With defer_valid that miss-proof does NOT hold (a failed
+            # deferred winner suppressed later candidates), so the re-probe
+            # keeps probe_start=0 and full in-loop validation.
             probe_start = min(int(probe_limit), int(d["k2u"]["meta"].probe_bound))
     if "occ_cnt" in r:
         p = _project_fused(d, r, xp)

@@ -51,6 +51,7 @@ class OneGraphIndexQuery:
         device=None,
         host_arrays: dict | None = None,
         m2b: int | None = None,
+        defer_valid: bool = False,
     ):
         import jax
         import jax.numpy as jnp
@@ -73,13 +74,14 @@ class OneGraphIndexQuery:
         )
         self.arrays = jax.device_put(self.host_arrays, device)
         mo, M2, M2B, plim = self.max_occs, self.M2, self.M2B, probe_limit
+        dv = bool(defer_valid)
 
         @jax.jit
         def pass_fn(arrays, stack):
             def step(carry, chunk):
                 out = get_ref_pos_compact(
                     arrays, chunk, jnp, mo, merge=False, probe_limit=plim,
-                    m2=M2, m2b=M2B,
+                    m2=M2, m2b=M2B, defer_valid=dv,
                 )
                 novf = jnp.stack(
                     [out["n_ovf"], out.get("n_ovf_b", jnp.zeros_like(out["n_ovf"]))]
@@ -104,7 +106,7 @@ class OneGraphIndexQuery:
                 chunk = jnp.roll(work, i * jnp.int64(40009))
                 out = get_ref_pos_compact(
                     arrays, chunk, jnp, mo, merge=False, probe_limit=plim,
-                    m2=M2, m2b=M2B,
+                    m2=M2, m2b=M2B, defer_valid=dv,
                 )
                 novf = jnp.stack(
                     [out["n_ovf"], out.get("n_ovf_b", jnp.zeros_like(out["n_ovf"]))]

@@ -970,6 +970,7 @@ def sshash_k2u(
     probe_limit: int | None = None,
     bucket_range=None,
     probe_start: int = 0,
+    defer_valid: bool = False,
 ):
     """Batched SSHash k2u (parity: reference src/kphf/sshash.rs:471-554).
 
@@ -988,6 +989,17 @@ def sshash_k2u(
     phase-2B re-probe optimization of the compact-tier driver
     (get_ref_pos_compact with non-fused arrays): deep buckets pay only
     the depth beyond the shallow main probe.
+
+    ``defer_valid`` (mode="main", generic probe body only): drop the two
+    per-candidate ``us_is_valid_pos`` boundary-bv reads from the probe
+    loop and validate the WINNING candidate once per lane after it. A
+    lane whose winner fails (a boundary-crossing window that spelled the
+    query k-mer — it may have suppressed the true hit later in the loop)
+    is reported ``unresolved`` with all hit fields cleared; the caller's
+    phase 2 MUST then re-probe it from row 0 with in-loop validation
+    (``probe_start`` stays 0 — the [0, probe_start) miss-proof above does
+    not hold for deferred lanes). Saves ~2 random gathers per probe
+    iteration on the packed/EF compact tiers.
 
     ``bucket_range``: (lo, hi) traced scalars for SHARDED execution (see
     parallel/sharding.py): ``d`` holds only the minimizer buckets in hash
@@ -1172,8 +1184,9 @@ def sshash_k2u(
             km_pos_c = xp.clip(km_pos, 0, max(last_km_start, 0))
             kw = us_get_kmer(d["us"], km_pos_c, xp)
             mt = word_equivalency(fw, rc, kw, k)
-            ok = us_is_valid_pos(d["us"], km_pos_c, xp)
-            hit = active & in_range & (mt > 0) & ok
+            hit = active & in_range & (mt > 0)
+            if not defer_valid:
+                hit = hit & us_is_valid_pos(d["us"], km_pos_c, xp)
             out_pos = xp.where(hit, km_pos_c, out_pos)  # useq pos, mapped later
             out_mt = xp.where(hit, mt, out_mt)
             found = found | hit
@@ -1310,7 +1323,16 @@ def sshash_k2u(
         )
 
     found, out_uid, out_ulen, out_pos, out_mt, out_ow, out_oc, out_ow2 = state
+    deferred_fail = None
     if probe_body is probe_body_generic:
+        if defer_valid:
+            assert mode == "main", "defer_valid needs a phase-2 to recover fails"
+            vok = us_is_valid_pos(
+                d["us"], xp.where(found, out_pos, xp.zeros_like(out_pos)), xp
+            )
+            deferred_fail = found & (~vok)
+            found = found & vok
+            out_mt = xp.where(found, out_mt, xp.zeros_like(out_mt))
         # deferred mapping of the winning useq positions (see probe body):
         # one rank + one extent fetch per LANE instead of per candidate
         uid, ulen, upos, _end_ok = _map_hit(
@@ -1329,8 +1351,15 @@ def sshash_k2u(
             "mt": out_mt,
             "use_skew": use_skew,
             # lanes the shallow probe could not settle: no hit found but
-            # candidate rows beyond the probed depth exist
-            "unresolved": (~found) & (~use_skew) & (n_occs > bound),
+            # candidate rows beyond the probed depth exist — plus lanes
+            # whose deferred-validation winner failed (must re-probe from
+            # row 0 WITH validation; see defer_valid)
+            "unresolved": ((~found) & (~use_skew) & (n_occs > bound))
+            | (
+                deferred_fail
+                if deferred_fail is not None
+                else xp.zeros_like(found)
+            ),
         }
         if bucket_range is not None:
             out["mine"] = mine

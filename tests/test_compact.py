@@ -525,6 +525,63 @@ class TestCompactTierNonFused:
                 np.where(v, want[kk], 0), np.where(v, got[kk], 0), err_msg=kk
             )
 
+    @pytest.mark.parametrize(
+        "engine,prefix_kind,skew,plim",
+        [
+            ("fast32", "grouped16", 64, 2),  # the 3Gbp capacity config
+            ("fast32", "flat32", 4, 1),  # heavy skew traffic
+            ("parity", "ef", 8, 2),
+        ],
+    )
+    def test_defer_valid_equals_padded(self, engine, prefix_kind, skew, plim):
+        """Deferred winner validation (defer_valid=True): the probe loop
+        skips per-candidate boundary checks; lanes whose winner fails are
+        re-probed from row 0 by phase 2B. Must equal the padded oracle."""
+        idx, arrays, work = self._setup(engine, prefix_kind, skew, seed=37)
+        mo = max(1, idx.max_occs())
+        want = get_ref_pos_padded(arrays, work, np, mo)
+        got = get_ref_pos_compact(
+            arrays, work, np, mo, probe_limit=plim, m2=2048, m2b=2048,
+            defer_valid=True,
+        )
+        assert not bool(got["over_budget"])
+        for kk in ("unitig_id", "pos", "mt", "n_occs"):
+            np.testing.assert_array_equal(want[kk], got[kk], err_msg=kk)
+        v = want["valid"]
+        np.testing.assert_array_equal(got["valid"], v)
+        for kk in ("ref_id", "ref_pos", "orient"):
+            np.testing.assert_array_equal(
+                np.where(v, want[kk], 0), np.where(v, got[kk], 0), err_msg=kk
+            )
+
+    def test_defer_valid_fail_lanes_recovered(self):
+        """Force deferred-winner failures (boundary-crossing windows that
+        spell a real k-mer) and check they surface as unresolved in the
+        main phase and resolve exactly through the split driver."""
+        from mazu_tpu.kphf.sshash import sshash_k2u
+
+        idx, arrays, work = self._setup("fast32", "flat32", 64, seed=41)
+        r0 = sshash_k2u(arrays["k2u"], work, np, mode="main", probe_limit=2)
+        rd = sshash_k2u(
+            arrays["k2u"], work, np, mode="main", probe_limit=2, defer_valid=True
+        )
+        # deferred mode may only ADD unresolved lanes (the failed winners);
+        # every resolved lane must agree with the validating probe
+        extra = rd["unresolved"] & ~r0["unresolved"]
+        agree = ~rd["unresolved"] & ~r0["unresolved"] & ~rd["use_skew"]
+        for kk in ("unitig_id", "pos", "mt"):
+            np.testing.assert_array_equal(rd[kk][agree], r0[kk][agree], err_msg=kk)
+        assert not (r0["unresolved"] & ~rd["unresolved"]).any()
+        # and the full split query stays exact regardless of `extra`
+        mo = max(1, idx.max_occs())
+        want = get_ref_pos_padded(arrays, work, np, mo)
+        got = get_ref_pos_compact(
+            arrays, work, np, mo, probe_limit=2, m2=2048, m2b=2048,
+            defer_valid=True,
+        )
+        for kk in ("unitig_id", "pos", "mt", "n_occs"):
+            np.testing.assert_array_equal(want[kk], got[kk], err_msg=kk)
+
     def test_probe_start_exercised(self):
         """The type-split phase-2B must actually skip the shallow rows:
         deep lanes exist, and results stay exact (vs a probe_start=0

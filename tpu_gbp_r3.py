@@ -130,7 +130,8 @@ def run_plim(plim, prefix_kind, index, arrays, host_arrays, kms, uid, upos, B, N
     from mazu_tpu.index.modindex import get_ref_pos_compact
     from mazu_tpu.index.pipeline import OneGraphIndexQuery
 
-    log(f"---- plim={plim} ----")
+    dv = bool(int(os.environ.get("MAZU_GBP_DEFER", "0")))
+    log(f"---- plim={plim} defer_valid={dv} ----")
     mo = max(1, index.max_occs())
     # generous first-pass capacities; the validation run reports true
     # counts and the bench driver is rebuilt tight
@@ -141,7 +142,7 @@ def run_plim(plim, prefix_kind, index, arrays, host_arrays, kms, uid, upos, B, N
     def probe(arrays, kms):
         return get_ref_pos_compact(
             arrays, kms, jnp, mo, merge=False, probe_limit=plim,
-            m2=M2_0, m2b=M2B_0,
+            m2=M2_0, m2b=M2B_0, defer_valid=dv,
         )
 
     d_kms = jax.device_put(jnp.asarray(kms))
@@ -190,7 +191,7 @@ def run_plim(plim, prefix_kind, index, arrays, host_arrays, kms, uid, upos, B, N
     log(f"building OneGraph driver CH={CH} M2={M2} M2B={M2B} plim={plim}")
     og = OneGraphIndexQuery(
         index, B, n_chunks=CH, m2=M2, m2b=M2B, probe_limit=plim,
-        host_arrays=host_arrays,
+        host_arrays=host_arrays, defer_valid=dv,
     )
     t0 = time.time()
     chk0, worst = og.checksum_pass_rolled(d_kms)
