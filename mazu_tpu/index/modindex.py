@@ -212,6 +212,7 @@ def get_ref_pos_compact(
     m2: int | None = None,
     m2b: int | None = None,
     defer_valid: bool = False,
+    mphf_level_limit: int | None = None,
 ):
     """One-kernel full query with an ON-DEVICE compacted heavy phase.
 
@@ -248,6 +249,15 @@ def get_ref_pos_compact(
     failed lanes join type-B, which then re-probes from row 0 with full
     validation. Results identical; ~2 fewer gathers per probe iteration
     on the non-fused tiers.
+
+    ``mphf_level_limit``: truncated minimizer-MPHF main phase (MPHF
+    engines: parity/fast32). Only the first N BBHash level bit-tests run
+    and the final-hash searchsorted is skipped batch-wide; lanes the
+    truncated chain cannot place join type-B (full lookup + full-depth
+    validated re-probe from row 0 — they never probed). Results
+    identical. At gamma=1.7 four levels place ~96% of minimizers, so the
+    main phase drops ~(n_levels-4) + log2(n_fh) dependent random gathers
+    per lane on the compact capacity tier.
     """
     from ..kphf.sshash import sshash_k2u
     from ..ops.compact import flagged_lanes
@@ -264,9 +274,9 @@ def get_ref_pos_compact(
     else:
         r = sshash_k2u(
             d["k2u"], fw, xp, mode="main", probe_limit=probe_limit,
-            defer_valid=defer_valid,
+            defer_valid=defer_valid, mphf_level_limit=mphf_level_limit,
         )
-        if probe_limit is not None and not defer_valid:
+        if probe_limit is not None and not defer_valid and mphf_level_limit is None:
             # phase-2B lanes either never probe (use_skew) or already
             # probed and missed rows [0, probe_limit): the type-split
             # re-probe may start past them (sshash_k2u exactness contract).

@@ -52,6 +52,7 @@ class OneGraphIndexQuery:
         host_arrays: dict | None = None,
         m2b: int | None = None,
         defer_valid: bool = False,
+        mphf_level_limit: int | None = None,
     ):
         import jax
         import jax.numpy as jnp
@@ -75,13 +76,15 @@ class OneGraphIndexQuery:
         self.arrays = jax.device_put(self.host_arrays, device)
         mo, M2, M2B, plim = self.max_occs, self.M2, self.M2B, probe_limit
         dv = bool(defer_valid)
+        mlim = mphf_level_limit
+        self.mphf_level_limit = mlim
 
         @jax.jit
         def pass_fn(arrays, stack):
             def step(carry, chunk):
                 out = get_ref_pos_compact(
                     arrays, chunk, jnp, mo, merge=False, probe_limit=plim,
-                    m2=M2, m2b=M2B, defer_valid=dv,
+                    m2=M2, m2b=M2B, defer_valid=dv, mphf_level_limit=mlim,
                 )
                 novf = jnp.stack(
                     [out["n_ovf"], out.get("n_ovf_b", jnp.zeros_like(out["n_ovf"]))]
@@ -106,7 +109,7 @@ class OneGraphIndexQuery:
                 chunk = jnp.roll(work, i * jnp.int64(40009))
                 out = get_ref_pos_compact(
                     arrays, chunk, jnp, mo, merge=False, probe_limit=plim,
-                    m2=M2, m2b=M2B, defer_valid=dv,
+                    m2=M2, m2b=M2B, defer_valid=dv, mphf_level_limit=mlim,
                 )
                 novf = jnp.stack(
                     [out["n_ovf"], out.get("n_ovf_b", jnp.zeros_like(out["n_ovf"]))]
@@ -189,6 +192,7 @@ class OneGraphIndexQuery:
                 probe_limit=self.probe_limit,
                 m2=self.M2,
                 m2b=self.M2B,
+                mphf_level_limit=self.mphf_level_limit,
             )
             assert not bool(out["over_budget"]), "phase-2 capacity exceeded"
             tot += int(self.checksum(out, np))

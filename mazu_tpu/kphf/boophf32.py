@@ -193,15 +193,29 @@ class BooPHF32:
         }
 
 
-def boophf32_lookup(d: dict, keys, xp):
-    """Batched lookup; int32 values, -1 for definite misses. All-u32 hot path."""
+def boophf32_lookup(d: dict, keys, xp, level_limit: int | None = None):
+    """Batched lookup; int32 values, -1 for definite misses. All-u32 hot path.
+
+    ``level_limit``: truncated SPEED mode for two-phase drivers. Only the
+    first ``level_limit`` level bit-tests run (each is one random word
+    gather — with gamma=1.7 level hit rates decay ~0.45x/level, so 4
+    levels settle ~96% of keys) and the final-hash ``searchsorted``
+    binary search (log2(n_fh) dependent gathers paid by EVERY lane) is
+    skipped entirely. Lanes that hit no tested level are UNRESOLVED (they
+    may live in a deeper level, in the final hash, or be misses) and the
+    return becomes ``(res, unresolved)`` — the caller MUST re-run those
+    lanes through the full lookup (see get_ref_pos_compact's type-B
+    phase). Lanes that do hit a level get their exact value: rank only
+    reads the hit level, identical to the full path.
+    """
     meta: BooPHF32Meta = d["meta"]
     keys = xp.asarray(keys)
     n_levels = len(meta.n_bits)
+    n_test = n_levels if level_limit is None else min(max(int(level_limit), 1), n_levels)
     s0, s1 = key_fold32(keys)
     hit_level = None
     hit_pos = None
-    for li in range(n_levels):
+    for li in range(n_test):
         h, s0, s1 = chain_next(s0, s1)
         pos = (h & U32(meta.n_bits[li] - 1)).astype(xp.int32)
         woff = meta.word_offsets[li]
@@ -238,6 +252,9 @@ def boophf32_lookup(d: dict, keys, xp):
     r = r + _popcount(xp, d["words"][wo + word_idx] & mask)
 
     res = xp.where(hit_level >= 0, r, xp.full(xp.shape(keys), -1, dtype=xp.int32))
+
+    if level_limit is not None:
+        return res, hit_level < 0
 
     fhk = d["fh_keys"]
     idx = xp.searchsorted(fhk, keys)

@@ -31,12 +31,21 @@ from .boophf32 import BooPHF32, BooPHF32Meta, boophf32_lookup
 U64 = np.uint64
 
 
-def mphf_lookup(d: dict, keys, xp):
+def mphf_lookup(d: dict, keys, xp, level_limit: int | None = None):
     """Dispatch on the MPHF implementation (64-bit C++-parity BooPHF or the
-    TPU-native 32-bit BooPHF32)."""
+    TPU-native 32-bit BooPHF32).
+
+    ``level_limit`` (BooPHF32 only): truncated lookup — returns
+    ``(res, unresolved)``; see boophf32_lookup. On the 64-bit parity
+    BooPHF the chain always runs full and ``unresolved`` is all-False
+    (its level count is data-defined and small; the searchsorted-free
+    speed path only matters on the TPU-native engines)."""
     if isinstance(d["meta"], BooPHF32Meta):
-        return boophf32_lookup(d, keys, xp)
-    return boophf_lookup(d, keys, xp)
+        return boophf32_lookup(d, keys, xp, level_limit=level_limit)
+    res = boophf_lookup(d, keys, xp)
+    if level_limit is not None:
+        return res, xp.zeros(xp.shape(xp.asarray(keys)), dtype=bool)
+    return res
 
 
 def _dedup_stream(mm, pos, mask):
@@ -971,6 +980,7 @@ def sshash_k2u(
     bucket_range=None,
     probe_start: int = 0,
     defer_valid: bool = False,
+    mphf_level_limit: int | None = None,
 ):
     """Batched SSHash k2u (parity: reference src/kphf/sshash.rs:471-554).
 
@@ -1001,6 +1011,15 @@ def sshash_k2u(
     not hold for deferred lanes). Saves ~2 random gathers per probe
     iteration on the packed/EF compact tiers.
 
+    ``mphf_level_limit`` (mode="main", MPHF engines only): truncated
+    minimizer-MPHF lookup — only the first N level bit-tests run and the
+    final-hash searchsorted (log2(n_fh) dependent gathers batch-wide) is
+    skipped; lanes the truncated chain cannot settle are reported
+    ``unresolved`` with zero occurrences (they never probe). The caller's
+    phase 2 re-runs them with the full lookup, and as with defer_valid
+    its re-probe MUST keep ``probe_start=0`` (these lanes never probed).
+    See boophf32_lookup.
+
     ``bucket_range``: (lo, hi) traced scalars for SHARDED execution (see
     parallel/sharding.py): ``d`` holds only the minimizer buckets in hash
     range [lo, hi) — ``prefix.flat2`` rebased to the shard, ``pos.inline``
@@ -1026,6 +1045,7 @@ def sshash_k2u(
     canon = xp.minimum(fw, rc)
     offset = offset.astype(xp.int64)
 
+    mphf_unres = None  # truncated-MPHF lanes needing a full phase-2 lookup
     if m.direct_t:
         from .boophf32 import fold_hash32
 
@@ -1072,7 +1092,13 @@ def sshash_k2u(
             n_occs = pe - ps
     else:
         assert bucket_range is None, "bucket_range requires engine='direct'"
-        h = mphf_lookup(d["mphf"], mm, xp).astype(xp.int64)
+        if mode == "main" and mphf_level_limit is not None:
+            h, mphf_unres = mphf_lookup(
+                d["mphf"], mm, xp, level_limit=mphf_level_limit
+            )
+            h = h.astype(xp.int64)
+        else:
+            h = mphf_lookup(d["mphf"], mm, xp).astype(xp.int64)
         hc = xp.clip(h, 0, None)
         if "flat2" in d.get("prefix", {}):
             pair = d["prefix"]["flat2"][hc]
@@ -1353,11 +1379,18 @@ def sshash_k2u(
             # lanes the shallow probe could not settle: no hit found but
             # candidate rows beyond the probed depth exist — plus lanes
             # whose deferred-validation winner failed (must re-probe from
-            # row 0 WITH validation; see defer_valid)
+            # row 0 WITH validation; see defer_valid) — plus lanes the
+            # truncated MPHF chain could not place (never probed at all;
+            # see mphf_level_limit)
             "unresolved": ((~found) & (~use_skew) & (n_occs > bound))
             | (
                 deferred_fail
                 if deferred_fail is not None
+                else xp.zeros_like(found)
+            )
+            | (
+                mphf_unres
+                if mphf_unres is not None
                 else xp.zeros_like(found)
             ),
         }

@@ -582,6 +582,68 @@ class TestCompactTierNonFused:
         for kk in ("unitig_id", "pos", "mt", "n_occs"):
             np.testing.assert_array_equal(want[kk], got[kk], err_msg=kk)
 
+    @pytest.mark.parametrize(
+        "engine,prefix_kind,skew,plim,mlim,defer",
+        [
+            ("fast32", "grouped16", 64, 2, 2, False),  # 3Gbp capacity config
+            ("fast32", "grouped16", 64, 2, 4, True),  # + deferred validation
+            ("fast32", "flat32", 4, 1, 1, False),  # heavy truncation + skew
+            ("parity", "ef", 8, 2, 2, False),  # u64 BooPHF: no-op passthrough
+        ],
+    )
+    def test_mphf_level_limit_equals_padded(
+        self, engine, prefix_kind, skew, plim, mlim, defer
+    ):
+        """Truncated minimizer-MPHF main phase (mphf_level_limit): lanes
+        the shortened BBHash chain cannot place (deeper levels / final
+        hash) go unresolved to phase 2B, which re-runs the full lookup.
+        Must equal the padded oracle."""
+        idx, arrays, work = self._setup(engine, prefix_kind, skew, seed=43)
+        mo = max(1, idx.max_occs())
+        want = get_ref_pos_padded(arrays, work, np, mo)
+        got = get_ref_pos_compact(
+            arrays, work, np, mo, probe_limit=plim, m2=2048, m2b=3072,
+            defer_valid=defer, mphf_level_limit=mlim,
+        )
+        assert not bool(got["over_budget"])
+        for kk in ("unitig_id", "pos", "mt", "n_occs"):
+            np.testing.assert_array_equal(want[kk], got[kk], err_msg=kk)
+        v = want["valid"]
+        np.testing.assert_array_equal(got["valid"], v)
+        for kk in ("ref_id", "ref_pos", "orient"):
+            np.testing.assert_array_equal(
+                np.where(v, want[kk], 0), np.where(v, got[kk], 0), err_msg=kk
+            )
+
+    def test_mphf_level_limit_truncation_exercised(self):
+        """The truncated BooPHF32 lookup must (a) flag genuinely
+        unresolved lanes at small level limits, (b) agree with the full
+        lookup on every resolved lane, and (c) never resolve a lane the
+        full chain resolves differently."""
+        from mazu_tpu.kphf.boophf32 import BooPHF32, boophf32_lookup
+
+        rng = np.random.default_rng(7)
+        keys = rng.integers(0, 1 << 63, 20000, dtype=np.uint64)
+        keys = np.unique(keys)
+        mph = BooPHF32.build(keys)
+        d = mph.device_arrays()
+        full = boophf32_lookup(d, keys, np)
+        assert (np.sort(full) == np.arange(len(keys))).all()
+        prev_unres = None
+        for ll in (1, 2, 4, 8):
+            res, unres = boophf32_lookup(d, keys, np, level_limit=ll)
+            assert unres.any() or ll >= 8  # shallow limits must truncate
+            np.testing.assert_array_equal(res[~unres], full[~unres])
+            assert (res[unres] == -1).all()
+            if prev_unres is not None:  # monotone: deeper chain resolves more
+                assert not (unres & ~prev_unres).any()
+            prev_unres = unres
+        # foreign keys: resolved lanes are false-positive level hits that
+        # downstream candidate verification rejects; none may crash
+        foreign = rng.integers(0, 1 << 63, 4096, dtype=np.uint64)
+        res_f, unres_f = boophf32_lookup(d, foreign, np, level_limit=2)
+        assert res_f.shape == foreign.shape and unres_f.dtype == bool
+
     def test_probe_start_exercised(self):
         """The type-split phase-2B must actually skip the shallow rows:
         deep lanes exist, and results stay exact (vs a probe_start=0

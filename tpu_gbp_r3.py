@@ -116,22 +116,30 @@ def run_prefix(prefix_kind, index, k2u, u2pos, refs, unitigs, NB, PIECE, k, plim
     flip = rng.random(B) < 0.5
     kms[flip] = revcomp(kms[flip], k)
 
+    defers = [
+        bool(int(v)) for v in os.environ.get("MAZU_GBP_DEFER", "0").split(",")
+    ]
+    mlims = [
+        (int(v) if v else None)
+        for v in os.environ.get("MAZU_GBP_MLIM", "").split(",")
+    ]
     for plim in plims:
-        run_plim(
-            plim, prefix_kind, index, arrays, host_arrays, kms,
-            uid, upos, B, NB,
-        )
+        for dv in defers:
+            for mlim in mlims:
+                run_plim(
+                    plim, prefix_kind, index, arrays, host_arrays, kms,
+                    uid, upos, B, NB, dv, mlim,
+                )
 
 
-def run_plim(plim, prefix_kind, index, arrays, host_arrays, kms, uid, upos, B, NB):
+def run_plim(plim, prefix_kind, index, arrays, host_arrays, kms, uid, upos, B, NB, dv, mlim=None):
     import jax
     import jax.numpy as jnp
 
     from mazu_tpu.index.modindex import get_ref_pos_compact
     from mazu_tpu.index.pipeline import OneGraphIndexQuery
 
-    dv = bool(int(os.environ.get("MAZU_GBP_DEFER", "0")))
-    log(f"---- plim={plim} defer_valid={dv} ----")
+    log(f"---- plim={plim} defer_valid={dv} mphf_level_limit={mlim} ----")
     mo = max(1, index.max_occs())
     # generous first-pass capacities; the validation run reports true
     # counts and the bench driver is rebuilt tight
@@ -142,7 +150,7 @@ def run_plim(plim, prefix_kind, index, arrays, host_arrays, kms, uid, upos, B, N
     def probe(arrays, kms):
         return get_ref_pos_compact(
             arrays, kms, jnp, mo, merge=False, probe_limit=plim,
-            m2=M2_0, m2b=M2B_0, defer_valid=dv,
+            m2=M2_0, m2b=M2B_0, defer_valid=dv, mphf_level_limit=mlim,
         )
 
     d_kms = jax.device_put(jnp.asarray(kms))
@@ -191,7 +199,7 @@ def run_plim(plim, prefix_kind, index, arrays, host_arrays, kms, uid, upos, B, N
     log(f"building OneGraph driver CH={CH} M2={M2} M2B={M2B} plim={plim}")
     og = OneGraphIndexQuery(
         index, B, n_chunks=CH, m2=M2, m2b=M2B, probe_limit=plim,
-        host_arrays=host_arrays, defer_valid=dv,
+        host_arrays=host_arrays, defer_valid=dv, mphf_level_limit=mlim,
     )
     t0 = time.time()
     chk0, worst = og.checksum_pass_rolled(d_kms)
@@ -210,7 +218,8 @@ def run_plim(plim, prefix_kind, index, arrays, host_arrays, kms, uid, upos, B, N
         f"(chk={chk0})"
     )
     print(
-        f'{{"metric": "compact_tier_qps_{NB}_{prefix_kind}_plim{plim}", "value": {qps:.0f}, '
+        f'{{"metric": "compact_tier_qps_{NB}_{prefix_kind}_plim{plim}'
+        f'{"_defer" if dv else ""}{f"_mlim{mlim}" if mlim else ""}", "value": {qps:.0f}, '
         f'"unit": "queries/s", "vs_baseline": {qps/1e9:.6f}}}'
     )
 
