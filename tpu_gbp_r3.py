@@ -116,6 +116,10 @@ def run_prefix(prefix_kind, index, k2u, u2pos, refs, unitigs, NB, PIECE, k, plim
     flip = rng.random(B) < 0.5
     kms[flip] = revcomp(kms[flip], k)
 
+    if os.environ.get("MAZU_GBP_ATTR"):
+        run_attr(prefix_kind, index, arrays, kms, B, plims[0])
+        return
+
     defers = [
         bool(int(v)) for v in os.environ.get("MAZU_GBP_DEFER", "0").split(",")
     ]
@@ -130,6 +134,130 @@ def run_prefix(prefix_kind, index, k2u, u2pos, refs, unitigs, NB, PIECE, k, plim
                     plim, prefix_kind, index, arrays, host_arrays, kms,
                     uid, upos, B, NB, dv, mlim,
                 )
+
+
+def run_attr(prefix_kind, index, arrays, kms, B, plim):
+    """Per-stage cost attribution of the compact-tier query (CH-scanned
+    like the bench pass; deltas between stages = that stage's cost):
+      A  minimizer + canon                      (compute only)
+      B  A + full MPHF lookup                   (chain + final-hash search)
+      B2 A + truncated MPHF (level_limit=4)     (the mphf_level_limit path)
+      C  main k2u probe (plim, defer, mlim)     (bounds + probe loop + map)
+      D  C + offsets projection                 (+2 gathers)
+      F  full compact pass                      (+compaction + phases 2/2B)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from mazu_tpu.index.modindex import get_ref_pos_compact
+    from mazu_tpu.index.pipeline import OneGraphIndexQuery
+    from mazu_tpu.index.twophase import _project_offsets
+    from mazu_tpu.kmer import canonical_minimizer_batch
+    from mazu_tpu.kphf.sshash import mphf_lookup, sshash_k2u
+
+    m = index.k2u.device_arrays_meta() if hasattr(index.k2u, "device_arrays_meta") else None
+    meta = arrays["k2u"]["meta"] if m is None else m
+    CH = int(os.environ.get("MAZU_GBP_CH", 8))
+    dv = bool(int(os.environ.get("MAZU_GBP_DEFER", "1").split(",")[0]))
+    ml = os.environ.get("MAZU_GBP_MLIM", "4").split(",")[0]
+    mlim = int(ml) if ml else None
+    mo = max(1, index.max_occs())
+    d_kms = jax.device_put(jnp.asarray(kms))
+    log(f"==== ATTR prefix={prefix_kind} plim={plim} defer={dv} mlim={mlim} CH={CH} ====")
+
+    def scan_over(chunk_fn):
+        def run(arrays, work):
+            def step(carry, i):
+                chunk = jnp.roll(work, i * jnp.int64(40009))
+                return carry + chunk_fn(arrays, chunk), 0
+            tot, _ = jax.lax.scan(
+                step, jnp.int64(0), jnp.arange(CH, dtype=jnp.int64)
+            )
+            return tot
+        return run
+
+    def timeit(tag, fn, iters=5):
+        f = jax.jit(scan_over(fn))
+        jax.device_get(f(arrays, d_kms))  # compile + warm
+        t0 = time.time()
+        for _ in range(iters):
+            o = f(arrays, d_kms)
+        jax.device_get(o)
+        dt = (time.time() - t0) / iters / CH
+        log(f"[{tag:34s}] {dt*1e3:8.2f} ms/{B>>20}M chunk")
+
+    def stage_a(arrays, fw):
+        d = arrays["k2u"]
+        mm, offset, _, _ = canonical_minimizer_batch(
+            jnp, fw, meta.k, meta.w, meta.seed, hash32=meta.hash32
+        )
+        return mm.astype(jnp.int64).sum() + offset.astype(jnp.int64).sum()
+
+    def stage_b(arrays, fw):
+        d = arrays["k2u"]
+        mm, offset, _, _ = canonical_minimizer_batch(
+            jnp, fw, meta.k, meta.w, meta.seed, hash32=meta.hash32
+        )
+        h = mphf_lookup(d["mphf"], mm, jnp)
+        return h.astype(jnp.int64).sum() + offset.astype(jnp.int64).sum()
+
+    def stage_b2(arrays, fw):
+        d = arrays["k2u"]
+        mm, offset, _, _ = canonical_minimizer_batch(
+            jnp, fw, meta.k, meta.w, meta.seed, hash32=meta.hash32
+        )
+        h, unres = mphf_lookup(d["mphf"], mm, jnp, level_limit=4)
+        return (
+            h.astype(jnp.int64).sum()
+            + unres.astype(jnp.int64).sum()
+            + offset.astype(jnp.int64).sum()
+        )
+
+    def stage_c(arrays, fw):
+        r = sshash_k2u(
+            arrays["k2u"], fw, jnp, mode="main", probe_limit=plim,
+            defer_valid=dv, mphf_level_limit=mlim,
+        )
+        return (
+            r["unitig_id"].sum()
+            + r["pos"].sum()
+            + r["mt"].astype(jnp.int64).sum()
+            + r["use_skew"].astype(jnp.int64).sum()
+            + r["unresolved"].astype(jnp.int64).sum()
+        )
+
+    def stage_d(arrays, fw):
+        r = sshash_k2u(
+            arrays["k2u"], fw, jnp, mode="main", probe_limit=plim,
+            defer_valid=dv, mphf_level_limit=mlim,
+        )
+        p = _project_offsets(arrays, r, jnp, small_occs=2)
+        return (
+            jnp.where(p["valid"], p["ref_pos"], 0).sum()
+            + jnp.where(p["valid"], p["ref_id"], 0).sum()
+            + p["overflow"].astype(jnp.int64).sum()
+        )
+
+    def stage_f(arrays, fw):
+        out = get_ref_pos_compact(
+            arrays, fw, jnp, mo, merge=False, probe_limit=plim,
+            m2=max(8192, B // 8), m2b=max(8192, B // 8),
+            defer_valid=dv, mphf_level_limit=mlim,
+        )
+        return OneGraphIndexQuery.checksum(out, jnp)
+
+    for tag, fn in (
+        ("A minimizer+canon", stage_a),
+        ("B +full MPHF lookup", stage_b),
+        ("B2 +truncated MPHF (ll=4)", stage_b2),
+        ("C main k2u (plim,defer,mlim)", stage_c),
+        ("D +offsets projection", stage_d),
+        ("F full compact pass", stage_f),
+    ):
+        try:
+            timeit(tag, fn)
+        except Exception as e:
+            log(f"[{tag}] FAILED: {type(e).__name__}: {e}")
 
 
 def run_plim(plim, prefix_kind, index, arrays, host_arrays, kms, uid, upos, B, NB, dv, mlim=None):
