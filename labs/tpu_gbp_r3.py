@@ -1,0 +1,361 @@
+"""Round-3 TPU session: Gbp-scale COMPACT tier with the two-phase driver.
+
+Round 2 proved the 1Gbp compact index (fast32 engine, packed IntVector
+positions) is exact on chip but slow through the one-kernel PADDED query:
+0.41M q/s at skew=4 (15% skew traffic) and 0.24M at skew=64 (every lane
+pays the probe_bound=64 loop). This session runs the same index through
+get_ref_pos_compact with the TYPE-SPLIT heavy phase (shallow main probe
+batch-wide; deep/skew lanes compacted on device and re-probed from
+probe_start=plim) inside the OneGraphIndexQuery scan driver.
+
+Also the 3Gbp HUMAN-SCALE fit: prefix_kind="grouped16" drops the flat32
+bucket prefix (12B/minimizer incl. flat2 pairs) to ~2.06B/minimizer at a
+~3-gather bounds cost (EF would be ~0.4B but its device select is a
+~23-gather binary search per bound), so a 3Gbp index fits one chip.
+
+Env knobs: MAZU_GBP_BASES (1e9), MAZU_GBP_SKEW (64), MAZU_GBP_PREFIX
+(grouped16), MAZU_GBP_PLIM (2), MAZU_GBP_CH (8), MAZU_GBP_ITERS (5),
+MAZU_GBP_CKPT (load a host_gbp_build.py checkpoint instead of building).
+
+Run: timeout 7200 python tpu_gbp_r3.py   (3Gbp needs ~2h host build)
+"""
+
+import _bootstrap  # noqa: F401  (repo root on sys.path)
+
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    os.environ.setdefault("MAZU_BUILD_TIMING", "1")
+    cache = os.path.join(os.path.dirname(__file__), ".xla_cache")
+    import jax
+
+    if os.environ.get("MAZU_GBP_CPU"):  # small-scale smoke run off-chip
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
+
+    import bench
+    from mazu_tpu.index.modindex import ModIndex, get_ref_pos_compact
+    from mazu_tpu.index.pipeline import OneGraphIndexQuery
+    from mazu_tpu.kmer import revcomp
+    from mazu_tpu.kphf.sshash import SSHash
+    from mazu_tpu.pytree import tree_bytes
+
+    NB = int(os.environ.get("MAZU_GBP_BASES", 1_000_000_000))
+    PIECE = 10_000
+    k = 31
+    ckpt = os.environ.get("MAZU_GBP_CKPT")
+    if ckpt:
+        from mazu_tpu.io.checkpoint import load_index
+
+        t0 = time.time()
+        index = load_index(ckpt)
+        k2u, u2pos, refs = index.k2u, index.u2pos, index.refs
+        unitigs = k2u.unitigs
+        NB = unitigs.total_len
+        log(f"loaded {ckpt} in {time.time()-t0:.0f}s: {unitigs.n_kmers} kmers")
+    else:
+        t0 = time.time()
+        unitigs, refs, u2pos = bench.build_synthetic(NB)
+        log(f"synth {NB/1e9:.2f}Gbp in {time.time()-t0:.0f}s: {unitigs.n_kmers} kmers")
+        t0 = time.time()
+        skew = int(os.environ.get("MAZU_GBP_SKEW", 64))
+        k2u = SSHash.from_unitig_set(unitigs, w=15, skew_param=skew, engine="fast32")
+        log(
+            f"fast32 build {time.time()-t0:.0f}s: bits/kmer="
+            f"{k2u.num_bits()/k2u.n_kmers:.2f} skew_kmers={k2u.n_kmers_in_skew_index}"
+        )
+        index = ModIndex(k2u, u2pos, refs)
+    plims = [int(p) for p in os.environ.get("MAZU_GBP_PLIM", "2").split(",")]
+    for prefix_kind in os.environ.get("MAZU_GBP_PREFIX", "grouped16").split(","):
+        run_prefix(prefix_kind, index, k2u, u2pos, refs, unitigs, NB, PIECE, k, plims)
+
+
+def run_prefix(prefix_kind, index, k2u, u2pos, refs, unitigs, NB, PIECE, k, plims=(2,)):
+    import jax
+    import jax.numpy as jnp
+
+    from mazu_tpu.index.modindex import get_ref_pos_compact
+    from mazu_tpu.index.pipeline import OneGraphIndexQuery
+    from mazu_tpu.kmer import revcomp
+    from mazu_tpu.pytree import tree_bytes
+
+    log(f"==== prefix_kind={prefix_kind} ====")
+    t0 = time.time()
+    host_arrays = {
+        "k2u": k2u.device_arrays(prefix_kind=prefix_kind, pos_kind="packed"),
+        "u2pos": u2pos.device_arrays(),
+        "refs": refs.device_arrays(),
+        "meta": index.device_arrays()["meta"],
+    }
+    host_arrays["refs"].pop("seq", None)  # workload sampling stays host-side
+    log(
+        f"host arrays ({prefix_kind}) {time.time()-t0:.0f}s, device footprint "
+        f"{tree_bytes(host_arrays)/1e9:.2f} GB"
+    )
+    t0 = time.time()
+    arrays = jax.device_put(host_arrays)
+    jax.block_until_ready(arrays)
+    log(f"device placement {time.time()-t0:.0f}s")
+
+    # uniform 1M-query sample with ground truth
+    B = int(os.environ.get("MAZU_GBP_BATCH", 1 << 20))
+    rng = np.random.default_rng(0)
+    upos = rng.integers(0, PIECE - k + 1, B)
+    uid = rng.integers(0, unitigs.n_unitigs, B)
+    gpos = uid * PIECE + upos
+    kms = unitigs.useq.get_kmer_u64(gpos, k)
+    flip = rng.random(B) < 0.5
+    kms[flip] = revcomp(kms[flip], k)
+
+    if os.environ.get("MAZU_GBP_ATTR"):
+        run_attr(prefix_kind, index, arrays, kms, B, plims[0])
+        return
+
+    defers = [
+        bool(int(v)) for v in os.environ.get("MAZU_GBP_DEFER", "0").split(",")
+    ]
+    mlims = [
+        (int(v) if v else None)
+        for v in os.environ.get("MAZU_GBP_MLIM", "").split(",")
+    ]
+    for plim in plims:
+        for dv in defers:
+            for mlim in mlims:
+                run_plim(
+                    plim, prefix_kind, index, arrays, host_arrays, kms,
+                    uid, upos, B, NB, dv, mlim,
+                )
+
+
+def run_attr(prefix_kind, index, arrays, kms, B, plim):
+    """Per-stage cost attribution of the compact-tier query (CH-scanned
+    like the bench pass; deltas between stages = that stage's cost):
+      A  minimizer + canon                      (compute only)
+      B  A + full MPHF lookup                   (chain + final-hash search)
+      B2 A + truncated MPHF (level_limit=4)     (the mphf_level_limit path)
+      C  main k2u probe (plim, defer, mlim)     (bounds + probe loop + map)
+      D  C + offsets projection                 (+2 gathers)
+      F  full compact pass                      (+compaction + phases 2/2B)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from mazu_tpu.index.modindex import get_ref_pos_compact
+    from mazu_tpu.index.pipeline import OneGraphIndexQuery
+    from mazu_tpu.index.twophase import _project_offsets
+    from mazu_tpu.kmer import canonical_minimizer_batch
+    from mazu_tpu.kphf.sshash import mphf_lookup, sshash_k2u
+
+    meta = arrays["k2u"]["meta"]
+    ordering = getattr(meta, "ordering", None)
+    CH = int(os.environ.get("MAZU_GBP_CH", 8))
+    # same default as run_prefix/run_plim so MAZU_GBP_ATTR=1 attributes the
+    # SAME configuration the bench measured
+    dv = bool(int(os.environ.get("MAZU_GBP_DEFER", "0").split(",")[0]))
+    ml = os.environ.get("MAZU_GBP_MLIM", "4").split(",")[0]
+    mlim = int(ml) if ml else None
+    mo = max(1, index.max_occs())
+    d_kms = jax.device_put(jnp.asarray(kms))
+    log(f"==== ATTR prefix={prefix_kind} plim={plim} defer={dv} mlim={mlim} CH={CH} ====")
+
+    def scan_over(chunk_fn):
+        def run(arrays, work):
+            def step(carry, i):
+                chunk = jnp.roll(work, i * jnp.int64(40009))
+                return carry + chunk_fn(arrays, chunk), 0
+            tot, _ = jax.lax.scan(
+                step, jnp.int64(0), jnp.arange(CH, dtype=jnp.int64)
+            )
+            return tot
+        return run
+
+    def timeit(tag, fn, iters=5):
+        f = jax.jit(scan_over(fn))
+        jax.device_get(f(arrays, d_kms))  # compile + warm
+        t0 = time.time()
+        for _ in range(iters):
+            o = f(arrays, d_kms)
+        jax.device_get(o)
+        dt = (time.time() - t0) / iters / CH
+        log(f"[{tag:34s}] {dt*1e3:8.2f} ms/{B>>20}M chunk")
+
+    def stage_a(arrays, fw):
+        mm, offset, _, _ = canonical_minimizer_batch(
+            jnp, fw, meta.k, meta.w, meta.seed, hash32=meta.hash32,
+            ordering=ordering,
+        )
+        return mm.astype(jnp.int64).sum() + offset.astype(jnp.int64).sum()
+
+    def stage_b(arrays, fw):
+        mm, offset, _, _ = canonical_minimizer_batch(
+            jnp, fw, meta.k, meta.w, meta.seed, hash32=meta.hash32,
+            ordering=ordering,
+        )
+        h = mphf_lookup(arrays["k2u"]["mphf"], mm, jnp)
+        return h.astype(jnp.int64).sum() + offset.astype(jnp.int64).sum()
+
+    def stage_b2(arrays, fw):
+        d = arrays["k2u"]
+        mm, offset, _, _ = canonical_minimizer_batch(
+            jnp, fw, meta.k, meta.w, meta.seed, hash32=meta.hash32,
+            ordering=ordering,
+        )
+        h, unres = mphf_lookup(d["mphf"], mm, jnp, level_limit=4)
+        return (
+            h.astype(jnp.int64).sum()
+            + unres.astype(jnp.int64).sum()
+            + offset.astype(jnp.int64).sum()
+        )
+
+    def stage_c(arrays, fw):
+        r = sshash_k2u(
+            arrays["k2u"], fw, jnp, mode="main", probe_limit=plim,
+            defer_valid=dv, mphf_level_limit=mlim,
+        )
+        return (
+            r["unitig_id"].sum()
+            + r["pos"].sum()
+            + r["mt"].astype(jnp.int64).sum()
+            + r["use_skew"].astype(jnp.int64).sum()
+            + r["unresolved"].astype(jnp.int64).sum()
+        )
+
+    def stage_d(arrays, fw):
+        r = sshash_k2u(
+            arrays["k2u"], fw, jnp, mode="main", probe_limit=plim,
+            defer_valid=dv, mphf_level_limit=mlim,
+        )
+        p = _project_offsets(arrays, r, jnp, small_occs=2)
+        return (
+            jnp.where(p["valid"], p["ref_pos"], 0).sum()
+            + jnp.where(p["valid"], p["ref_id"], 0).sum()
+            + p["overflow"].astype(jnp.int64).sum()
+        )
+
+    def stage_f(arrays, fw):
+        out = get_ref_pos_compact(
+            arrays, fw, jnp, mo, merge=False, probe_limit=plim,
+            m2=max(8192, B // 8), m2b=max(8192, B // 8),
+            defer_valid=dv, mphf_level_limit=mlim,
+        )
+        return OneGraphIndexQuery.checksum(out, jnp)
+
+    for tag, fn in (
+        ("A minimizer+canon", stage_a),
+        ("B +full MPHF lookup", stage_b),
+        ("B2 +truncated MPHF (ll=4)", stage_b2),
+        ("C main k2u (plim,defer,mlim)", stage_c),
+        ("D +offsets projection", stage_d),
+        ("F full compact pass", stage_f),
+    ):
+        try:
+            timeit(tag, fn)
+        except Exception as e:
+            log(f"[{tag}] FAILED: {type(e).__name__}: {e}")
+
+
+def run_plim(plim, prefix_kind, index, arrays, host_arrays, kms, uid, upos, B, NB, dv, mlim=None):
+    import jax
+    import jax.numpy as jnp
+
+    from mazu_tpu.index.modindex import get_ref_pos_compact
+    from mazu_tpu.index.pipeline import OneGraphIndexQuery
+
+    log(f"---- plim={plim} defer_valid={dv} mphf_level_limit={mlim} ----")
+    mo = max(1, index.max_occs())
+    # generous first-pass capacities; the validation run reports true
+    # counts and the bench driver is rebuilt tight
+    M2_0 = max(8192, B // 4)
+    M2B_0 = max(8192, B // 4)
+
+    @jax.jit
+    def probe(arrays, kms):
+        return get_ref_pos_compact(
+            arrays, kms, jnp, mo, merge=False, probe_limit=plim,
+            m2=M2_0, m2b=M2B_0, defer_valid=dv, mphf_level_limit=mlim,
+        )
+
+    d_kms = jax.device_put(jnp.asarray(kms))
+    t0 = time.time()
+    out = jax.device_get(probe(arrays, d_kms))
+    log(f"validation pass compile+first+download {time.time()-t0:.0f}s")
+    assert not bool(out["over_budget"]), "validation capacities exceeded"
+    n_a, n_b = int(out["n_ovf"]), int(out["n_ovf_b"])
+    log(f"overflow: type-A (occ-wide) {n_a}, type-B (deep/skew) {n_b} of {B}")
+
+    # ---- exact ground-truth merge on host
+    m_ = out["main"]
+    muid = np.asarray(m_["unitig_id"]).copy()
+    mpos = np.asarray(m_["pos"]).copy()
+    mmt = np.asarray(m_["mt"]).copy()
+    mrp = np.where(np.asarray(m_["valid"]), np.asarray(m_["ref_pos"]), -1)[:, 0].copy()
+    for pk, lk, sk in (("phase2", "lanes", "slot_real"), ("phase2b", "lanes_b", "slot_real_b")):
+        p2 = out[pk]
+        real = np.asarray(out[sk])
+        lanes = np.asarray(out[lk])[real]
+        muid[lanes] = np.asarray(p2["unitig_id"])[real]
+        mpos[lanes] = np.asarray(p2["pos"])[real]
+        mmt[lanes] = np.asarray(p2["mt"])[real]
+        mrp[lanes] = np.where(
+            np.asarray(p2["valid"]), np.asarray(p2["ref_pos"]), -1
+        )[real][:, 0]
+    assert (mmt > 0).all(), f"misses: {(mmt == 0).sum()}"
+    np.testing.assert_array_equal(muid, uid)
+    np.testing.assert_array_equal(mpos, upos)
+    np.testing.assert_array_equal(mrp, upos)  # ref == unitig in this synth
+    # foreign probes must miss
+    fo = jax.device_get(
+        probe(arrays, jnp.full(B, np.uint64(0x3FF3FF3FF3FF3FF), jnp.uint64))
+    )
+    fmt = np.asarray(fo["main"]["mt"]).copy()
+    for pk, lk, sk in (("phase2", "lanes", "slot_real"), ("phase2b", "lanes_b", "slot_real_b")):
+        real = np.asarray(fo[sk])
+        fmt[np.asarray(fo[lk])[real]] = np.asarray(fo[pk]["mt"])[real]
+    assert (fmt == 0).all()
+    log(f"EXACT: all {B} sampled queries (fw+rc) + foreign misses clean")
+
+    # ---- throughput: OneGraph CH-chunk scan with tight capacities
+    CH = int(os.environ.get("MAZU_GBP_CH", 8))
+    fit = lambda c: max(1024, -(-(int(c) + 256) // 1024) * 1024)  # noqa: E731
+    M2, M2B = fit(n_a * 1.3), fit(n_b * 1.15)
+    log(f"building OneGraph driver CH={CH} M2={M2} M2B={M2B} plim={plim}")
+    og = OneGraphIndexQuery(
+        index, B, n_chunks=CH, m2=M2, m2b=M2B, probe_limit=plim,
+        host_arrays=host_arrays, defer_valid=dv, mphf_level_limit=mlim,
+    )
+    t0 = time.time()
+    chk0, worst = og.checksum_pass_rolled(d_kms)
+    log(f"compile+first pass {time.time()-t0:.0f}s worst_ovf={worst}")
+    wa, wb = worst
+    assert wa <= M2 and wb <= M2B, f"capacity exceeded: {worst}"
+    iters = int(os.environ.get("MAZU_GBP_ITERS", 5))
+    t0 = time.time()
+    for _ in range(iters):
+        chk, _ = og.checksum_pass_rolled(d_kms)
+        assert chk == chk0
+    dt = time.time() - t0
+    qps = B * CH * iters / dt
+    log(
+        f"{iters} x {CH}x{B} full queries in {dt:.2f}s -> {qps/1e6:.2f}M q/s "
+        f"(chk={chk0})"
+    )
+    print(
+        f'{{"metric": "compact_tier_qps_{NB}_{prefix_kind}_plim{plim}'
+        f'{"_defer" if dv else ""}{f"_mlim{mlim}" if mlim else ""}", "value": {qps:.0f}, '
+        f'"unit": "queries/s", "vs_baseline": {qps/1e9:.6f}}}'
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -77,6 +77,7 @@ class OneGraphIndexQuery:
         mo, M2, M2B, plim = self.max_occs, self.M2, self.M2B, probe_limit
         dv = bool(defer_valid)
         mlim = mphf_level_limit
+        self.defer_valid = dv
         self.mphf_level_limit = mlim
 
         @jax.jit
@@ -192,6 +193,7 @@ class OneGraphIndexQuery:
                 probe_limit=self.probe_limit,
                 m2=self.M2,
                 m2b=self.M2B,
+                defer_valid=self.defer_valid,
                 mphf_level_limit=self.mphf_level_limit,
             )
             assert not bool(out["over_budget"]), "phase-2 capacity exceeded"

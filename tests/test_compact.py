@@ -713,6 +713,12 @@ class TestFlaggedLanesHier:
 
         rng = np.random.default_rng(11)
         shapes = (1, 3, 255, 256, 257, 4095, 4096, 16384, 16385, 100000)
+        # every (n, frac) pair is a fresh jit compile on the device path —
+        # the full 40-combo grid there cost 250s+ of suite time, so device
+        # checks run only on the block-boundary shapes (host numpy covers
+        # the full grid; the algorithms are backend-agnostic array code)
+        device_shapes = {1, 255, 256, 257, 4096, 16385}
+        device_fracs = {0.01, 1.0}
         for n in shapes:
             for frac in (0.0, 0.01, 0.31, 1.0):
                 flags = rng.random(n) < frac
@@ -724,9 +730,10 @@ class TestFlaggedLanesHier:
                 assert (np.asarray(lanes) >= 0).all() and (
                     np.asarray(lanes) < n
                 ).all()
-                dl, dn = flagged_lanes(jnp.asarray(flags), m, jnp)
-                assert int(dn) == int(n_set)
-                np.testing.assert_array_equal(np.asarray(dl), lanes)
+                if n in device_shapes and frac in device_fracs:
+                    dl, dn = flagged_lanes(jnp.asarray(flags), m, jnp)
+                    assert int(dn) == int(n_set)
+                    np.testing.assert_array_equal(np.asarray(dl), lanes)
                 # searchsorted algorithm agrees on the REAL slots
                 sl, sn = flagged_lanes_ss(flags, m, np)
                 assert int(sn) == int(n_set)

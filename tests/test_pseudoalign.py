@@ -121,6 +121,7 @@ def test_pseudoalign_union_policy(txome):
         assert x[0].tolist() == y[0].tolist() and x[1:] == y[1:]
 
 
+@pytest.mark.slow
 def test_pseudoalign_threshold_policy(txome):
     idx, refs = txome
     rng = np.random.default_rng(33)
@@ -175,6 +176,52 @@ def test_pseudoalign_threshold_policy(txome):
         assert x[0].tolist() == y[0].tolist() and x[1:] == y[1:]
 
 
+def test_pseudoalign_threshold_mid_tau_fast(txome):
+    """Fast-lane threshold coverage (the exhaustive tau grids are marked
+    slow — each PseudoAligner bakes tau into a fresh jit compile): ONE
+    device threshold aligner at tau=0.5 checked against the scalar
+    counting oracle, the numpy path, and host-side counting."""
+    import math
+    from collections import Counter
+
+    idx, refs = txome
+    rng = np.random.default_rng(33)
+    reads = []
+    for _ in range(6):
+        a, b = rng.integers(0, len(refs), 2)
+        sa, sb = refs[int(a)][1], refs[int(b)][1]
+        if len(sa) < 100 or len(sb) < 50:
+            continue
+        reads.append(sa[:90] + sb[:50])
+    reads.append(refs[0][1][:80])
+    reads.append("GATTACA" * 12)  # zero hits
+    base = PseudoAligner(idx, policy="intersect")
+    tm = PseudoAligner(idx, cc=base.cc, policy="threshold", tau=0.5)
+    gm = tm.map_reads(reads)
+    kmat, valid, _ = kmerize_reads(reads, idx.k)
+    for i in range(len(reads)):
+        hits = idx.get_ref_pos_eager(kmat[i][valid[i]])
+        sets = [set(r for r, _p, _o in h) for h in hits if h is not None]
+        if not sets:
+            assert gm[i][0].size == 0
+            continue
+        need = max(1, math.ceil(0.5 * len(sets)))
+        cnt = Counter()
+        for s in sets:
+            cnt.update(s)
+        want = sorted(r for r, n in cnt.items() if n >= need)
+        assert gm[i][0].tolist() == want, i
+    # numpy path + host-side counting parity (both cheap: no new jit)
+    tn = PseudoAligner(idx, cc=base.cc, policy="threshold", tau=0.5, use_jit=False)
+    th = PseudoAligner(
+        idx, cc=base.cc, policy="threshold", tau=0.5, threshold_on="host"
+    )
+    for x, y, z in zip(gm, tn.map_reads(reads), th.map_reads(reads)):
+        assert x[0].tolist() == y[0].tolist() and x[1:] == y[1:]
+        assert x[0].tolist() == z[0].tolist() and x[1:] == z[1:]
+
+
+@pytest.mark.slow
 def test_pseudoalign_threshold_device_host_tau_fuzz(txome):
     """Device bit-sliced counting must agree with the host counting loop
     for arbitrary taus (both derive need from the same tau_q32 integer)."""
