@@ -268,9 +268,29 @@ def get_ref_pos_compact(
     M = int(m2) if m2 else max(64, N // budget_div)
     probe_start = 0
     if d["k2u"]["meta"].kind == "kcdict":
+        import os
+
         from ..kphf.kcdict import kcdict_k2u
 
-        r = kcdict_k2u(d["k2u"], fw, xp, mode="main")
+        m_ = d["k2u"]["meta"]
+        use_pallas = os.environ.get("MAZU_PALLAS_QUERY", "0") != "0"
+        if (
+            use_pallas
+            and xp is not np
+            and getattr(m_, "scheme", "") == "mono2"
+            and getattr(m_, "occ32", False)
+        ):
+            # one-command switch to the DMA-ring probe kernel (requires a
+            # Mosaic-capable backend; MAZU_PALLAS_QUERY=interpret for the
+            # TPU interpreter) — see mazu_tpu/ops/pallas_query.py
+            from ..ops.pallas_query import pallas_mono2_k2u
+
+            r = pallas_mono2_k2u(
+                d["k2u"], fw,
+                interpret=os.environ["MAZU_PALLAS_QUERY"] == "interpret",
+            )
+        else:
+            r = kcdict_k2u(d["k2u"], fw, xp, mode="main")
     else:
         r = sshash_k2u(
             d["k2u"], fw, xp, mode="main", probe_limit=probe_limit,
@@ -381,24 +401,60 @@ def get_ref_pos_csr(d: dict, fw_words, xp, budget: int):
     }
 
 
-def index_metadata(refs, decoys: int = 0) -> dict:
+def index_metadata(
+    refs,
+    decoys: int = 0,
+    have_edge_vec: bool = False,
+    keep_duplicates: bool = False,
+) -> dict:
     """Provenance record (parity: IndexMetadata, reference
-    src/index.rs:266-278): SHA-256 over reference names and over the decoded
-    sequences (when present), plus decoy counts."""
+    src/index.rs:266-278): SHA-256 and SHA-512 over reference names and over
+    the decoded sequences (when present), the same two hashes over the
+    trailing ``decoys`` references, decoy counts/offset, and the
+    have_edge_vec / keep_duplicates build flags. Hash *values* are this
+    implementation's own (byte layout of the 2-bit words), not pufferfish's
+    — pf1 loads keep the foreign info.json hashes verbatim instead."""
     import hashlib
 
-    h_names = hashlib.sha256()
-    for n in refs.names:
-        h_names.update(n.encode())
-        h_names.update(b"\0")
-    h_seqs = hashlib.sha256()
-    if refs.has_seq:
-        h_seqs.update(np.ascontiguousarray(refs.seq.words).tobytes())
-    return {
-        "sha256_names": h_names.hexdigest(),
-        "sha256_seqs": h_seqs.hexdigest() if refs.has_seq else None,
+    def hash_names(names, algo):
+        h = hashlib.new(algo)
+        for n in names:
+            h.update(n.encode())
+            h.update(b"\0")
+        return h.hexdigest()
+
+    def hash_seq_bytes(data, algo):
+        h = hashlib.new(algo)
+        h.update(data)
+        return h.hexdigest()
+
+    n_refs = len(refs.names)
+    first_decoy = n_refs - int(decoys)
+    seq_bytes = (
+        np.ascontiguousarray(refs.seq.words).tobytes() if refs.has_seq else None
+    )
+    md = {
+        "have_edge_vec": bool(have_edge_vec),
+        "sha256_names": hash_names(refs.names, "sha256"),
+        "sha256_seqs": hash_seq_bytes(seq_bytes, "sha256") if seq_bytes else None,
+        "name_hash_512": hash_names(refs.names, "sha512"),
+        "seq_hash_512": hash_seq_bytes(seq_bytes, "sha512") if seq_bytes else None,
+        "decoy_name_hash": hash_names(refs.names[first_decoy:], "sha256")
+        if decoys
+        else "",
+        "decoy_seq_hash": "",
         "num_decoys": int(decoys),
+        "first_decoy_index": int(first_decoy),
+        "keep_duplicates": bool(keep_duplicates),
     }
+    if decoys and refs.has_seq:
+        # decoy sequences are the trailing refs: hash their decoded window
+        lo = int(refs.prefix_sum[first_decoy])
+        hi = int(refs.prefix_sum[n_refs])
+        md["decoy_seq_hash"] = hashlib.sha256(
+            refs.seq.to_str(lo, hi).encode()
+        ).hexdigest()
+    return md
 
 
 class ModIndex:

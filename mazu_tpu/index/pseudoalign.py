@@ -56,11 +56,21 @@ def pseudoalign_batch(index_arrays: dict, cb: dict, kmat, valid, xp, policy: str
     "intersect" (themisto default: refs covering EVERY hitting k-mer) or
     "union" (refs covering ANY hitting k-mer).
     """
+    R, L = kmat.shape
+    r = k2u_batch(index_arrays, kmat.reshape(R * L), xp)
+    return pseudoalign_from_k2u(cb, r, valid, xp, policy=policy)
+
+
+def pseudoalign_from_k2u(cb: dict, r: dict, valid, xp, policy: str = "intersect"):
+    """Bitset-reduction half of :func:`pseudoalign_batch` over an ALREADY
+    computed k2u result ``r`` (flat, R*L lanes; e.g. the merged output of
+    a sharded query — color/bitset arrays are replicated, so sharded
+    deployments resolve pseudoalignment per-lane after the psum merge,
+    the same split as :func:`colors_from_k2u`)."""
     import jax
 
     assert policy in ("intersect", "union"), policy
-    R, L = kmat.shape
-    r = k2u_batch(index_arrays, kmat.reshape(R * L), xp)
+    R, L = valid.shape
     hit = (r["mt"].reshape(R, L) > 0) & valid
     uid = xp.where(hit, r["unitig_id"].reshape(R, L), 0)
     cid = cb["u2c"][uid].astype(xp.int64)

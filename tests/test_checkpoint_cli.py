@@ -138,6 +138,23 @@ def test_provenance_metadata_roundtrip(tmp_path):
     assert back.index_type == idx.index_type
     assert back.metadata["sha256_names"] == idx.metadata["sha256_names"]
     assert back.metadata["num_decoys"] == 0
+    # full reference field parity (src/index.rs:266-278) roundtrips
+    for f in (
+        "have_edge_vec", "name_hash_512", "seq_hash_512", "decoy_name_hash",
+        "decoy_seq_hash", "first_decoy_index", "keep_duplicates",
+    ):
+        assert back.metadata[f] == idx.metadata[f], f
+    assert len(idx.metadata["name_hash_512"]) == 128
+    assert idx.metadata["first_decoy_index"] == idx.refs.n_refs
+    assert idx.metadata["keep_duplicates"] is False
+    # decoy hashes: trailing refs counted as decoys hash deterministically
+    md = index_metadata(idx.refs, decoys=1, keep_duplicates=True)
+    assert md["num_decoys"] == 1
+    assert md["first_decoy_index"] == idx.refs.n_refs - 1
+    assert len(md["decoy_name_hash"]) == 64
+    if idx.refs.has_seq:
+        assert len(md["decoy_seq_hash"]) == 64
+    assert md["keep_duplicates"] is True
 
 
 def test_reverse_match_type():
