@@ -201,6 +201,40 @@ def _compact_split(d, fw, r, p, overflow, m_a, m_b, max_occs, merge, xp, probe_s
     return full
 
 
+def merge_compact_k2u(out: dict, xp, n: int | None = None) -> dict:
+    """Per-lane K2U fields (unitig_id, pos, mt) from a ``merge=False``
+    compact-query output: main-phase values with the compacted phase-2
+    (and type-split phase-2b) lanes scattered back over their slots.
+
+    Unlike the merge=True path this scatters only SCALAR columns for the
+    M overflow lanes (~tens of ns total), so serving graphs can chain
+    lane-wise consumers (colors, pseudoalign) after the exact two-phase
+    query without leaving the device. Fake compaction slots are routed to
+    a dummy lane so they can never clobber a real one."""
+    m_ = out["main"]
+    cols = {kk: m_[kk] for kk in ("unitig_id", "pos", "mt")}
+    n = cols["mt"].shape[0] if n is None else n
+    blocks = [("phase2", "lanes", "slot_real")]
+    if "phase2b" in out:
+        blocks.append(("phase2b", "lanes_b", "slot_real_b"))
+    for pk, lk, sk in blocks:
+        p2, lanes, real = out[pk], out[lk], out[sk]
+        if xp is np:
+            idx = np.asarray(lanes)[np.asarray(real)]
+            for kk in cols:
+                cols[kk] = cols[kk].copy()
+                cols[kk][idx] = np.asarray(p2[kk])[np.asarray(real)]
+        else:
+            safe = xp.where(real, lanes, n)  # fakes -> dummy row n
+            for kk in cols:
+                ext = xp.concatenate([cols[kk], cols[kk][:1]])
+                ext = ext.at[safe].set(
+                    xp.where(real, p2[kk], xp.zeros_like(p2[kk]))
+                )
+                cols[kk] = ext[:n]
+    return cols
+
+
 def get_ref_pos_compact(
     d: dict,
     fw_words,

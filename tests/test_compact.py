@@ -71,6 +71,30 @@ def test_compact_over_budget_flag():
         np.testing.assert_array_equal(want["mt"], got["mt"])
 
 
+def test_merge_compact_k2u_matches_padded():
+    """Device scalar-column merge of the split phases == the padded k2u
+    fields, and the jnp scatter path == the np indexing path."""
+    import jax
+    import jax.numpy as jnp
+
+    from mazu_tpu.index.modindex import merge_compact_k2u
+
+    index = piscem_index_from_cf_prefix(CHR7, 15, engine="direct")
+    arrays = index.device_arrays(fused=True)
+    mo = max(1, index.max_occs())
+    work = _workload(index, 2048)
+    want = get_ref_pos_padded(arrays, work, np, mo)
+    out_np = get_ref_pos_compact(arrays, work, np, mo, merge=False, m2=512)
+    assert not bool(out_np["over_budget"])
+    got_np = merge_compact_k2u(out_np, np)
+    d = jax.device_put(arrays)
+    out_j = get_ref_pos_compact(d, jnp.asarray(work), jnp, mo, merge=False, m2=512)
+    got_j = merge_compact_k2u(out_j, jnp)
+    for kk in ("unitig_id", "pos", "mt"):
+        np.testing.assert_array_equal(got_np[kk], want[kk], err_msg=kk)
+        np.testing.assert_array_equal(np.asarray(got_j[kk]), want[kk], err_msg=kk)
+
+
 def test_compact_merge_false_checksum():
     """Split (zero-scatter) form must reproduce the padded checksum."""
     index = piscem_index_from_cf_prefix(CHR7, 15, engine="direct")
