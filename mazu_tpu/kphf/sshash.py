@@ -646,8 +646,13 @@ class SSHash:
                 prefix_kind = "flat32" if self.hash32 else "ef"
         d = {
             "us": self.unitigs.device_arrays(
+                # "packed" (the compact/capacity tier) pairs too: the
+                # probe's fused 3-word window read then costs one random
+                # + one adjacent 2-wide gather (+~50% useq bytes, ~15% of
+                # the tier's footprint — measured worth it)
                 paired=pos_kind
-                in ("flat32", "records", "inline", "inline2", "fixedcap", "fixedcap2")
+                in ("flat32", "records", "inline", "inline2", "fixedcap",
+                    "fixedcap2", "packed")
             ),
             "meta": meta(
                 kind="sshash",
@@ -1200,15 +1205,47 @@ def sshash_k2u(
         the same predicate the reference uses at src/kphf/pfhash.rs:253).
         The winning useq position is stored in the ``pos`` slot and mapped
         to (unitig_id, len, upos) by ONE _map_hit after the loop — the
-        rank+extent gathers are paid per LANE, not per candidate."""
+        rank+extent gathers are paid per LANE, not per candidate.
+
+        Both candidate k-mers lie inside [mm_pos-(k-w), mm_pos+k), a
+        span of 2k-w bases <= 157 bits from an arbitrary word offset, so
+        ONE 3-word useq window serves both extractions (the same quad
+        trick as the records layout): with paired words that is one
+        random 2-wide gather + one ADJACENT 2-wide gather instead of two
+        random window reads — the probe iteration drops from 2 random
+        useq gathers to 1."""
         found, out_uid, out_ulen, out_pos, out_mt, out_ow, out_oc, out_ow2 = state
         active = (~found) & (j < n_occs) & (~use_skew)
         mm_pos = _pos_get(d, xp.clip(ps + j, 0, n_pos - 1), xp)
+        base = xp.clip(mm_pos - (k - w), 0, None)
+        bit = base * 2
+        wi = bit >> 6
+        woff = (bit & 63).astype(xp.uint64)
+        useq = d["us"]["useq"]
+        if "words2" in useq:
+            nw2 = useq["words2"].shape[0]
+            p0 = useq["words2"][xp.clip(wi, 0, nw2 - 1)]
+            p1 = useq["words2"][xp.clip(wi + 1, 0, nw2 - 1)]
+            q0, q1, q2 = p0[..., 0], p0[..., 1], p1[..., 1]
+        else:
+            words = useq["words"]
+            nw = words.shape[0]
+            q0 = words[xp.clip(wi, 0, nw - 1)]
+            q1 = words[xp.clip(wi + 1, 0, nw - 1)]
+            q2 = words[xp.clip(wi + 2, 0, nw - 1)]
+        m2k = U64((1 << (2 * k)) - 1)
         for cand_off in (offset, rc_offset):
             km_pos = mm_pos - cand_off
             in_range = (mm_pos >= cand_off) & (km_pos <= last_km_start)
             km_pos_c = xp.clip(km_pos, 0, max(last_km_start, 0))
-            kw = us_get_kmer(d["us"], km_pos_c, xp)
+            dbit = woff + (2 * xp.clip(km_pos_c - base, 0, None)).astype(xp.uint64)
+            s1 = dbit >= 64
+            r = (dbit & U64(63)).astype(xp.uint64)
+            lo_w = xp.where(s1, q1, q0)
+            hi_w = xp.where(s1, q2, q1)
+            hi_shift = (U64(64) - r) & U64(63)
+            hi = xp.where(r == 0, xp.zeros_like(hi_w), hi_w << hi_shift)
+            kw = ((lo_w >> r) | hi) & m2k
             mt = word_equivalency(fw, rc, kw, k)
             hit = active & in_range & (mt > 0)
             if not defer_valid:
