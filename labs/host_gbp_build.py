@@ -34,9 +34,14 @@ def main():
     unitigs, refs, u2pos = bench.build_synthetic(nb)
     print(f"synth {nb/1e9:.2f}Gbp in {time.time()-t0:.0f}s", flush=True)
     t0 = time.time()
-    k2u = SSHash.from_unitig_set(unitigs, w=15, skew_param=skew, engine="fast32")
+    engine = os.environ.get("MAZU_GBP_ENGINE", "fast32")
+    load = float(os.environ.get("MAZU_GBP_LOAD", 0.5))
+    kw = {"bucket_load": load} if engine == "direct" else {}
+    k2u = SSHash.from_unitig_set(
+        unitigs, w=15, skew_param=skew, engine=engine, **kw
+    )
     print(
-        f"fast32 build {time.time()-t0:.0f}s: bits/kmer="
+        f"{engine} build {time.time()-t0:.0f}s: bits/kmer="
         f"{k2u.num_bits()/k2u.n_kmers:.2f}",
         flush=True,
     )
