@@ -99,6 +99,10 @@ def run_prefix(prefix_kind, index, k2u, u2pos, refs, unitigs, NB, PIECE, k, plim
         "meta": index.device_arrays()["meta"],
     }
     host_arrays["refs"].pop("seq", None)  # workload sampling stays host-side
+    if os.environ.get("MAZU_GBP_DROP_FLAT") and "words2" in host_arrays["k2u"]["us"]["useq"]:
+        # paired words2 serves every query-path read; the flat words copy
+        # is only the fallback branch — dropping it saves ~0.75 GB at 3Gbp
+        host_arrays["k2u"]["us"]["useq"].pop("words")
     log(
         f"host arrays ({prefix_kind}) {time.time()-t0:.0f}s, device footprint "
         f"{tree_bytes(host_arrays)/1e9:.2f} GB"
