@@ -964,6 +964,41 @@ def _pos_get(d: dict, i, xp):
     return iv_get(d["pos"], i, xp).astype(xp.int64)
 
 
+def _pos_window(d: dict, ps, n: int, xp):
+    """``[pos[ps+j] for j in range(n)]`` via ONE multi-word window read.
+
+    The n packed entries of a shallow probe are CONSECUTIVE in the
+    IntVector, so one random gather + (nwords-1) ADJACENT gathers replace
+    n independent 2-gather window reads — at plim=3 that is 1 random
+    instead of 3. Entries past the vector's end return garbage exactly
+    like ``_pos_get`` with a clipped index does; callers mask with
+    ``j < n_occs``."""
+    iv = d["pos"]
+    width = int(iv["meta"].width)
+    words = iv["words"]
+    nw_words = words.shape[0]
+    bit0 = xp.asarray(ps) * width
+    wi = bit0 >> 6
+    woff = (bit0 & 63).astype(xp.uint64)
+    nw = (63 + n * width - 1) // 64 + 1
+    qs = [words[xp.clip(wi + t, 0, nw_words - 1)] for t in range(nw)]
+    mask = U64((1 << width) - 1) if width < 64 else ~U64(0)
+    out = []
+    for j in range(n):
+        dbit = woff + U64(j * width)
+        sel = dbit >> U64(6)
+        r = (dbit & U64(63)).astype(xp.uint64)
+        lo, hi = qs[0], (qs[1] if nw > 1 else qs[0])
+        for t in range(1, nw):
+            tt = U64(t)
+            lo = xp.where(sel == tt, qs[t], lo)
+            hi = xp.where(sel == tt, qs[min(t + 1, nw - 1)], hi)
+        hi_shift = (U64(64) - r) & U64(63)
+        hi_bits = xp.where(r == 0, xp.zeros_like(hi), hi << hi_shift)
+        out.append((((lo >> r) | hi_bits) & mask).astype(xp.int64))
+    return out
+
+
 def _map_hit(d: dict, km_pos, xp):
     """useq position -> (unitig_id, unitig_len, upos, end_ok)."""
     from ..containers.unitig_set import us_extent, us_rank
@@ -1216,7 +1251,10 @@ def sshash_k2u(
         useq gathers to 1."""
         found, out_uid, out_ulen, out_pos, out_mt, out_ow, out_oc, out_ow2 = state
         active = (~found) & (j < n_occs) & (~use_skew)
-        mm_pos = _pos_get(d, xp.clip(ps + j, 0, n_pos - 1), xp)
+        if pos_win is not None and isinstance(j, int):
+            mm_pos = pos_win[j]
+        else:
+            mm_pos = _pos_get(d, xp.clip(ps + j, 0, n_pos - 1), xp)
         base = xp.clip(mm_pos - (k - w), 0, None)
         bit = base * 2
         wi = bit >> 6
@@ -1367,6 +1405,17 @@ def sshash_k2u(
         # occurrences are reported via ``unresolved`` for the caller's
         # compacted overflow pass (see get_ref_pos_compact)
         bound = min(bound, probe_limit)
+    pos_win = None
+    if (
+        probe_body is probe_body_generic
+        and m.pos_kind == "packed"
+        and probe_start == 0
+        and bound - probe_start <= 8
+        and bound > 1
+    ):
+        # shallow unrolled probe over CONSECUTIVE packed entries: fetch
+        # them all in one window read (1 random gather for the whole loop)
+        pos_win = _pos_window(d, ps, bound, xp)
     if xp is np or bound <= 8:
         # small static bound: unroll (avoids while_loop lowering entirely)
         for j in range(probe_start, bound):
