@@ -69,8 +69,13 @@ TIERS = (
          "STATUS r2 scale table"),
     Tier("mid uncached (sshash direct, 50-300Mbp)", 0.0, 1.8, 1.0, 1.05, 16.5,
          "STATUS r2 scale curve (15.5-17.6M)"),
-    Tier("capacity (fast32+grouped16, 300Mbp, plim=2)", 0.0, 30.0, 6.0, 1.10, 1.03,
+    Tier("capacity r2 (fast32+grouped16, 300Mbp, plim=2)", 0.0, 30.0, 6.0, 1.10, 1.03,
          "STATUS r3 compact-tier table"),
+    # round-3 rebuild: direct engine (1 bounds gather, no MPHF), fused
+    # candidate window + pos-window (1 pos + 3 candidate + 1 defer-valid
+    # + 2 map + 2 projection random gathers), small phase 2b
+    Tier("capacity r3 (direct+flat32 packed, 300Mbp, plim=3)", 0.0, 9.0, 4.0, 1.10,
+         3.07, "STATUS r3 direct-engine table"),
 )
 
 
