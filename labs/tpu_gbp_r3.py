@@ -92,11 +92,16 @@ def run_prefix(prefix_kind, index, k2u, u2pos, refs, unitigs, NB, PIECE, k, plim
 
     log(f"==== prefix_kind={prefix_kind} ====")
     t0 = time.time()
+    from mazu_tpu.pytree import meta as make_meta
+
     host_arrays = {
         "k2u": k2u.device_arrays(prefix_kind=prefix_kind, pos_kind="packed"),
         "u2pos": u2pos.device_arrays(),
         "refs": refs.device_arrays(),
-        "meta": index.device_arrays()["meta"],
+        # just the static top-level meta — index.device_arrays() would
+        # build the DEFAULT inline layout, which asserts total_len < 2^31
+        # (3Gbp is past it; the packed capacity layout has no such limit)
+        "meta": make_meta(k=index.k, index_type=index.index_type),
     }
     host_arrays["refs"].pop("seq", None)  # workload sampling stays host-side
     if os.environ.get("MAZU_GBP_DROP_FLAT") and "words2" in host_arrays["k2u"]["us"]["useq"]:
