@@ -283,10 +283,10 @@ def run_plim(plim, prefix_kind, index, arrays, host_arrays, kms, uid, upos, B, N
 
     log(f"---- plim={plim} defer_valid={dv} mphf_level_limit={mlim} ----")
     mo = max(1, index.max_occs())
-    # generous first-pass capacities; the validation run reports true
-    # counts and the bench driver is rebuilt tight
-    M2_0 = max(8192, B // 4)
-    M2B_0 = max(8192, B // 4)
+    # full-capacity first pass (capacity only costs memory here; at 3Gbp
+    # w=15 the type-B fraction at shallow plims exceeded the old B//4 cap)
+    M2_0 = B
+    M2B_0 = B
 
     @jax.jit
     def probe(arrays, kms):

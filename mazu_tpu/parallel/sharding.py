@@ -896,3 +896,188 @@ def build_mono_sharded_query(
         return query_impl(shared, stacked, kms)
 
     return query
+
+
+def shard_compact_arrays(index, n_shards: int):
+    """Host-side partition of the CAPACITY layout (direct engine, packed
+    IntVector positions, flat2 bucket bounds — the multi-Gbp-per-chip
+    tier) into bucket shards.
+
+    Replicated: the unitig set (paired words — it is the verification
+    path), the skew structures, and the u2pos offsets prefix. Sharded
+    over contiguous ranges: the flat2 bucket-bounds pairs (rebased to the
+    shard's first position entry), the packed positions (re-packed per
+    shard so bit offsets start at 0), and the u2pos ctable2 pair rows.
+    Returns (shared, stacked) like shard_fused_arrays.
+    """
+    from ..bits.intvector import IntVector
+    from ..pytree import meta as make_meta
+
+    ss = index.k2u
+    k2u = ss.device_arrays(prefix_kind="flat32", pos_kind="packed")
+    assert k2u["meta"].direct_t and "flat2" in k2u.get("prefix", {}), (
+        "compact sharding requires engine='direct' (flat2 bucket bounds)"
+    )
+    T = k2u["meta"].direct_t
+    prefix = ss.occs_prefix_sum.astype(np.int64)
+    bounds = np.linspace(0, T, n_shards + 1).astype(np.int64)
+    flat2 = k2u["prefix"]["flat2"]
+    row_lo, row_hi = prefix[bounds[:-1]], prefix[bounds[1:]]
+    max_T = int((bounds[1:] - bounds[:-1]).max())
+    max_rows = max(1, int((row_hi - row_lo).max()))
+    f2 = np.zeros((n_shards, max_T, 2), dtype=flat2.dtype)
+    pos_vals = ss.pos.to_array()
+    width = ss.pos.width
+    pw = None
+    for s in range(n_shards):
+        lo, hi = bounds[s], bounds[s + 1]
+        f2[s, : hi - lo] = flat2[lo:hi] - flat2.dtype.type(row_lo[s])
+        iv = IntVector.from_array(
+            pos_vals[row_lo[s] : row_hi[s]], width=width
+        )
+        if pw is None:
+            pw = np.zeros(
+                (n_shards, max(2, (max_rows * width + 63) // 64 + 1)),
+                dtype=np.uint64,
+            )
+        pw[s, : len(iv.words)] = iv.words
+
+    u2 = index.u2pos.device_arrays()
+    ct2 = u2["ctable2"]
+    n_ct = ct2.shape[0]
+    cbounds = np.linspace(0, n_ct, n_shards + 1).astype(np.int64)
+    max_ct = max(1, int((cbounds[1:] - cbounds[:-1]).max()))
+    ct = np.zeros((n_shards, max_ct, ct2.shape[1]), dtype=ct2.dtype)
+    for s in range(n_shards):
+        ct[s, : cbounds[s + 1] - cbounds[s]] = ct2[cbounds[s] : cbounds[s + 1]]
+
+    stacked = {
+        "flat2": f2,
+        "pos_words": pw,
+        "ctable2": ct,
+        "blo": bounds[:-1][:, None],
+        "bhi": bounds[1:][:, None],
+        "clo": cbounds[:-1][:, None],
+        "chi": cbounds[1:][:, None],
+    }
+    shared = {
+        "k2u": {kk: v for kk, v in k2u.items() if kk not in ("prefix", "pos")},
+        "u2pos": {"offsets": u2["offsets"], "meta": u2["meta"]},
+        "meta": make_meta(k=index.k, index_type=index.index_type),
+        "pos_meta": make_meta(width=width, length=max_rows),
+    }
+    return shared, stacked
+
+
+def make_compact_sharded_query(
+    index,
+    mesh,
+    m2: int,
+    probe_limit: int | None = 3,
+    defer_valid: bool = True,
+    max_occs: int | None = None,
+    data_axis: str = "data",
+    bucket_axis: str = "bucket",
+):
+    """Bucket-sharded CAPACITY-tier full query: the direct-engine packed
+    layout (grouped16/flat32 compact tier — multi-Gbp genomes) sharded
+    over the ``bucket`` mesh axis, so references past one chip's HBM
+    deploy across chips. The per-shard kernel is the same
+    sshash_k2u(main, probe_limit, defer_valid) + offsets projection +
+    scatter-free compaction + full-depth phase 2 that the single-chip
+    capacity bench runs; sharding adds the bucket ownership mask and
+    one-hot psums (k2u fields) plus per-pair-row ownership on the
+    occurrence decode. Returns a jitted fn kms[N] -> the merge=False
+    dict of modindex.get_ref_pos_compact (lane indices local to each
+    data shard)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..kphf.sshash import sshash_k2u
+    from ..ops.compact import flagged_lanes
+
+    n_shards = mesh.shape[bucket_axis]
+    shared, stacked = shard_compact_arrays(index, n_shards)
+    if max_occs is None:
+        max_occs = max(1, index.max_occs())
+    mo, plim, M2, dv = int(max_occs), probe_limit, int(m2), bool(defer_valid)
+    k = shared["meta"].k
+    pos_meta = shared["pos_meta"]
+    u2meta_only = {"meta": shared["u2pos"]["meta"]}
+    shared_dev = jax.device_put(
+        {kk: v for kk, v in shared.items() if kk != "pos_meta"},
+        NamedSharding(mesh, P()),
+    )
+    stacked_dev = jax.device_put(stacked, NamedSharding(mesh, P(bucket_axis)))
+
+    def _occ_fields(offsets, rm):
+        hit = rm["mt"] > 0
+        uid = jnp.where(hit, rm["unitig_id"], jnp.zeros_like(rm["unitig_id"]))
+        start = offsets[uid]
+        cnt = jnp.where(hit, offsets[uid + 1] - start, jnp.zeros_like(start))
+        return {**rm, "occ_start": start, "occ_cnt": cnt}
+
+    def shard_fn(sh, stk, kms):
+        d_local = dict(sh["k2u"])
+        d_local["prefix"] = {"flat2": stk["flat2"][0]}
+        d_local["pos"] = {"words": stk["pos_words"][0], "meta": pos_meta}
+        blo, bhi = stk["blo"][0, 0], stk["bhi"][0, 0]
+        clo, chi = stk["clo"][0, 0], stk["chi"][0, 0]
+        ct_local = stk["ctable2"][0]
+        offsets = sh["u2pos"]["offsets"]
+
+        # ---- main phase: shallow probe + small-width sharded projection
+        r = sshash_k2u(
+            d_local, kms, jnp, mode="main", probe_limit=plim,
+            defer_valid=dv, bucket_range=(blo, bhi),
+        )
+        rm = _occ_fields(offsets, _merge_k2u(r, bucket_axis, jnp))
+        overflow = rm["use_skew"] | rm["unresolved"] | (rm["occ_cnt"] > 2)
+        p = _proj_padded_sharded_occ(
+            ct_local, clo, chi, rm, jnp,
+            u2meta_only=u2meta_only, k=k, mo=2, bucket_axis=bucket_axis,
+        )
+        p["valid"] = p["valid"] & (~overflow)[:, None]
+        p["overflow"] = overflow
+
+        # ---- compacted full-depth phase 2 (replicated lane choice)
+        lanes, n_ovf = flagged_lanes(overflow, M2, jnp)
+        r2 = sshash_k2u(
+            d_local, kms[lanes], jnp, mode="full", bucket_range=(blo, bhi)
+        )
+        r2m = _occ_fields(offsets, _merge_k2u(r2, bucket_axis, jnp))
+        p2 = _proj_padded_sharded_occ(
+            ct_local, clo, chi, r2m, jnp,
+            u2meta_only=u2meta_only, k=k, mo=mo, bucket_axis=bucket_axis,
+        )
+        out2 = {
+            **{kk: r2m[kk] for kk in ("unitig_id", "unitig_len", "pos", "mt")},
+            **p2,
+        }
+        slot_real = jnp.arange(M2) < jnp.minimum(n_ovf, M2)
+        return {
+            "main": {
+                **{kk: rm[kk] for kk in ("unitig_id", "unitig_len", "pos", "mt")},
+                **p,
+            },
+            "overflow": overflow,
+            "lanes": lanes,
+            "slot_real": slot_real,
+            "phase2": out2,
+            "n_ovf": n_ovf[None],
+            "over_budget": (n_ovf > M2)[None],
+        }
+
+    smapped = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(bucket_axis), P(data_axis)),
+        out_specs=P(data_axis),
+    )
+    query_impl = jax.jit(lambda sh, stk, kms: smapped(sh, stk, kms))
+
+    def query(kms):
+        return query_impl(shared_dev, stacked_dev, kms)
+
+    return query

@@ -424,3 +424,113 @@ def test_mono_sharded_checkpoint_roundtrip_and_validate(tmp_path):
 
     # validate_self through the sharded query (the >HBM invariant)
     validate_k2u_self_sharded(qf, kc, batch=1024)
+
+
+def _compact_sharded_case(us, u2, refs, mesh_shape, n=4096, seed=13, plim=3):
+    """Capacity-tier (direct engine + packed pos) sharded query vs the
+    single-device padded oracle: k2u fields and the full projected
+    occurrence block must match lane-for-lane."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from mazu_tpu.index.modindex import (
+        ModIndex,
+        get_ref_pos_padded,
+        merge_compact_k2u,
+    )
+    from mazu_tpu.kmer import revcomp
+    from mazu_tpu.kphf.sshash import SSHash
+    from mazu_tpu.parallel.sharding import make_compact_sharded_query
+
+    ss = SSHash.from_unitig_set(
+        us, w=15, skew_param=8, engine="direct", bucket_load=0.5
+    )
+    idx = ModIndex(ss, u2, refs, index_type="t")
+    kms = us.get_kmer_u64(us.kmer_start_positions())
+    rng = np.random.default_rng(seed)
+    work = np.tile(kms, -(-n // len(kms)))[:n]
+    flip = rng.random(n) < 0.5
+    work[flip] = revcomp(work[flip], idx.k)
+    miss = rng.random(n) < 0.05
+    work[miss] = rng.integers(0, 1 << 62, int(miss.sum()), dtype=np.uint64)
+    rng.shuffle(work)
+
+    mo = max(1, idx.max_occs())
+    host = {
+        "k2u": ss.device_arrays(prefix_kind="flat32", pos_kind="packed"),
+        "u2pos": u2.device_arrays(),
+        "refs": refs.device_arrays(),
+        "meta": idx.device_arrays(pos_kind="packed", prefix_kind="flat32")["meta"],
+    }
+    want = get_ref_pos_padded(host, work, np, mo)
+
+    mesh = Mesh(
+        np.array(jax.devices()[:8]).reshape(*mesh_shape), ("data", "bucket")
+    )
+    M2 = max(256, n // 4)
+    qf = make_compact_sharded_query(
+        idx, mesh, m2=M2, probe_limit=plim, defer_valid=True, max_occs=mo
+    )
+    got = jax.tree_util.tree_map(np.asarray, qf(jnp.asarray(work)))
+    assert not bool(got["over_budget"].any())
+
+    # ---- per-lane k2u fields (phases merged)
+    n_data = mesh_shape[0]
+    if n_data == 1:
+        merged = merge_compact_k2u(got, np)
+        for kk in ("unitig_id", "pos", "mt"):
+            np.testing.assert_array_equal(merged[kk], want[kk], err_msg=kk)
+        # ---- full occurrence block: main width-2 + phase-2 width-mo
+        gid = np.zeros((n, mo), dtype=want["ref_id"].dtype)
+        gpos = np.zeros((n, mo), dtype=want["ref_pos"].dtype)
+        gval = np.zeros((n, mo), dtype=bool)
+        m_ = got["main"]
+        gid[:, :2], gpos[:, :2] = m_["ref_id"], m_["ref_pos"]
+        gval[:, :2] = m_["valid"]
+        real = got["slot_real"]
+        lanes = got["lanes"][real]
+        p2 = got["phase2"]
+        gid[lanes] = p2["ref_id"][real]
+        gpos[lanes] = p2["ref_pos"][real]
+        gval[lanes] = p2["valid"][real]
+        wv = want["valid"]
+        np.testing.assert_array_equal(gval, wv)
+        np.testing.assert_array_equal(
+            np.where(wv, gid, 0), np.where(wv, want["ref_id"], 0)
+        )
+        np.testing.assert_array_equal(
+            np.where(wv, gpos, 0), np.where(wv, want["ref_pos"], 0)
+        )
+    else:
+        # data-sharded: phase-2 lane blocks are local to each data shard;
+        # rebase them to global lanes, then merge and compare
+        M2g = got["slot_real"].shape[0] // n_data
+        half = n // n_data
+        merged = {kk: got["main"][kk].copy() for kk in ("unitig_id", "pos", "mt")}
+        for s in range(n_data):
+            sl = slice(s * M2g, (s + 1) * M2g)
+            real = got["slot_real"][sl]
+            lanes = got["lanes"][sl][real] + s * half
+            for kk in merged:
+                merged[kk][lanes] = got["phase2"][kk][sl][real]
+        for kk in ("unitig_id", "pos", "mt"):
+            np.testing.assert_array_equal(merged[kk], want[kk], err_msg=kk)
+    return idx
+
+
+def test_compact_sharded_query_matches_single_chip():
+    """Bucket-sharded CAPACITY tier (direct + packed pos — the multi-Gbp
+    layout): exact vs the padded oracle on 1x8 and 2x4 meshes."""
+    import os
+
+    from mazu_tpu.index.spt import SPT
+    from mazu_tpu.io.cuttlefish import CfFiles
+    from tests.conftest import TEST_DATA
+
+    chr7 = os.path.join(TEST_DATA, "cf", "yeast_chr7", "yeast_chr7")
+    if not os.path.exists(chr7 + ".cf_seg"):
+        pytest.skip("chr7 fixture missing")
+    spt = SPT.from_cf(CfFiles(chr7))
+    us, u2, refs = spt.unitigs, spt.piscem_table(), spt.ref_seq_collection()
+    _compact_sharded_case(us, u2, refs, (1, 8))
+    _compact_sharded_case(us, u2, refs, (2, 4), plim=2)
