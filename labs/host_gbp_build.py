@@ -36,9 +36,15 @@ def main():
     t0 = time.time()
     engine = os.environ.get("MAZU_GBP_ENGINE", "fast32")
     load = float(os.environ.get("MAZU_GBP_LOAD", 0.5))
+    # minimizer width must scale with the genome: at 3Gbp w=15's value
+    # space (4^15 = 1.07e9) is comparable to the occurrence count, so
+    # buckets deepen ~10x and shallow probes stop covering. w≈log4(N)+5
+    # (21 at 3Gbp) keeps the bucket-depth distribution at its small-genome
+    # shape, at the cost of ~1.5x more (shorter) super-k-mers.
+    w = int(os.environ.get("MAZU_GBP_W", 15))
     kw = {"bucket_load": load} if engine == "direct" else {}
     k2u = SSHash.from_unitig_set(
-        unitigs, w=15, skew_param=skew, engine=engine, **kw
+        unitigs, w=w, skew_param=skew, engine=engine, **kw
     )
     print(
         f"{engine} build {time.time()-t0:.0f}s: bits/kmer="
