@@ -127,6 +127,23 @@ def save_fused_sharded(
     )
 
 
+def save_compact_sharded(dirpath: str, index, n_shards: int) -> None:
+    """Partition a CAPACITY-tier index (direct engine + packed positions —
+    the multi-Gbp layout) into bucket shards and write the sharded
+    checkpoint directory (manifest kind="compact"). This is the >HBM
+    deployment path for genomes past one chip even in compact form."""
+    from ..parallel.sharding import shard_compact_arrays
+
+    shared, stacked = shard_compact_arrays(index, n_shards)
+    _save_sharded(
+        dirpath,
+        shared,
+        stacked,
+        n_shards,
+        {"kind": "compact", "max_occs": int(max(1, index.max_occs()))},
+    )
+
+
 def save_mono_sharded(dirpath: str, index, n_shards: int) -> None:
     """Partition a mono/mono2 KCDict index into bucket shards and write the
     sharded checkpoint directory (same layout as the fused variant; the
@@ -264,6 +281,38 @@ def make_mono_sharded_query_from_ckpt(
         mesh,
         m2=m2,
         max_occs=int(manifest["max_occs"]),
+        data_axis=data_axis,
+        bucket_axis=bucket_axis,
+    )
+
+
+def make_compact_sharded_query_from_ckpt(
+    dirpath: str,
+    mesh,
+    m2: int,
+    probe_limit: int | None = 3,
+    defer_valid: bool = True,
+    data_axis: str = "data",
+    bucket_axis: str = "bucket",
+):
+    """Compact (capacity-tier) checkpoint -> jitted bucket-sharded full
+    query (same semantics as parallel.sharding.make_compact_sharded_query)
+    with per-device placement from disk."""
+    from ..parallel.sharding import build_compact_sharded_query
+
+    shared_host, shared_dev, stacked_dev, manifest = device_put_fused_sharded(
+        dirpath, mesh, bucket_axis=bucket_axis
+    )
+    assert manifest.get("kind") == "compact", manifest.get("kind")
+    return build_compact_sharded_query(
+        shared_host,
+        shared_dev,
+        stacked_dev,
+        mesh,
+        m2=m2,
+        max_occs=int(manifest["max_occs"]),
+        probe_limit=probe_limit,
+        defer_valid=defer_valid,
         data_axis=data_axis,
         bucket_axis=bucket_axis,
     )

@@ -991,25 +991,58 @@ def make_compact_sharded_query(
     dict of modindex.get_ref_pos_compact (lane indices local to each
     data shard)."""
     import jax
-    import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
-
-    from ..kphf.sshash import sshash_k2u
-    from ..ops.compact import flagged_lanes
 
     n_shards = mesh.shape[bucket_axis]
     shared, stacked = shard_compact_arrays(index, n_shards)
     if max_occs is None:
         max_occs = max(1, index.max_occs())
-    mo, plim, M2, dv = int(max_occs), probe_limit, int(m2), bool(defer_valid)
-    k = shared["meta"].k
-    pos_meta = shared["pos_meta"]
-    u2meta_only = {"meta": shared["u2pos"]["meta"]}
     shared_dev = jax.device_put(
         {kk: v for kk, v in shared.items() if kk != "pos_meta"},
         NamedSharding(mesh, P()),
     )
     stacked_dev = jax.device_put(stacked, NamedSharding(mesh, P(bucket_axis)))
+    return build_compact_sharded_query(
+        shared,
+        shared_dev,
+        stacked_dev,
+        mesh,
+        m2=m2,
+        max_occs=int(max_occs),
+        probe_limit=probe_limit,
+        defer_valid=defer_valid,
+        data_axis=data_axis,
+        bucket_axis=bucket_axis,
+    )
+
+
+def build_compact_sharded_query(
+    shared_host,
+    shared_dev,
+    stacked_dev,
+    mesh,
+    m2: int,
+    max_occs: int,
+    probe_limit: int | None = 3,
+    defer_valid: bool = True,
+    data_axis: str = "data",
+    bucket_axis: str = "bucket",
+):
+    """Kernel builder behind make_compact_sharded_query: takes
+    already-placed device pytrees (``shared_dev`` replicated,
+    ``stacked_dev`` sharded on ``bucket_axis``) plus the host pytree for
+    its static Meta nodes — the checkpoint loader enters here."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from ..kphf.sshash import sshash_k2u
+    from ..ops.compact import flagged_lanes
+
+    mo, plim, M2, dv = int(max_occs), probe_limit, int(m2), bool(defer_valid)
+    k = shared_host["meta"].k
+    pos_meta = shared_host["pos_meta"]
+    u2meta_only = {"meta": shared_host["u2pos"]["meta"]}
 
     def _occ_fields(offsets, rm):
         hit = rm["mt"] > 0

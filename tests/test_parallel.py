@@ -534,3 +534,67 @@ def test_compact_sharded_query_matches_single_chip():
     us, u2, refs = spt.unitigs, spt.piscem_table(), spt.ref_seq_collection()
     _compact_sharded_case(us, u2, refs, (1, 8))
     _compact_sharded_case(us, u2, refs, (2, 4), plim=2)
+
+
+def test_compact_sharded_checkpoint_roundtrip(tmp_path):
+    """>HBM deployment for the CAPACITY tier: save a bucket-sharded
+    compact checkpoint (direct engine + packed pos), load with per-device
+    placement, and answer identically to the padded oracle."""
+    import os
+
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from mazu_tpu.index.modindex import (
+        ModIndex,
+        get_ref_pos_padded,
+        merge_compact_k2u,
+    )
+    from mazu_tpu.index.spt import SPT
+    from mazu_tpu.io.cuttlefish import CfFiles
+    from mazu_tpu.io.sharded_ckpt import (
+        load_shard,
+        make_compact_sharded_query_from_ckpt,
+        save_compact_sharded,
+    )
+    from mazu_tpu.kmer import revcomp
+    from mazu_tpu.kphf.sshash import SSHash
+    from tests.conftest import TEST_DATA
+
+    chr7 = os.path.join(TEST_DATA, "cf", "yeast_chr7", "yeast_chr7")
+    if not os.path.exists(chr7 + ".cf_seg"):
+        pytest.skip("fixture missing")
+    spt = SPT.from_cf(CfFiles(chr7))
+    us, u2, refs = spt.unitigs, spt.piscem_table(), spt.ref_seq_collection()
+    ss = SSHash.from_unitig_set(
+        us, w=15, skew_param=8, engine="direct", bucket_load=0.5
+    )
+    idx = ModIndex(ss, u2, refs, index_type="t")
+    ck = str(tmp_path / "compact_shards")
+    save_compact_sharded(ck, idx, n_shards=8)
+    s0 = load_shard(ck, 0)
+    assert s0["flat2"].shape[0] * 8 >= ss.direct_T  # partial shard files
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(1, 8), ("data", "bucket"))
+    qf = make_compact_sharded_query_from_ckpt(ck, mesh, m2=1024, probe_limit=3)
+
+    kms = us.get_kmer_u64(us.kmer_start_positions())
+    rng = np.random.default_rng(31)
+    n = 2048
+    work = np.tile(kms, -(-n // len(kms)))[:n]
+    flip = rng.random(n) < 0.5
+    work[flip] = revcomp(work[flip], idx.k)
+    miss = rng.random(n) < 0.05
+    work[miss] = rng.integers(0, 1 << 62, int(miss.sum()), dtype=np.uint64)
+    got = jax.tree_util.tree_map(np.asarray, qf(jnp.asarray(work)))
+    assert not got["over_budget"].any()
+    merged = merge_compact_k2u(got, np)
+    host = {
+        "k2u": ss.device_arrays(prefix_kind="flat32", pos_kind="packed"),
+        "u2pos": u2.device_arrays(),
+        "refs": refs.device_arrays(),
+        "meta": idx.device_arrays(pos_kind="packed", prefix_kind="flat32")["meta"],
+    }
+    want = get_ref_pos_padded(host, work, np, max(1, idx.max_occs()))
+    for kk in ("unitig_id", "pos", "mt"):
+        np.testing.assert_array_equal(merged[kk], want[kk], err_msg=kk)
