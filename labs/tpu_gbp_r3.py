@@ -283,10 +283,28 @@ def run_plim(plim, prefix_kind, index, arrays, host_arrays, kms, uid, upos, B, N
 
     log(f"---- plim={plim} defer_valid={dv} mphf_level_limit={mlim} ----")
     mo = max(1, index.max_occs())
-    # full-capacity first pass (capacity only costs memory here; at 3Gbp
-    # w=15 the type-B fraction at shallow plims exceeded the old B//4 cap)
-    M2_0 = B
-    M2B_0 = B
+    from mazu_tpu.index.twophase import _project_offsets
+    from mazu_tpu.kphf.sshash import sshash_k2u
+
+    # cheap MAIN-ONLY count pass first: at 3Gbp a full-capacity validation
+    # probe OOMs the chip (padded phase-2 over B lanes next to a ~6GB
+    # index), and a fixed fraction guesses wrong when bucket depths shift
+    @jax.jit
+    def count_ovf(arrays, kms):
+        r = sshash_k2u(
+            arrays["k2u"], kms, jnp, mode="main", probe_limit=plim,
+            defer_valid=dv, mphf_level_limit=mlim,
+        )
+        p = _project_offsets(arrays, r, jnp, small_occs=2)
+        ovf_b = r["use_skew"] | r["unresolved"]
+        ovf_a = p["overflow"] & ~ovf_b
+        return ovf_a.sum(), ovf_b.sum()
+
+    d_kms0 = jax.device_put(jnp.asarray(kms))
+    na0, nb0 = (int(x) for x in jax.device_get(count_ovf(arrays, d_kms0)))
+    log(f"main-only count: type-A {na0}, type-B {nb0} of {B}")
+    fit0 = lambda c: max(8192, -(-(int(c) + 512) // 4096) * 4096)  # noqa: E731
+    M2_0, M2B_0 = fit0(na0 * 1.02), fit0(nb0 * 1.02)
 
     @jax.jit
     def probe(arrays, kms):
