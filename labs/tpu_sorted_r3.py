@@ -96,9 +96,26 @@ def main():
         return tot
 
     def gather_chunks_presorted(table, idx_sorted):
-        # sort done ONCE outside: isolates the gather cost under locality
+        # sort done ONCE outside: isolates the gather cost under locality.
+        # The address vector must stay LOOP-VARIANT — a step body that
+        # gathers the same idx_sorted every iteration is hoisted out of the
+        # scan by XLA and measures ONE gather amortized over CH chunks
+        # (the first run of this lab printed a bogus 10.4x from exactly
+        # that). roll() keeps the same multiset in near-ascending order
+        # (two ascending runs) while depending on i.
         def step(c, i):
-            return c + table[idx_sorted].astype(jnp.int64).sum(), c
+            j = jnp.roll(idx_sorted, i)
+            return c + table[j].astype(jnp.int64).sum(), c
+
+        tot, _ = jax.lax.scan(step, jnp.int64(0), jnp.arange(CH, dtype=jnp.int64))
+        return tot
+
+    def gather_chunks_sorted_shifted(table, idx_sorted):
+        # ascending order, DISTINCT addresses per chunk (+i mod rows):
+        # pure locality effect with no repeated-address cache warmth
+        def step(c, i):
+            j = (idx_sorted.astype(jnp.int64) + i) % rows
+            return c + table[j].astype(jnp.int64).sum(), 0
 
         tot, _ = jax.lax.scan(step, jnp.int64(0), jnp.arange(CH, dtype=jnp.int64))
         return tot
@@ -147,6 +164,7 @@ def main():
     for tag, fn, args in (
         ("random", gather_chunks, (table, d_idx)),
         ("presorted", gather_chunks_presorted, (table, d_sorted)),
+        ("sorted-shifted", gather_chunks_sorted_shifted, (table, d_sorted)),
         ("sort+gather", gather_chunks_sorted, (table, d_idx)),
         ("blocksort64K+gather", gather_chunks_blocksorted, (table, d_idx)),
         ("strided-ascending", gather_strided, (table, d_idx)),
