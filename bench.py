@@ -572,7 +572,7 @@ def main():
         from mazu_tpu.index.pipeline import OneGraphIndexQuery
         from mazu_tpu.index.pseudoalign import color_bitsets, pseudoalign_from_k2u
         from mazu_tpu.io.fastq import read_fastq
-        from mazu_tpu.io.reads import kmerize_device, pack_reads
+        from mazu_tpu.io.reads import kmerize_device, pack_fastq, pack_reads
         from mazu_tpu.kmer import codes_to_seq
 
         fq = os.environ.get("MAZU_BENCH_FASTQ")
@@ -650,8 +650,9 @@ def main():
             return maps, pas, jnp.max(novfs)
 
         def one_pass():
-            reads = [s for _, s in read_fastq(fq)]
-            packed = jax.device_put(pack_reads(reads, k))
+            # fused native FASTQ parse+pack (10x the python reader+packer;
+            # parity-tested in tests/test_streaming.py)
+            packed = jax.device_put(pack_fastq(fq, k))
             return serve_pass(arrays, cb, packed)
 
         t0 = time.time()
@@ -666,17 +667,14 @@ def main():
         iters = int(os.environ.get("MAZU_BENCH_ITERS", 5))
         # attribution of the host stages (one untimed pass)
         t0 = time.time()
-        reads = [s for _, s in read_fastq(fq)]
-        t_parse = time.time() - t0
-        t0 = time.time()
-        ph = pack_reads(reads, k)
-        t_pack = time.time() - t0
+        ph = pack_fastq(fq, k)
+        t_pp = time.time() - t0
         t0 = time.time()
         jax.block_until_ready(jax.device_put(ph))
         t_up = time.time() - t0
         log(
-            f"per-pass host stages: parse {t_parse*1e3:.0f} ms, pack "
-            f"{t_pack*1e3:.0f} ms, upload {t_up*1e3:.0f} ms "
+            f"per-pass host stages: parse+pack (native fused) {t_pp*1e3:.0f} ms, "
+            f"upload {t_up*1e3:.0f} ms "
             f"({(ph['words'].nbytes + ph['lengths'].nbytes)/1e6:.2f} MB)"
         )
         # sequential end-to-end

@@ -16,6 +16,16 @@ def open_text(path: str):
     return open(path)
 
 
+def open_binary(path: str):
+    """Binary variant of ``open_text`` for whole-buffer native parsers
+    (one gzip.decompress beats line-by-line TextIOWrapper decoding)."""
+    if path.endswith(".gz"):
+        import gzip
+
+        return gzip.open(path, "rb")
+    return open(path, "rb")
+
+
 def read_fasta(path: str) -> Iterator[tuple[str, str]]:
     name = None
     chunks: list[str] = []

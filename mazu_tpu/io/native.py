@@ -240,6 +240,53 @@ def pack_codes2(codes: np.ndarray) -> np.ndarray | None:
     return words
 
 
+def fastq_pack(buf: bytes, k: int) -> dict | None:
+    """Fused FASTQ parse + 2-bit stride pack: the decompressed FASTQ text
+    straight to the ``reads.pack_reads`` device pytree (words/bad/lengths/
+    meta), one C pass each for sizing and filling. Returns None (caller
+    falls back to the Python reader, which raises proper errors) when the
+    lib is absent or the buffer has anything the fast path doesn't cover
+    (malformed/truncated/empty-sequence records)."""
+    lib = _load()
+    if lib is None:
+        return None
+    from ..pytree import meta
+
+    lib.fastq_count.restype = ctypes.c_int64
+    lib.fastq_fill.restype = ctypes.c_int64
+    n = len(buf)
+    maxlen = ctypes.c_int64(0)
+    R = lib.fastq_count(buf, ctypes.c_int64(n), ctypes.byref(maxlen))
+    if R <= 0:
+        return None
+    maxlen = int(maxlen.value)
+    k = int(k)
+    L = max(maxlen - k + 1, 1)
+    stride = max(((maxlen + 31) // 32) * 32, 32)
+    words = np.zeros(R * stride // 32 + 1, dtype=np.uint64)
+    badw = np.zeros(-(-R * stride // 64) + 1, dtype=np.uint64)
+    lengths = np.zeros(R, dtype=np.int32)
+    has_bad = lib.fastq_fill(
+        buf,
+        ctypes.c_int64(n),
+        ctypes.c_int64(R),
+        ctypes.c_int64(stride),
+        words.ctypes.data_as(ctypes.c_void_p),
+        badw.ctypes.data_as(ctypes.c_void_p),
+        lengths.ctypes.data_as(ctypes.c_void_p),
+    )
+    if has_bad < 0:
+        return None
+    out = {
+        "words": words,
+        "lengths": lengths,
+        "meta": meta(R=int(R), stride=stride, L=L, k=k, has_bad=bool(has_bad)),
+    }
+    if has_bad:
+        out["bad"] = badw
+    return out
+
+
 def minimizer_scan32(useq_words: np.ndarray, kpos: np.ndarray, k: int, w: int, seed: int):
     """Canonical minimizers (hash32 ordering) of the k-mers at ``kpos`` in a
     packed 2-bit useq. Returns (mm u64, offset i32, is_fw bool) with exact

@@ -77,6 +77,31 @@ def pack_reads(reads: list[str], k: int):
     return out
 
 
+def pack_fastq(path: str, k: int) -> dict:
+    """FASTQ(.gz) file -> ``pack_reads`` pytree in one fused native pass.
+
+    The serving hot path: the reference k-merizes reads on the host per
+    record (src/bin/kphf/main.rs:303); here parse+pack were the two
+    dominant host stages of the serve pipeline (98+269 ms vs 46 ms upload
+    per 16K-read pass, STATUS round 3). The native path decompresses once,
+    then C scans the text twice (size, fill) writing the stride-aligned
+    2-bit words directly — no per-read Python objects. Falls back to
+    read_fastq + pack_reads (bit-identical output, tested) when the
+    native lib is absent or the file needs the general reader.
+    """
+    from .fasta import open_binary
+    from .native import fastq_pack
+
+    with open_binary(path) as f:
+        buf = f.read()
+    out = fastq_pack(buf, k)
+    if out is not None:
+        return out
+    from .fastq import read_fastq
+
+    return pack_reads([s for _, s in read_fastq(path)], k)
+
+
 def kmerize_device(packed: dict, xp, row_start=0, rows: int | None = None):
     """[rows, L] (kmer_words u64, valid bool) from a ``pack_reads`` pytree.
 

@@ -208,7 +208,15 @@ def canonical_minimizer_batch(
         ordering = "mix32" if hash32 else "mix64"
     hash32 = ordering == "mix32"
     if hash32:
-        assert w <= 16, "hash32 minimizer ordering needs w <= 16"
+        # mix32 scores the LOW 32 BITS of the w-mer value (mv.astype(u32)
+        # truncates, matching native minimizer_scan32's (uint32_t)mv cast
+        # bit-for-bit — parity fuzz in tests/test_kmer.py). For w > 16 the
+        # ordering therefore ignores the high bases of each window; ties
+        # are vanishingly rare over k-w+1 windows and break leftmost the
+        # same way in every implementation, so build/query stay exact.
+        # Downstream consumers (fold_hash32 bucket map, BooPHF chains)
+        # hash the full u64 mm value.
+        assert w <= 32, "minimizer value must fit u64 (w <= 32)"
         from .kphf.boophf32 import mix32
 
         seed32 = np.uint32(int(seed) & 0xFFFFFFFF)

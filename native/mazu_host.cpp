@@ -292,6 +292,115 @@ void pack_width(const uint64_t* vals, int64_t n, int width, uint64_t* words) {
 }  // extern "C"
 
 
+namespace {
+
+// End of the line starting at i (exclusive, '\n' not included).
+inline int64_t mz_line_end(const char* buf, int64_t n, int64_t i) {
+    const char* p = (const char*)memchr(buf + i, '\n', (size_t)(n - i));
+    return p ? (int64_t)(p - buf) : n;
+}
+
+inline int64_t mz_skip_nl(int64_t n, int64_t e) { return e < n ? e + 1 : n; }
+
+}  // namespace
+
+extern "C" {
+
+// FASTQ record scan (pass 1 of the fused parse+pack): count records and
+// the max sequence length. Line framing matches mazu_tpu/io/fastq.py
+// read_fastq exactly — lines split on '\n' only (a '\r' is sequence
+// content), multi-line sequence/quality blocks, blank lines skipped at
+// record boundaries. Returns R, or -1 for anything the fast path does
+// not cover (malformed/truncated/empty-sequence records) — the caller
+// falls back to the Python reader, which raises the proper error.
+int64_t fastq_count(const char* buf, int64_t n, int64_t* out_maxlen) {
+    int64_t i = 0, R = 0, maxlen = 0;
+    while (i < n) {
+        int64_t e = mz_line_end(buf, n, i);
+        if (e == i) { i = mz_skip_nl(n, e); continue; }  // blank line
+        if (buf[i] != '@') return -1;
+        i = mz_skip_nl(n, e);
+        int64_t slen = 0;
+        bool plus = false;
+        while (i < n) {
+            e = mz_line_end(buf, n, i);
+            if (e > i && buf[i] == '+') { plus = true; i = mz_skip_nl(n, e); break; }
+            slen += e - i;
+            i = mz_skip_nl(n, e);
+        }
+        if (!plus || slen == 0) return -1;
+        int64_t qlen = 0;
+        while (i < n && qlen < slen) {
+            e = mz_line_end(buf, n, i);
+            qlen += e - i;
+            i = mz_skip_nl(n, e);
+        }
+        if (qlen != slen) return -1;
+        if (slen > maxlen) maxlen = slen;
+        R++;
+    }
+    *out_maxlen = maxlen;
+    return R;
+}
+
+// Pass 2: fill the pack_reads device layout straight from the FASTQ text —
+// per-read stride-aligned 2-bit words (LSB-first, SeqVector convention),
+// 1-bit/base bad mask for non-ACGT, int32 lengths. words/badw must be
+// zeroed with capacity R*stride/32 (+pad) and R*stride/64 (+pad) words.
+// Returns 1 if any bad base, 0 if none, -1 on structural mismatch.
+int64_t fastq_fill(const char* buf, int64_t n, int64_t R, int64_t stride,
+                   uint64_t* words, uint64_t* badw, int32_t* lengths) {
+    static uint8_t lut[256];
+    static bool init = false;
+    if (!init) {
+        memset(lut, 255, 256);
+        lut['A'] = lut['a'] = 0;
+        lut['C'] = lut['c'] = 1;
+        lut['G'] = lut['g'] = 2;
+        lut['T'] = lut['t'] = 3;
+        init = true;
+    }
+    int64_t i = 0, r = 0, has_bad = 0;
+    while (i < n) {
+        int64_t e = mz_line_end(buf, n, i);
+        if (e == i) { i = mz_skip_nl(n, e); continue; }
+        if (buf[i] != '@' || r >= R) return -1;
+        i = mz_skip_nl(n, e);
+        int64_t slen = 0;
+        bool plus = false;
+        const int64_t base = r * stride;
+        while (i < n) {
+            e = mz_line_end(buf, n, i);
+            if (e > i && buf[i] == '+') { plus = true; i = mz_skip_nl(n, e); break; }
+            for (int64_t j = i; j < e; j++) {
+                uint8_t c = lut[(uint8_t)buf[j]];
+                const int64_t idx = base + slen + (j - i);
+                if (c == 255) {
+                    badw[idx >> 6] |= 1ull << (idx & 63);
+                    has_bad = 1;
+                    c = 0;
+                }
+                words[idx >> 5] |= (uint64_t)c << ((idx & 31) * 2);
+            }
+            slen += e - i;
+            i = mz_skip_nl(n, e);
+        }
+        if (!plus || slen > stride) return -1;
+        lengths[r++] = (int32_t)slen;
+        int64_t qlen = 0;
+        while (i < n && qlen < slen) {
+            e = mz_line_end(buf, n, i);
+            qlen += e - i;
+            i = mz_skip_nl(n, e);
+        }
+        if (qlen != slen) return -1;
+    }
+    return (r == R) ? has_bad : -1;
+}
+
+}  // extern "C"
+
+
 extern "C" {
 
 // murmur3 fmix32 (parity: mazu_tpu/kphf/boophf32.py mix32)

@@ -113,3 +113,31 @@ class TestMinimizer:
         b = canonical_minimizer_batch(jnp, jnp.asarray(ws), k, w)
         for x, y in zip(a, b):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    @pytest.mark.parametrize("k,w", [(31, 17), (31, 19), (31, 21)])
+    def test_wide_w_native_parity(self, k, w):
+        """w > 16 under mix32 ordering: the score is the LOW 32 bits of the
+        w-mer in every implementation (device/NumPy astype(u32) == native
+        (uint32_t) cast). Gbp-scale builds need w >= 17 so bucket depth
+        tracks genome size; this pins the batch path == the native build
+        scan bit-for-bit."""
+        from mazu_tpu.bits.seqvector import SeqVector
+        from mazu_tpu.io.native import have_native, minimizer_scan32
+
+        if not have_native():
+            pytest.skip("native lib unavailable")
+        n = 4096
+        codes = RNG.integers(0, 4, size=n + k, dtype=np.uint8)
+        sv = SeqVector.from_codes(codes)
+        kpos = np.arange(n, dtype=np.int64)
+        mm_n, off_n, isfw_n = minimizer_scan32(sv.words, kpos, k, w, 0)
+        lo = codes.astype(np.uint64)
+        ws = np.zeros(n, dtype=np.uint64)
+        for j in range(k):  # LSB-first 2-bit pack of each window
+            ws |= lo[j : j + n] << np.uint64(2 * j)
+        mm_b, off_b, isfw_b, _ = canonical_minimizer_batch(
+            np, ws, k, w, 0, ordering="mix32"
+        )
+        np.testing.assert_array_equal(mm_n, mm_b)
+        np.testing.assert_array_equal(off_n, off_b)
+        np.testing.assert_array_equal(isfw_n, isfw_b)

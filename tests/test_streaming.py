@@ -190,6 +190,53 @@ def test_k2u_reads_packed_equals_host(tiny_index):
     assert host.last_cold_fraction == flat.last_cold_fraction
 
 
+def test_pack_fastq_native_parity(tmp_path):
+    """pack_fastq (fused native FASTQ parse+pack) == read_fastq + pack_reads
+    byte-for-byte on the full pytree: varying lengths, multi-line records,
+    non-ACGT/lowercase bases, gzip, odd record count (bad-mask padding),
+    and no trailing newline. Malformed files raise via the Python reader."""
+    import gzip
+
+    import pytest
+
+    from mazu_tpu.err import InvalidData
+    from mazu_tpu.io.fastq import read_fastq
+    from mazu_tpu.io.reads import pack_fastq, pack_reads
+
+    rng = np.random.default_rng(3)
+    recs = []
+    for i in range(33):
+        ln = int(rng.integers(40, 180))
+        s = "".join(rng.choice(list("ACGT"), ln))
+        if i % 5 == 0:
+            s = s[:7] + "N" + s[8:]
+        if i % 7 == 0:
+            s = s.lower()
+        q = "I" * ln
+        if i % 3 == 0:
+            m = ln // 2
+            recs.append(f"@r{i} x\n{s[:m]}\n{s[m:]}\n+\n{q[:m]}\n{q[m:]}\n")
+        else:
+            recs.append(f"@r{i}\n{s}\n+anything\n{q}\n")
+    txt = "".join(recs).rstrip("\n")  # no trailing newline at EOF
+    k = 31
+    for suffix, data in ((".fastq", txt.encode()), (".fastq.gz", gzip.compress(txt.encode()))):
+        p = str(tmp_path / ("reads" + suffix))
+        with open(p, "wb") as f:
+            f.write(data)
+        a = pack_fastq(p, k)
+        b = pack_reads([s for _, s in read_fastq(p)], k)
+        assert a["meta"] == b["meta"]
+        for key in ("words", "lengths", "bad"):
+            assert np.array_equal(a[key], b[key]), key
+
+    bad = str(tmp_path / "bad.fastq")
+    with open(bad, "w") as f:
+        f.write("@r\nACGT\n+\nII\n")  # quality shorter than sequence
+    with pytest.raises(InvalidData):
+        pack_fastq(bad, k)
+
+
 def test_pack_reads_edge_cases():
     """Degenerate inputs: empty list, read shorter than k, all-N read,
     empty read, N-split — kmerize_device must equal kmerize_reads."""
