@@ -1,0 +1,139 @@
+"""Measured-best query configurations per engine/scale.
+
+The reference exposes one query path and leaves tuning to the caller
+(src/kphf/sshash.rs:494-552 runs the same probe everywhere). On TPU the
+deployment space is wider — layout kinds, probe depth, deferred
+validation, truncated MPHF chains — and every choice here was measured
+on the bench chip (STATUS.md rounds 1-3). This module encodes the
+results so drivers/CLI/users get the tuned configuration without
+re-deriving it:
+
+- speed tier (index fits HBM comfortably): fused inline2 rows — the
+  110.9M q/s bench layout.
+- capacity tier (Gbp-scale; packed IntVector positions): direct engine
+  3.07M q/s at 300Mbp / 2.78M at 1Gbp; fast32 engine 2.06M with
+  defer_valid + mphf_level_limit=4 (the BooPHF chain attribution showed
+  121-355ms/1M-chunk — truncating it was a first-order win).
+- prefix kind by bucket count: flat32 (8-12B/bucket, 1-gather bounds)
+  until the bucket table itself threatens the HBM budget, then
+  grouped16 (2.06B/bucket, ~3 cheap gathers — measured only ~5% slower
+  at 300Mbp and the only 3Gbp-fit; 1Gbp flat32 measured OOM).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# Measured footprints (bytes/unit) — STATUS.md round-2/3 tables.
+_SPEED_BYTES_PER_KMER = 21  # sshash direct inline2 load=0.25: ~1.04GB/50Mbp
+_FLAT32_BYTES_PER_BUCKET = 12  # flat + flat2 pair arrays
+_DEFAULT_HBM_BUDGET = int(6.5e9)  # bench chip: ~7.7GB usable, keep margin
+
+
+@dataclass
+class QueryConfig:
+    """Layout + query knobs for the compact/padded drivers. Split into
+    the two call sites: ``arrays_kwargs`` feeds
+    ``ModIndex.device_arrays`` / ``SSHash.device_arrays``;
+    ``query_kwargs`` feeds ``get_ref_pos_compact`` /
+    ``OneGraphIndexQuery`` / ``PipelinedIndexQuery``."""
+
+    tier: str  # "speed" | "capacity" | "mono"
+    pos_kind: str | None = None
+    prefix_kind: str | None = None
+    fused: bool = False
+    probe_limit: int | None = 2
+    defer_valid: bool = False
+    mphf_level_limit: int | None = None
+    why: list[str] = field(default_factory=list)
+
+    def arrays_kwargs(self) -> dict:
+        out: dict = {}
+        if self.pos_kind is not None:
+            out["pos_kind"] = self.pos_kind
+        if self.prefix_kind is not None:
+            out["prefix_kind"] = self.prefix_kind
+        return out
+
+    def query_kwargs(self) -> dict:
+        return {
+            "probe_limit": self.probe_limit,
+            "defer_valid": self.defer_valid,
+            "mphf_level_limit": self.mphf_level_limit,
+        }
+
+
+def tuned_query_config(k2u, hbm_budget: int = _DEFAULT_HBM_BUDGET) -> QueryConfig:
+    """Pick the measured-best tier + knobs for a built K2U dictionary.
+
+    ``hbm_budget`` is the device-bytes allowance for the whole index
+    (default matches the single bench chip; pass the per-device budget
+    when sharding)."""
+    kind = type(k2u).__name__.lower()
+    if "kcdict" in kind or hasattr(k2u, "slot_words"):
+        # mono/mono2: single-hash one-gather engine; no layout kinds.
+        return QueryConfig(
+            tier="mono",
+            why=["mono2-occ32: 104.8-110.9M q/s cached, 29.8M uncached (STATUS r2)"],
+        )
+
+    n_kmers = int(getattr(k2u, "n_kmers", 0))
+    why: list[str] = []
+
+    speed_bytes = n_kmers * _SPEED_BYTES_PER_KMER
+    if speed_bytes <= hbm_budget * 0.8:
+        why.append(
+            f"speed tier: inline2 fused rows ~{speed_bytes/1e9:.2f}GB fits "
+            f"budget ({hbm_budget/1e9:.1f}GB) — 54-110M q/s class"
+        )
+        return QueryConfig(
+            tier="speed", pos_kind="inline2", fused=True, probe_limit=2, why=why
+        )
+
+    # Capacity tier: packed IntVector positions.
+    direct = bool(getattr(k2u, "direct_T", None))
+    n_buckets = (
+        int(k2u.direct_T) if direct else int(getattr(k2u, "n_minimizers", n_kmers))
+    )
+    flat32_bytes = n_buckets * _FLAT32_BYTES_PER_BUCKET
+    if flat32_bytes <= 0.25 * hbm_budget:
+        prefix_kind = "flat32"
+        why.append(
+            f"flat32 bounds: {n_buckets/1e6:.0f}M buckets = "
+            f"{flat32_bytes/1e9:.2f}GB, 1-gather bounds (+~5% q/s vs grouped16)"
+        )
+    else:
+        prefix_kind = "grouped16"
+        why.append(
+            f"grouped16 bounds: {n_buckets/1e6:.0f}M buckets — flat32 would be "
+            f"{flat32_bytes/1e9:.2f}GB (1Gbp flat32 measured OOM); 2.06B/bucket"
+        )
+    if direct:
+        # Deep merged buckets (small w) need plim=3 (STATUS r3: 2.61M at
+        # plim=3 vs 2.42M at plim=2, 300Mbp w=15); wide-w Gbp builds are
+        # shallow and plim=2 wins (1Gbp w=17: 2.78M vs 2.59M).
+        w = int(getattr(k2u, "w", 15))
+        plim = 2 if w >= 17 else 3
+        why.append(f"direct engine, w={w}: probe_limit={plim}, defer_valid")
+        return QueryConfig(
+            tier="capacity",
+            pos_kind="packed",
+            prefix_kind=prefix_kind,
+            probe_limit=plim,
+            defer_valid=True,
+            why=why,
+        )
+    why.append(
+        "MPHF engine: defer_valid + mphf_level_limit=4 (+43% measured — "
+        "the full BooPHF chain was the largest main-phase cost)"
+    )
+    return QueryConfig(
+        tier="capacity",
+        pos_kind="packed",
+        prefix_kind=prefix_kind,
+        probe_limit=2,
+        defer_valid=True,
+        mphf_level_limit=4,
+        why=why,
+    )
