@@ -134,8 +134,15 @@ class SSHash:
             native = minimizer_scan32(unitigs.useq.words, kpos, k, w, seed)
             _stage("native scan")
         if native is not None:  # native C++ scan (11x the NumPy path)
+            # Gbp-scale host-memory discipline: every live array here is
+            # 8-24 GB at 3e9 k-mers (the 3Gbp build OOM-killed at 120 GB
+            # RSS before these frees existed). occ positions reuse the
+            # kpos buffer in place (no +24 GB astype temp, no new array),
+            # and each input is dropped at its last use.
             mm_all, off, isfw_all = native
-            occ_pos_all = kpos + off.astype(np.int64)
+            occ_pos_all = kpos
+            np.add(occ_pos_all, off, out=occ_pos_all)
+            del kpos, off, native
         else:
             mm_all = np.empty(len(kpos), dtype=np.uint64)
             occ_pos_all = np.empty(len(kpos), dtype=np.int64)
@@ -155,22 +162,28 @@ class SSHash:
         keep = dedup_flags(mm_all, occ_pos_all, isfw_all)
         _stage("dedup flags")
         if keep is not None:  # one parallel pass over the interleaved stream
-            sel = np.concatenate(
-                [np.flatnonzero(keep & isfw_all), np.flatnonzero(keep & ~isfw_all)]
-            )
+            np.logical_and(keep, isfw_all, out=isfw_all)  # keep & fw, in place
+            sel_fw = np.flatnonzero(isfw_all)
+            np.logical_xor(keep, isfw_all, out=keep)  # keep & ~fw
+            sel = np.concatenate([sel_fw, np.flatnonzero(keep)])
+            del sel_fw
             _stage("sel extract")
         else:
             keep_fw = _dedup_stream(mm_all, occ_pos_all, isfw_all)
             keep_rc = _dedup_stream(mm_all, occ_pos_all, ~isfw_all)
             sel = np.concatenate([keep_fw, keep_rc])
+        del keep, isfw_all
         mms = mm_all[sel]
+        del mm_all
         mps = occ_pos_all[sel]
+        del occ_pos_all, sel
         _stage("sel gather")
 
         order = np.argsort(mms, kind="stable")
         _stage("mm argsort")
         mms = mms[order]
         mps = mps[order]
+        del order
         _stage("order gather")
         # run-length grouping of the sorted stream (np.unique re-sorts: 12s
         # at 50Mbp for data that is already sorted)
