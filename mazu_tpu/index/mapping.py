@@ -33,14 +33,76 @@ class ReadHits:
         return sum(h is not None for h in self.hits)
 
 
+class CompactQuery:
+    """Capacity-tier serving driver: packed IntVector positions + compact
+    two-phase query with the measured-best knobs (index/tuning.py). This
+    is how Gbp-scale indexes serve — the speed-tier inline rows would be
+    8+ GB/Gbp and OOM the chip (STATUS round 3)."""
+
+    def __init__(self, index: ModIndex, cfg, device=None):
+        import jax
+        import jax.numpy as jnp
+
+        from .modindex import get_ref_pos_compact
+
+        self.max_occs = mo = max(1, index.max_occs())
+        self.arrays = jax.device_put(
+            index.device_arrays(**cfg.arrays_kwargs()), device
+        )
+        qk = cfg.query_kwargs()
+
+        from functools import partial
+
+        @partial(jax.jit, static_argnums=2)
+        def q(arrays, fw, m2):
+            return get_ref_pos_compact(arrays, fw, jnp, mo, m2=int(m2), **qk)
+
+        self._q = q
+        self._jnp = jnp
+
+    def get_ref_pos_eager(self, fw_words: np.ndarray) -> list:
+        import jax
+
+        fw = self._jnp.asarray(np.asarray(fw_words, dtype=np.uint64))
+        m2 = max(1024, len(fw_words) // 4)
+        out = jax.device_get(self._q(self.arrays, fw, m2))
+        if bool(out["over_budget"]):  # rare: recompile with full budget
+            out = jax.device_get(self._q(self.arrays, fw, max(1024, len(fw_words))))
+            assert not bool(out["over_budget"])
+        res: list = []
+        for i in range(len(fw_words)):
+            if out["mt"][i] == 0:
+                res.append(None)
+                continue
+            res.append(
+                [
+                    (
+                        int(out["ref_id"][i, j]),
+                        int(out["ref_pos"][i, j]),
+                        int(out["orient"][i, j]),
+                    )
+                    for j in range(int(out["n_occs"][i]))
+                ]
+            )
+        return res
+
+
 class ReadMapper:
     def __init__(self, index: ModIndex, batch: int = 1 << 18):
         self.index = index
         self.k = index.k
         self.batch = int(batch)
-        # two-phase driver for SSHash-backed indexes; plain eager otherwise
+        # driver by measured tier: speed-tier SSHash -> fused two-phase;
+        # capacity-tier SSHash (index too big for inline rows) -> compact
+        # two-phase with tuned knobs; other K2Us -> plain eager
         if index.k2u.__class__.__name__ == "SSHash":
-            self.tp = TwoPhaseIndexQuery(index)
+            from .tuning import tuned_query_config
+
+            cfg = tuned_query_config(index.k2u)
+            if cfg.tier == "capacity":
+                self.tp = CompactQuery(index, cfg)
+            else:
+                self.tp = TwoPhaseIndexQuery(index)
         else:
             self.tp = index
 

@@ -78,6 +78,29 @@ def test_capacity_tier_exact(chr7_direct):
         )
 
 
+def test_compact_query_driver_equals_twophase(chr7_direct):
+    """ReadMapper's capacity-tier driver (CompactQuery with the tuned
+    knobs) must answer identically to the speed-tier fused two-phase."""
+    from mazu_tpu.index.mapping import CompactQuery
+    from mazu_tpu.index.twophase import TwoPhaseIndexQuery
+
+    idx = chr7_direct
+    cfg = tuned_query_config(idx.k2u, hbm_budget=1 << 20)
+    cq = CompactQuery(idx, cfg)
+    tp = TwoPhaseIndexQuery(idx)
+    us = idx.k2u.unitigs
+    kms = np.asarray(us.get_kmer_u64(us.kmer_start_positions()[:1500]))
+    rng = np.random.default_rng(2)
+    kms[::5] = rng.integers(0, 1 << 62, len(kms[::5]), dtype=np.uint64)
+    a = cq.get_ref_pos_eager(kms)
+    b = tp.get_ref_pos_eager(kms)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        assert (x is None) == (y is None)
+        if x is not None:
+            assert sorted(x) == sorted(y)
+
+
 def test_mphf_engine_gets_level_limit():
     from mazu_tpu.containers.unitig_set import UnitigSet
     from mazu_tpu.io.cuttlefish import CfFiles
