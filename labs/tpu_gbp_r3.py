@@ -306,11 +306,26 @@ def run_plim(plim, prefix_kind, index, arrays, host_arrays, kms, uid, upos, B, N
     fit0 = lambda c: max(8192, -(-(int(c) + 512) // 4096) * 4096)  # noqa: E731
     M2_0, M2B_0 = fit0(na0 * 1.02), fit0(nb0 * 1.02)
 
+    plim2 = int(os.environ.get("MAZU_GBP_PLIM2", 0)) or None
+    M2C_0 = None
+    if plim2:
+        # residue sizing: batch-wide count of skew/deeper-than-plim2 lanes
+        # (a tight upper bound on the middle phase's residue)
+        @jax.jit
+        def count_ovf2(arrays, kms):
+            r = sshash_k2u(arrays["k2u"], kms, jnp, mode="main", probe_limit=plim2)
+            return (r["use_skew"] | r["unresolved"]).sum()
+
+        nc0 = int(jax.device_get(count_ovf2(arrays, d_kms0)))
+        M2C_0 = fit0(nc0 * 1.05 + 64)
+        log(f"residue count at plim2={plim2}: {nc0} of {B}")
+
     @jax.jit
     def probe(arrays, kms):
         return get_ref_pos_compact(
             arrays, kms, jnp, mo, merge=False, probe_limit=plim,
             m2=M2_0, m2b=M2B_0, defer_valid=dv, mphf_level_limit=mlim,
+            probe_limit2=plim2, m2c=M2C_0,
         )
 
     d_kms = jax.device_put(jnp.asarray(kms))
@@ -360,6 +375,8 @@ def run_plim(plim, prefix_kind, index, arrays, host_arrays, kms, uid, upos, B, N
     og = OneGraphIndexQuery(
         index, B, n_chunks=CH, m2=M2, m2b=M2B, probe_limit=plim,
         host_arrays=host_arrays, defer_valid=dv, mphf_level_limit=mlim,
+        probe_limit2=plim2,
+        m2c=None if plim2 is None else fit(M2C_0 * 1.1),
     )
     t0 = time.time()
     chk0, worst = og.checksum_pass_rolled(d_kms)
@@ -379,7 +396,8 @@ def run_plim(plim, prefix_kind, index, arrays, host_arrays, kms, uid, upos, B, N
     )
     print(
         f'{{"metric": "compact_tier_qps_{NB}_{prefix_kind}_plim{plim}'
-        f'{"_defer" if dv else ""}{f"_mlim{mlim}" if mlim else ""}", "value": {qps:.0f}, '
+        f'{"_defer" if dv else ""}{f"_mlim{mlim}" if mlim else ""}'
+        f'{f"_p2x{plim2}" if plim2 else ""}", "value": {qps:.0f}, '
         f'"unit": "queries/s", "vs_baseline": {qps/1e9:.6f}}}'
     )
 

@@ -141,7 +141,10 @@ def _merge_compact(d, p, r, pieces, N, max_occs, xp):
     return full
 
 
-def _compact_split(d, fw, r, p, overflow, m_a, m_b, max_occs, merge, xp, probe_start=0):
+def _compact_split(
+    d, fw, r, p, overflow, m_a, m_b, max_occs, merge, xp, probe_start=0,
+    probe_limit2=None, m_c=None,
+):
     """TYPE-SPLIT heavy phase (see get_ref_pos_compact ``m2b``): type-A
     lanes (k2u resolved, unitig occurrences exceed the main width) reuse
     the main probe's occ bounds — fused rows carry them inline, non-fused
@@ -150,8 +153,17 @@ def _compact_split(d, fw, r, p, overflow, m_a, m_b, max_occs, merge, xp, probe_s
     probe depth exceeded) re-run the full padded pipeline, starting at
     ``probe_start`` (exact: type-B non-skew lanes already probed and
     missed rows [0, probe_start) in the shallow main phase). One
-    2-channel MXU scan ranks both lane sets."""
-    from ..ops.compact import flagged_lanes2
+    2-channel MXU scan ranks both lane sets.
+
+    ``probe_limit2`` (sshash only) inserts a MIDDLE phase: the compacted
+    type-B lanes first re-probe shallowly to depth ``probe_limit2`` with
+    full in-loop validation (rows [0/probe_start, probe_limit2)); only
+    the residue — skew lanes and genuinely deeper-than-probe_limit2
+    buckets, ``m_c`` compacted lanes — pays the full-depth padded
+    pipeline. The padded phase is the dominant phase-2 cost (probe_bound
+    is 64 at Gbp scale while bucket depth P99.9 is ~4-8), so this trades
+    m_b×(probe_bound-plim2) probe iterations for m_c×probe_bound."""
+    from ..ops.compact import flagged_lanes, flagged_lanes2
 
     N = fw.shape[0]
     type_b = r["use_skew"] | r["unresolved"]
@@ -172,9 +184,55 @@ def _compact_split(d, fw, r, p, overflow, m_a, m_b, max_occs, merge, xp, probe_s
         **{kk: rA[kk] for kk in ("unitig_id", "unitig_len", "pos", "mt")},
         **_occ_projection_wide(d, rA, xp, max_occs),
     }
-    outB = get_ref_pos_padded(d, fw[lanes_b], xp, max_occs, probe_start=probe_start)
     sa = xp.arange(m_a) < xp.minimum(n_a, m_a)
     sb = xp.arange(m_b) < xp.minimum(n_b, m_b)
+
+    if probe_limit2 is None:
+        outB = get_ref_pos_padded(
+            d, fw[lanes_b], xp, max_occs, probe_start=probe_start
+        )
+    else:
+        from ..kphf.sshash import sshash_k2u
+
+        fwB = fw[lanes_b]
+        # middle phase: shallow re-probe with in-loop validation and the
+        # FULL MPHF (truncation-stranded lanes need the whole chain)
+        rM = sshash_k2u(
+            d["k2u"], fwB, xp, mode="main",
+            probe_limit=int(probe_limit2), probe_start=probe_start,
+        )
+        outB = {
+            **{kk: rM[kk] for kk in ("unitig_id", "unitig_len", "pos", "mt")},
+            **_occ_projection_wide(d, rM, xp, max_occs),
+        }
+        # residue: skew lanes + buckets deeper than probe_limit2. Fake
+        # type-B slots must not eat m_c capacity.
+        type_c = (rM["use_skew"] | rM["unresolved"]) & sb
+        m_c = int(m_c) if m_c else max(64, m_b // 8)
+        lanes_c, n_c = flagged_lanes(type_c, m_c, xp)
+        over_budget = over_budget | (n_c > m_c)
+        ps2 = min(int(probe_limit2), int(d["k2u"]["meta"].probe_bound))
+        outC = get_ref_pos_padded(
+            d, fwB[lanes_c], xp, max_occs, probe_start=ps2
+        )
+        sc = xp.arange(m_c) < xp.minimum(n_c, m_c)
+        # scatter the residue rows back over the middle-phase block
+        # (fake slots route to a dummy row)
+        if xp is np:
+            idx = np.asarray(lanes_c)[np.asarray(sc)]
+            for kk in outB:
+                v = outB[kk].copy()
+                v[idx] = np.asarray(outC[kk])[np.asarray(sc)]
+                outB[kk] = v
+        else:
+            safe = xp.where(sc, lanes_c, m_b)
+            for kk in outB:
+                v = outB[kk]
+                mask = sc[:, None] if v.ndim == 2 else sc
+                ext = xp.concatenate([v, xp.zeros_like(v[:1])], axis=0)
+                outB[kk] = ext.at[safe].set(
+                    xp.where(mask, outC[kk], xp.zeros_like(outC[kk]))
+                )[:m_b]
 
     if not merge:
         return {
@@ -247,8 +305,14 @@ def get_ref_pos_compact(
     m2b: int | None = None,
     defer_valid: bool = False,
     mphf_level_limit: int | None = None,
+    probe_limit2: int | None = None,
+    m2c: int | None = None,
 ):
     """One-kernel full query with an ON-DEVICE compacted heavy phase.
+
+    ``probe_limit2``/``m2c`` (with ``m2b``, sshash only): middle phase —
+    compacted type-B lanes re-probe shallowly to depth probe_limit2
+    before the full-depth padded residue (see _compact_split).
 
     Main phase: fused-row k2u main path (no skew-structure gathers) +
     zero-gather projection for single-occurrence unitigs — the common case
@@ -349,9 +413,13 @@ def get_ref_pos_compact(
     overflow = p["overflow"] | r["unresolved"]
 
     if m2b is not None:
+        if probe_limit2 is not None:
+            assert d["k2u"]["meta"].kind != "kcdict", (
+                "probe_limit2 is an sshash-only middle phase"
+            )
         return _compact_split(
             d, fw, r, p, overflow, M, int(m2b), max_occs, merge, xp,
-            probe_start=probe_start,
+            probe_start=probe_start, probe_limit2=probe_limit2, m_c=m2c,
         )
 
     lanes, n_ovf = flagged_lanes(overflow, M, xp)

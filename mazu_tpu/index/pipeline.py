@@ -53,6 +53,8 @@ class OneGraphIndexQuery:
         m2b: int | None = None,
         defer_valid: bool = False,
         mphf_level_limit: int | None = None,
+        probe_limit2: int | None = None,
+        m2c: int | None = None,
     ):
         import jax
         import jax.numpy as jnp
@@ -77,8 +79,12 @@ class OneGraphIndexQuery:
         mo, M2, M2B, plim = self.max_occs, self.M2, self.M2B, probe_limit
         dv = bool(defer_valid)
         mlim = mphf_level_limit
+        plim2 = probe_limit2
+        M2C = int(m2c) if m2c else None
         self.defer_valid = dv
         self.mphf_level_limit = mlim
+        self.probe_limit2 = plim2
+        self.m2c = M2C
 
         @jax.jit
         def pass_fn(arrays, stack):
@@ -86,6 +92,7 @@ class OneGraphIndexQuery:
                 out = get_ref_pos_compact(
                     arrays, chunk, jnp, mo, merge=False, probe_limit=plim,
                     m2=M2, m2b=M2B, defer_valid=dv, mphf_level_limit=mlim,
+                    probe_limit2=plim2, m2c=M2C,
                 )
                 novf = jnp.stack(
                     [out["n_ovf"], out.get("n_ovf_b", jnp.zeros_like(out["n_ovf"]))]
@@ -111,6 +118,7 @@ class OneGraphIndexQuery:
                 out = get_ref_pos_compact(
                     arrays, chunk, jnp, mo, merge=False, probe_limit=plim,
                     m2=M2, m2b=M2B, defer_valid=dv, mphf_level_limit=mlim,
+                    probe_limit2=plim2, m2c=M2C,
                 )
                 novf = jnp.stack(
                     [out["n_ovf"], out.get("n_ovf_b", jnp.zeros_like(out["n_ovf"]))]
@@ -195,6 +203,8 @@ class OneGraphIndexQuery:
                 m2b=self.M2B,
                 defer_valid=self.defer_valid,
                 mphf_level_limit=self.mphf_level_limit,
+                probe_limit2=self.probe_limit2,
+                m2c=self.m2c,
             )
             assert not bool(out["over_budget"]), "phase-2 capacity exceeded"
             tot += int(self.checksum(out, np))

@@ -578,6 +578,81 @@ class TestCompactTierNonFused:
                 np.where(v, want[kk], 0), np.where(v, got[kk], 0), err_msg=kk
             )
 
+    @pytest.mark.parametrize(
+        "engine,prefix_kind,skew,plim,plim2,kw",
+        [
+            ("fast32", "grouped16", 64, 2, 8,
+             dict(defer_valid=True, mphf_level_limit=4)),  # 3Gbp config + levers
+            ("fast32", "flat32", 4, 1, 6, dict()),  # heavy skew traffic
+            ("direct", "flat32", 64, 2, 8, dict(defer_valid=True)),
+            ("direct", "grouped16", 64, 3, 6, dict(defer_valid=True)),
+            ("parity", "ef", 8, 2, 4, dict()),
+        ],
+    )
+    def test_middle_phase_equals_padded(self, engine, prefix_kind, skew, plim, plim2, kw):
+        """probe_limit2 middle phase: compacted type-B lanes re-probe
+        shallowly; only skew/deeper-than-plim2 residue pays the padded
+        pipeline. Must equal the padded oracle under every lever combo."""
+        idx, arrays, work = self._setup(engine, prefix_kind, skew, seed=43)
+        mo = max(1, idx.max_occs())
+        want = get_ref_pos_padded(arrays, work, np, mo)
+        got = get_ref_pos_compact(
+            arrays, work, np, mo, probe_limit=plim, m2=2048, m2b=2048,
+            probe_limit2=plim2, m2c=512, **kw,
+        )
+        assert not bool(got["over_budget"])
+        for kk in ("unitig_id", "pos", "mt", "n_occs"):
+            np.testing.assert_array_equal(want[kk], got[kk], err_msg=kk)
+        v = want["valid"]
+        np.testing.assert_array_equal(got["valid"], v)
+        for kk in ("ref_id", "ref_pos", "orient"):
+            np.testing.assert_array_equal(
+                np.where(v, want[kk], 0), np.where(v, got[kk], 0), err_msg=kk
+            )
+
+    def test_middle_phase_over_budget(self):
+        """m2c must bound the residue: a 1-lane capacity with real skew
+        traffic sets over_budget instead of silently dropping lanes."""
+        idx, arrays, work = self._setup("fast32", "flat32", 4, seed=43)
+        mo = max(1, idx.max_occs())
+        got = get_ref_pos_compact(
+            arrays, work, np, mo, probe_limit=1, m2=2048, m2b=2048,
+            probe_limit2=4, m2c=1,
+        )
+        assert bool(got["over_budget"])
+
+    def test_middle_phase_device_checksum(self):
+        """Jitted middle-phase pass on the CPU backend: checksum equal to
+        the host composition (the OneGraph consumer contract)."""
+        import jax
+        import jax.numpy as jnp
+
+        from mazu_tpu.index.pipeline import OneGraphIndexQuery
+
+        idx, arrays, work = self._setup("direct", "grouped16", 64, seed=47)
+        mo = max(1, idx.max_occs())
+
+        host = get_ref_pos_compact(
+            arrays, work, np, mo, merge=False, probe_limit=2, m2=2048,
+            m2b=2048, probe_limit2=8, m2c=512, defer_valid=True,
+        )
+        assert not bool(host["over_budget"])
+        want = int(OneGraphIndexQuery.checksum(host, np))
+
+        darr = jax.device_put(arrays)
+
+        @jax.jit
+        def q(a, fw):
+            out = get_ref_pos_compact(
+                a, fw, jnp, mo, merge=False, probe_limit=2, m2=2048,
+                m2b=2048, probe_limit2=8, m2c=512, defer_valid=True,
+            )
+            return OneGraphIndexQuery.checksum(out, jnp), out["over_budget"]
+
+        chk, ob = jax.device_get(q(darr, jnp.asarray(work)))
+        assert not bool(ob)
+        assert int(chk) == want
+
     def test_defer_valid_fail_lanes_recovered(self):
         """Force deferred-winner failures (boundary-crossing windows that
         spell a real k-mer) and check they surface as unresolved in the
