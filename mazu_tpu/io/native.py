@@ -47,6 +47,37 @@ def have_native() -> bool:
     return _load() is not None
 
 
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def heap_reuse_scope():
+    """Temporarily route malloc through the brk heap (mmap disabled) so
+    CHUNKED temp churn reuses warm pages. This VM's hypervisor throttles
+    fresh-page supply to ~80-110 MB/s under load (CLAUDE.md host
+    pathology): a loop whose per-iteration NumPy temps exceed the mmap
+    threshold faults fresh pages every iteration — the 3Gbp build's MPHF
+    lookup streamed ~470 GB of temps that way. Inside this scope freed
+    temps are reused warm after a one-time heap first-touch.
+
+    Scope it TIGHTLY: one-shot multi-GB allocations inside the scope
+    first-touch through 4K brk pages (~90 s/GB measured, defeats THP) —
+    allocate those OUTSIDE the scope."""
+    libc = None
+    try:
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        libc.mallopt(ctypes.c_int(-4), ctypes.c_int(0))  # M_MMAP_MAX = 0
+        libc.mallopt(ctypes.c_int(-1), ctypes.c_int(-1))  # M_TRIM_THRESHOLD off
+    except Exception:
+        libc = None
+    try:
+        yield
+    finally:
+        if libc is not None:
+            libc.mallopt(ctypes.c_int(-4), ctypes.c_int(65536))
+            libc.mallopt(ctypes.c_int(-1), ctypes.c_int(128 * 1024))
+
+
 def seq_to_codes(seq: bytes | str) -> np.ndarray:
     """ASCII DNA -> uint8 codes (255 for non-ACGT)."""
     if isinstance(seq, str):

@@ -270,8 +270,20 @@ class SSHash:
         mphf = mphf_cls.build(mm_set, gamma=gamma)
         _stage("mphf build")
 
-        # 5. occs prefix sum in hash order + position scatter
-        h = mphf.lookup(mm_set)
+        # 5. occs prefix sum in hash order + position scatter.
+        # The lookup is CHUNKED inside a heap-reuse scope: a whole-set call
+        # allocates ~6 temps per MPHF level over every key (~470 GB of
+        # fresh mmap'd pages at 3Gbp — over an hour at this VM's throttled
+        # page-supply rate); 32M-key chunks keep the temp churn in a ~1 GB
+        # warm brk heap. Output allocated OUTSIDE the scope (one-shot GB
+        # arrays must not first-touch through 4K brk pages).
+        from ..io.native import heap_reuse_scope
+
+        h = np.empty(len(mm_set), dtype=np.int64)
+        with heap_reuse_scope():
+            _CHK = 1 << 25
+            for s in range(0, len(mm_set), _CHK):
+                h[s : s + _CHK] = mphf.lookup(mm_set[s : s + _CHK])
         assert (h >= 0).all()
         _stage("mphf lookup")
         n_occs_by_h = np.zeros(len(mm_set), dtype=np.int64)
