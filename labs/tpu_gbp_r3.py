@@ -104,6 +104,14 @@ def run_prefix(prefix_kind, index, k2u, u2pos, refs, unitigs, NB, PIECE, k, plim
         "meta": make_meta(k=index.k, index_type=index.index_type),
     }
     host_arrays["refs"].pop("seq", None)  # workload sampling stays host-side
+    if os.environ.get("MAZU_GBP_UPROJ", "1") != "0":
+        # round-4 gather diet: per-unitig projection records (one 40B row
+        # gather replaces extent + offsets pair + width-2 ctable fetch and
+        # makes the main projection zero-gather; MAZU_GBP_UPROJ=0 to A/B)
+        from mazu_tpu.index.modindex import build_uproj
+
+        host_arrays["k2u"]["us"]["uproj"] = build_uproj(u2pos, unitigs)
+        log(f"uproj records: {host_arrays['k2u']['us']['uproj'].nbytes/1e6:.1f} MB")
     if os.environ.get("MAZU_GBP_DROP_FLAT") and "words2" in host_arrays["k2u"]["us"]["useq"]:
         # paired words2 serves every query-path read; the flat words copy
         # is only the fallback branch — dropping it saves ~0.75 GB at 3Gbp

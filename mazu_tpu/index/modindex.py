@@ -21,6 +21,46 @@ from ..pytree import meta
 from .unitig_table import decode_occs
 
 
+def build_uproj(u2pos, unitigs) -> np.ndarray:
+    """Per-UNITIG projection record for the capacity tier: u64 rows
+    ``[ustart, ulen, cnt | occ_start<<32, occ_word1, occ_word2]``
+    (40 B — under the 56 B fast-gather threshold).
+
+    One random row gather per resolved lane replaces the whole query
+    tail: the unitig extent fetch (accum2), the offsets bounds pair, and
+    the width-2 ctable fetch — and because the row carries the first TWO
+    encoded occurrences, the main-phase projection becomes the
+    zero-gather ``_project_fused`` path (cnt<=2 lanes, ~95+%, complete
+    in the main phase; cnt>2 lanes reuse the inline occ_start in the
+    type-A compacted phase). Ledger: ~4 random gathers/query removed on
+    the packed/grouped16 tiers (docs/ROOFLINE.md round-4).
+
+    Parity: carries exactly offsets/ctable content (reference projection
+    src/index.rs:193-216) — results are bit-identical, tested."""
+    if hasattr(u2pos.ctable, "to_array"):  # packed IntVector
+        cwords = u2pos.ctable.to_array()
+    else:
+        cwords = np.asarray(u2pos.ctable)
+    off = np.asarray(u2pos.offsets, dtype=np.int64)
+    accum = np.asarray(unitigs.accum, dtype=np.int64)
+    n = len(accum) - 1
+    assert len(off) == n + 1, "offsets/unitig count mismatch"
+    assert off[-1] < (1 << 32), "occ_start rides in 32 bits"
+    cnt = off[1:] - off[:-1]
+    hi = max(len(cwords) - 1, 0)
+    first = np.asarray(cwords[np.clip(off[:-1], 0, hi)], dtype=np.uint64)
+    second = np.asarray(
+        cwords[np.clip(off[:-1] + 1, 0, hi)], dtype=np.uint64
+    ) * (cnt >= 2)
+    rows = np.empty((n, 5), dtype=np.uint64)
+    rows[:, 0] = accum[:-1].astype(np.uint64)
+    rows[:, 1] = (accum[1:] - accum[:-1]).astype(np.uint64)
+    rows[:, 2] = cnt.astype(np.uint64) | (off[:-1].astype(np.uint64) << np.uint64(32))
+    rows[:, 3] = first * (cnt >= 1)
+    rows[:, 4] = second
+    return rows
+
+
 def k2u_batch(d: dict, fw_words, xp, probe_start: int = 0):
     """Dispatch on the (static) k2u kind. ``probe_start`` (sshash only)
     skips candidate rows [0, probe_start) — see sshash_k2u's exactness
@@ -604,6 +644,7 @@ class ModIndex:
         fused: bool = False,
         pos_kind: str | None = None,
         prefix_kind: str | None = None,
+        uproj: bool = False,
     ) -> dict:
         # pos_kind/prefix_kind are SSHash layout knobs; other K2Us take no
         # arguments
@@ -620,6 +661,13 @@ class ModIndex:
             "refs": self.refs.device_arrays(),
             "meta": meta(k=self.k, index_type=self.index_type),
         }
+        if uproj:
+            # capacity-tier fusion: per-unitig projection records (see
+            # build_uproj) injected into the k2u's unitig-set arrays —
+            # sshash_k2u's deferred-map tail then resolves extent + occ
+            # bounds + first two occurrences in ONE row gather
+            assert "us" in d["k2u"], "uproj requires a unitig-set K2U (sshash)"
+            d["k2u"]["us"]["uproj"] = build_uproj(self.u2pos, self.k2u.unitigs)
         if fused and d["k2u"]["meta"].kind == "kcdict":
             return d  # kcdict rows already carry the fused occurrence data
         if fused:

@@ -26,9 +26,43 @@ from dataclasses import dataclass, field
 
 
 # Measured footprints (bytes/unit) — STATUS.md round-2/3 tables.
+# PROVENANCE: every constant below was measured on the 2026-08 bench chip
+# (v5e-class, ~7.7GB usable HBM, axon tunnel). On a new device,
+# device_hbm_budget() re-derives the budget from the runtime; the
+# bytes-per-unit footprints are layout properties (device-independent);
+# the plim/w thresholds are gather-cost trade-offs — re-run
+# labs/tpu_gbp_r3.py sweeps before trusting them on different HBM.
 _SPEED_BYTES_PER_KMER = 21  # sshash direct inline2 load=0.25: ~1.04GB/50Mbp
 _FLAT32_BYTES_PER_BUCKET = 12  # flat + flat2 pair arrays
-_DEFAULT_HBM_BUDGET = int(6.5e9)  # bench chip: ~7.7GB usable, keep margin
+_FALLBACK_HBM_BUDGET = int(6.5e9)  # bench chip: ~7.7GB usable, keep margin
+
+
+def device_hbm_budget(device=None) -> int:
+    """Usable HBM budget for index arrays on ``device`` (default: the
+    first addressable device).
+
+    Resolution order: ``MAZU_HBM_BUDGET`` env override (bytes) →
+    ``device.memory_stats()['bytes_limit']`` × 0.85 (jit workspaces,
+    donation slack) → the measured bench-chip fallback. CPU/interpret
+    backends report no stats and get the fallback — fine, since layout
+    decisions only matter where HBM is real."""
+    import os
+
+    env = os.environ.get("MAZU_HBM_BUDGET")
+    if env:
+        return int(float(env))
+    try:
+        if device is None:
+            import jax
+
+            device = jax.devices()[0]
+        stats = device.memory_stats()
+        limit = int(stats.get("bytes_limit", 0)) if stats else 0
+        if limit > 0:
+            return int(limit * 0.85)
+    except Exception:
+        pass
+    return _FALLBACK_HBM_BUDGET
 
 
 @dataclass
@@ -43,6 +77,7 @@ class QueryConfig:
     pos_kind: str | None = None
     prefix_kind: str | None = None
     fused: bool = False
+    uproj: bool = False
     probe_limit: int | None = 2
     defer_valid: bool = False
     mphf_level_limit: int | None = None
@@ -54,6 +89,8 @@ class QueryConfig:
             out["pos_kind"] = self.pos_kind
         if self.prefix_kind is not None:
             out["prefix_kind"] = self.prefix_kind
+        if self.uproj:
+            out["uproj"] = True  # ModIndex.device_arrays only (needs u2pos)
         return out
 
     def query_kwargs(self) -> dict:
@@ -64,12 +101,14 @@ class QueryConfig:
         }
 
 
-def tuned_query_config(k2u, hbm_budget: int = _DEFAULT_HBM_BUDGET) -> QueryConfig:
+def tuned_query_config(k2u, hbm_budget: int | None = None) -> QueryConfig:
     """Pick the measured-best tier + knobs for a built K2U dictionary.
 
     ``hbm_budget`` is the device-bytes allowance for the whole index
-    (default matches the single bench chip; pass the per-device budget
-    when sharding)."""
+    (default: introspected from the runtime device via
+    ``device_hbm_budget``; pass the per-device budget when sharding)."""
+    if hbm_budget is None:
+        hbm_budget = device_hbm_budget()
     kind = type(k2u).__name__.lower()
     if "kcdict" in kind or hasattr(k2u, "slot_words"):
         # mono/mono2: single-hash one-gather engine; no layout kinds.
@@ -116,10 +155,12 @@ def tuned_query_config(k2u, hbm_budget: int = _DEFAULT_HBM_BUDGET) -> QueryConfi
         w = int(getattr(k2u, "w", 15))
         plim = 2 if w >= 17 else 3
         why.append(f"direct engine, w={w}: probe_limit={plim}, defer_valid")
+        why.append("uproj records: 1-gather tail (round-4 gather diet)")
         return QueryConfig(
             tier="capacity",
             pos_kind="packed",
             prefix_kind=prefix_kind,
+            uproj=True,
             probe_limit=plim,
             defer_valid=True,
             why=why,
@@ -128,10 +169,12 @@ def tuned_query_config(k2u, hbm_budget: int = _DEFAULT_HBM_BUDGET) -> QueryConfi
         "MPHF engine: defer_valid + mphf_level_limit=4 (+43% measured — "
         "the full BooPHF chain was the largest main-phase cost)"
     )
+    why.append("uproj records: 1-gather tail (round-4 gather diet)")
     return QueryConfig(
         tier="capacity",
         pos_kind="packed",
         prefix_kind=prefix_kind,
+        uproj=True,
         probe_limit=2,
         defer_valid=True,
         mphf_level_limit=4,

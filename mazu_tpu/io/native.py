@@ -344,3 +344,183 @@ def minimizer_scan32(useq_words: np.ndarray, kpos: np.ndarray, k: int, w: int, s
         isfw.ctypes.data_as(ctypes.c_void_p),
     )
     return mm, off, isfw.astype(bool)
+
+
+def radix_sort_pairs(keys: np.ndarray, vals: np.ndarray, key_bits: int) -> bool:
+    """IN-PLACE parallel LSD radix sort of (u64 keys, i64 vals) by key.
+    ``key_bits`` bounds the passes (minimizers are < 4^w). Returns False
+    when no native lib (caller falls back to np.argsort). Stable, exact
+    same order as np.argsort(keys, kind='stable') applied to both arrays."""
+    lib = _load()
+    if lib is None:
+        return False
+    assert keys.dtype == np.uint64 and keys.flags.c_contiguous
+    assert vals.dtype == np.int64 and vals.flags.c_contiguous
+    assert len(keys) == len(vals)
+    lib.radix_sort_pairs_u64(
+        keys.ctypes.data_as(ctypes.c_void_p),
+        vals.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(len(keys)),
+        ctypes.c_int(int(key_bits)),
+    )
+    return True
+
+
+def run_bounds(mms: np.ndarray) -> np.ndarray | None:
+    """Run start indices of a sorted u64 stream (np.flatnonzero of the
+    boundary flags with 0 prepended). None without the lib."""
+    lib = _load()
+    if lib is None:
+        return None
+    mms = np.ascontiguousarray(mms, dtype=np.uint64)
+    lib.run_bounds_u64.restype = ctypes.c_int64
+    m = lib.run_bounds_u64(
+        mms.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(len(mms)), None
+    )
+    starts = np.empty(m, dtype=np.int64)
+    lib.run_bounds_u64(
+        mms.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(len(mms)),
+        starts.ctypes.data_as(ctypes.c_void_p),
+    )
+    return starts
+
+
+def boophf32_level(keys: np.ndarray, s0: np.ndarray, s1: np.ndarray, n_bits: int):
+    """One native BooPHF32 level: advances (s0, s1) chain states IN PLACE,
+    returns (words singleton bitmap u32[n_bits/32], drop u8[n]). None
+    without the lib."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(keys)
+    words = np.zeros(n_bits // 32, dtype=np.uint32)
+    drop = np.empty(n, dtype=np.uint8)
+    lib.boophf32_level(
+        keys.ctypes.data_as(ctypes.c_void_p),
+        s0.ctypes.data_as(ctypes.c_void_p),
+        s1.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(n),
+        ctypes.c_int64(n_bits),
+        words.ctypes.data_as(ctypes.c_void_p),
+        drop.ctypes.data_as(ctypes.c_void_p),
+    )
+    return words, drop
+
+
+def compact_kept(keys, s0, s1, drop):
+    """Stable compaction of (keys, s0, s1) where drop==0; returns the new
+    (keys, s0, s1) arrays. None without the lib."""
+    lib = _load()
+    if lib is None:
+        return None
+    lib.compact_kept.restype = ctypes.c_int64
+    n = len(keys)
+    ok = np.empty(n, dtype=np.uint64)
+    o0 = np.empty(n, dtype=np.uint32)
+    o1 = np.empty(n, dtype=np.uint32)
+    m = lib.compact_kept(
+        keys.ctypes.data_as(ctypes.c_void_p),
+        s0.ctypes.data_as(ctypes.c_void_p),
+        s1.ctypes.data_as(ctypes.c_void_p),
+        drop.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(n),
+        ok.ctypes.data_as(ctypes.c_void_p),
+        o0.ctypes.data_as(ctypes.c_void_p),
+        o1.ctypes.data_as(ctypes.c_void_p),
+    )
+    return ok[:m].copy(), o0[:m].copy(), o1[:m].copy()
+
+
+def boophf32_lookup_batch(d: dict, keys: np.ndarray) -> np.ndarray | None:
+    """Native batched BooPHF32 lookup over the padded device-array layout
+    (bit-parity with kphf.boophf32.boophf32_lookup). None without the lib."""
+    lib = _load()
+    if lib is None:
+        return None
+    meta = d["meta"]
+    n_levels = len(meta.n_bits)
+    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    out = np.empty(len(keys), dtype=np.int32)
+    nb = np.asarray(meta.n_bits or (1,), dtype=np.int64)
+    wo = np.asarray(meta.word_offsets or (0,), dtype=np.int64)
+    ro = np.asarray(meta.rank_offsets or (0,), dtype=np.int64)
+    words = np.ascontiguousarray(d["words"], dtype=np.uint32)
+    ranks = np.ascontiguousarray(d["ranks"], dtype=np.uint32)
+    fhk = np.ascontiguousarray(d["fh_keys"], dtype=np.uint64)
+    fhv = np.ascontiguousarray(d["fh_vals"], dtype=np.uint32)
+    lib.boophf32_lookup_batch(
+        words.ctypes.data_as(ctypes.c_void_p),
+        ranks.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int(n_levels),
+        nb.ctypes.data_as(ctypes.c_void_p),
+        wo.ctypes.data_as(ctypes.c_void_p),
+        ro.ctypes.data_as(ctypes.c_void_p),
+        fhk.ctypes.data_as(ctypes.c_void_p),
+        fhv.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(len(fhk)),
+        keys.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(len(keys)),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out
+
+
+def minimizer_scan32_ranges(
+    useq_words: np.ndarray, starts: np.ndarray, counts: np.ndarray, k: int, w: int, seed: int
+):
+    """Fused kmer-position generation + canonical minimizer scan: ranges
+    (starts[r], counts[r]) replace the 8B/kmer kpos array (a pure multi-GB
+    page-fault cost at Gbp scale). Returns (mm u64, occ_pos i64, isfw
+    bool) where occ_pos = kmer_pos + minimizer_offset (the value the
+    builder derives via np.add). None without the lib."""
+    lib = _load()
+    if lib is None:
+        return None
+    words = np.ascontiguousarray(useq_words, dtype=np.uint64)
+    words = np.concatenate([words, np.zeros(1, dtype=np.uint64)])  # read guard
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    offsets = np.concatenate([[0], cumsum_i64(counts)])
+    n = int(offsets[-1])
+    mm = np.empty(n, dtype=np.uint64)
+    occ_pos = np.empty(n, dtype=np.int64)
+    isfw = np.empty(n, dtype=np.uint8)
+    lib.minimizer_scan32_ranges(
+        words.ctypes.data_as(ctypes.c_void_p),
+        starts.ctypes.data_as(ctypes.c_void_p),
+        counts.ctypes.data_as(ctypes.c_void_p),
+        offsets.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(len(starts)),
+        ctypes.c_int(k),
+        ctypes.c_int(w),
+        ctypes.c_uint32(seed & 0xFFFFFFFF),
+        mm.ctypes.data_as(ctypes.c_void_p),
+        occ_pos.ctypes.data_as(ctypes.c_void_p),
+        isfw.ctypes.data_as(ctypes.c_void_p),
+    )
+    return mm, occ_pos, isfw.view(bool)
+
+
+def scatter_ranges_gather(base, starts, counts, dest):
+    """out[dest[i] + j] = base[starts[i] + j] — the builder's position
+    scatter (ranges from the sorted stream land at their hash-ordered
+    destinations). dest rows must be disjoint. None without the lib."""
+    lib = _load()
+    if lib is None:
+        return None
+    base = np.ascontiguousarray(base.view(np.int64))
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    dest = np.ascontiguousarray(dest, dtype=np.int64)
+    total = int(counts.sum())
+    out = np.zeros(max(total, 1), dtype=np.int64)
+    lib.expand_ranges_gather(
+        base.ctypes.data_as(ctypes.c_void_p),
+        starts.ctypes.data_as(ctypes.c_void_p),
+        counts.ctypes.data_as(ctypes.c_void_p),
+        dest.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(len(starts)),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out.view(np.uint64)[:total]

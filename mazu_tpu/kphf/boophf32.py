@@ -111,11 +111,25 @@ class BooPHF32:
         rem = keys
         s0, s1 = key_fold32(rem)
         levels = []
+        from ..io.native import boophf32_level, compact_kept, have_native
+
+        native = have_native()
+        if native:
+            rem = np.ascontiguousarray(rem)
+            s0 = np.ascontiguousarray(s0)
+            s1 = np.ascontiguousarray(s1)
         for _li in range(max_levels):
             if len(rem) == 0:
                 break
-            h, s0, s1 = chain_next(s0, s1)
             n_bits = 1 << max(5, int(np.ceil(np.log2(max(gamma * len(rem), 32)))))
+            if native:
+                # native level: same structure bit-for-bit (tested) — the
+                # NumPy path's bincount allocs cost ~2,777s at 3Gbp
+                words, drop = boophf32_level(rem, s0, s1, n_bits)
+                levels.append((n_bits, words))
+                rem, s0, s1 = compact_kept(rem, s0, s1, drop)
+                continue
+            h, s0, s1 = chain_next(s0, s1)
             pos = (h & U32(n_bits - 1)).astype(np.int64)
             counts = np.bincount(pos, minlength=n_bits)
             singleton = counts[pos] == 1
@@ -142,9 +156,14 @@ class BooPHF32:
         return cls(n, offset, out_levels, fh_keys, fh_vals, gamma)
 
     def lookup(self, keys) -> np.ndarray:
-        return np.asarray(
-            boophf32_lookup(self.device_arrays(), np.asarray(keys, dtype=np.uint64), np)
-        )
+        d = self.device_arrays()
+        keys = np.asarray(keys, dtype=np.uint64)
+        from ..io.native import boophf32_lookup_batch
+
+        res = boophf32_lookup_batch(d, keys)
+        if res is not None:  # bit-parity with the NumPy path (tested)
+            return res
+        return np.asarray(boophf32_lookup(d, keys, np))
 
     def num_bits(self) -> int:
         nb = sum(32 * len(w) + 32 * len(r) for (_, w, r) in self.levels)

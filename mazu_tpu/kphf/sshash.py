@@ -22,7 +22,12 @@ import numpy as np
 
 from ..bits.elias_fano import EFVector, ef_get
 from ..bits.intvector import IntVector, iv_get
-from ..containers.unitig_set import UnitigSet, us_get_kmer, us_is_valid_pos
+from ..containers.unitig_set import (
+    UnitigSet,
+    us_get_kmer,
+    us_is_valid_pos,
+    us_validate_rank,
+)
 from ..kmer import canonical_minimizer_batch, revcomp, word_equivalency
 from ..pytree import meta
 from .boophf import BooPHF, boophf_lookup
@@ -123,27 +128,31 @@ class SSHash:
                 _t[0] = now
 
         k = unitigs.k
-        kpos = unitigs.kmer_start_positions()
-        _stage("kpos")
         if ordering is None:
             ordering = "mix32" if hash32 else "mix64"
         native = None
         if ordering == "mix32":
-            from ..io.native import minimizer_scan32
+            # fused ranges scan: k-mer positions generated on the fly from
+            # the per-unitig extents — no 8B/kmer kpos array (24 GB of pure
+            # page-fault cost at 3Gbp, .ckpts/build_3g.log "collect kpos")
+            from ..io.native import minimizer_scan32_ranges
 
-            native = minimizer_scan32(unitigs.useq.words, kpos, k, w, seed)
+            accum = np.asarray(unitigs.accum, dtype=np.int64)
+            counts = np.maximum((accum[1:] - accum[:-1]) - k + 1, 0)
+            native = minimizer_scan32_ranges(
+                unitigs.useq.words, accum[:-1], counts, k, w, seed
+            )
             _stage("native scan")
         if native is not None:  # native C++ scan (11x the NumPy path)
             # Gbp-scale host-memory discipline: every live array here is
             # 8-24 GB at 3e9 k-mers (the 3Gbp build OOM-killed at 120 GB
-            # RSS before these frees existed). occ positions reuse the
-            # kpos buffer in place (no +24 GB astype temp, no new array),
-            # and each input is dropped at its last use.
-            mm_all, off, isfw_all = native
-            occ_pos_all = kpos
-            np.add(occ_pos_all, off, out=occ_pos_all)
-            del kpos, off, native
+            # RSS before these frees existed); each input is dropped at
+            # its last use.
+            mm_all, occ_pos_all, isfw_all = native
+            del native
         else:
+            kpos = unitigs.kmer_start_positions()
+            _stage("kpos")
             mm_all = np.empty(len(kpos), dtype=np.uint64)
             occ_pos_all = np.empty(len(kpos), dtype=np.int64)
             isfw_all = np.empty(len(kpos), dtype=bool)
@@ -179,19 +188,30 @@ class SSHash:
         del occ_pos_all, sel
         _stage("sel gather")
 
-        order = np.argsort(mms, kind="stable")
-        _stage("mm argsort")
-        mms = mms[order]
-        mps = mps[order]
-        del order
-        _stage("order gather")
+        from ..io.native import radix_sort_pairs, run_bounds
+
+        mms = np.ascontiguousarray(mms)
+        mps = np.ascontiguousarray(mps, dtype=np.int64)
+        # native parallel LSD radix carries positions along — the NumPy
+        # argsort + two order gathers cost 1,035s at 3Gbp
+        if radix_sort_pairs(mms, mps, key_bits=2 * w):
+            _stage("mm radix sort")
+        else:
+            order = np.argsort(mms, kind="stable")
+            _stage("mm argsort")
+            mms = mms[order]
+            mps = mps[order]
+            del order
+            _stage("order gather")
         # run-length grouping of the sorted stream (np.unique re-sorts: 12s
         # at 50Mbp for data that is already sorted)
         if len(mms):
-            first = np.empty(len(mms), dtype=bool)
-            first[0] = True
-            np.not_equal(mms[1:], mms[:-1], out=first[1:])
-            ranges_start = np.flatnonzero(first)
+            ranges_start = run_bounds(mms)
+            if ranges_start is None:
+                first = np.empty(len(mms), dtype=bool)
+                first[0] = True
+                np.not_equal(mms[1:], mms[:-1], out=first[1:])
+                ranges_start = np.flatnonzero(first)
             mm_set = mms[ranges_start]
             mm_occs = np.diff(np.concatenate([ranges_start, [len(mms)]]))
         else:
@@ -277,26 +297,33 @@ class SSHash:
         # page-supply rate); 32M-key chunks keep the temp churn in a ~1 GB
         # warm brk heap. Output allocated OUTSIDE the scope (one-shot GB
         # arrays must not first-touch through 4K brk pages).
-        from ..io.native import heap_reuse_scope
+        from ..io.native import have_native, heap_reuse_scope
 
-        h = np.empty(len(mm_set), dtype=np.int64)
-        with heap_reuse_scope():
-            _CHK = 1 << 25
-            for s in range(0, len(mm_set), _CHK):
-                h[s : s + _CHK] = mphf.lookup(mm_set[s : s + _CHK])
+        if have_native():
+            # one native parallel pass (the chunked NumPy loop paid 7,526s
+            # of per-level gather temps at 3Gbp even heap-scoped)
+            h = mphf.lookup(mm_set).astype(np.int64)
+        else:
+            h = np.empty(len(mm_set), dtype=np.int64)
+            with heap_reuse_scope():
+                _CHK = 1 << 25
+                for s in range(0, len(mm_set), _CHK):
+                    h[s : s + _CHK] = mphf.lookup(mm_set[s : s + _CHK])
         assert (h >= 0).all()
         _stage("mphf lookup")
         n_occs_by_h = np.zeros(len(mm_set), dtype=np.int64)
         n_occs_by_h[h] = mm_occs
-        from ..io.native import cumsum_i64
+        from ..io.native import cumsum_i64, scatter_ranges_gather
 
         prefix = np.zeros(len(mm_set) + 1, dtype=np.int64)
         prefix[1:] = cumsum_i64(n_occs_by_h)
         n_total = int(mm_occs.sum())
-        dest_start = np.repeat(prefix[h], mm_occs)
-        within = np.arange(n_total) - np.repeat(ranges_start, mm_occs)
-        posv = np.zeros(n_total, dtype=np.uint64)
-        posv[dest_start + within] = mps.astype(np.uint64)
+        posv = scatter_ranges_gather(mps, ranges_start, mm_occs, prefix[h])
+        if posv is None:
+            dest_start = np.repeat(prefix[h], mm_occs)
+            within = np.arange(n_total) - np.repeat(ranges_start, mm_occs)
+            posv = np.zeros(n_total, dtype=np.uint64)
+            posv[dest_start + within] = mps.astype(np.uint64)
         _stage("pos scatter")
         pos_iv = IntVector.from_array(posv)
         _stage("pos pack")
@@ -1461,23 +1488,68 @@ def sshash_k2u(
 
     found, out_uid, out_ulen, out_pos, out_mt, out_ow, out_oc, out_ow2 = state
     deferred_fail = None
+    uproj = d["us"].get("uproj")
+    uproj_fused = False
     if probe_body is probe_body_generic:
+        posw = xp.where(found, out_pos, xp.zeros_like(out_pos))
+        uid_r = None
         if defer_valid:
             assert mode == "main", "defer_valid needs a phase-2 to recover fails"
-            vok = us_is_valid_pos(
-                d["us"], xp.where(found, out_pos, xp.zeros_like(out_pos)), xp
-            )
+            if "wb2" in d["us"]["bv"]:
+                # fused validate+rank: one wb2 pair window serves both
+                # (the separate calls re-fetch the same boundary word)
+                vok, uid_r = us_validate_rank(d["us"], posw, xp)
+            else:
+                vok = us_is_valid_pos(d["us"], posw, xp)
             deferred_fail = found & (~vok)
             found = found & vok
             out_mt = xp.where(found, out_mt, xp.zeros_like(out_mt))
-        # deferred mapping of the winning useq positions (see probe body):
-        # one rank + one extent fetch per LANE instead of per candidate
-        uid, ulen, upos, _end_ok = _map_hit(
-            d, xp.where(found, out_pos, xp.zeros_like(out_pos)), xp
-        )
-        out_uid = xp.where(found, uid, out_uid)
-        out_ulen = xp.where(found, ulen, out_ulen)
-        out_pos = xp.where(found, upos, out_pos)
+        if uproj is not None:
+            # one per-unitig record gather resolves extent AND occurrence
+            # bounds AND the first two encoded occurrences (build_uproj)
+            from ..containers.unitig_set import us_rank
+
+            if uid_r is None:
+                uid_r = us_rank(
+                    d["us"], xp.where(found, out_pos, xp.zeros_like(out_pos)), xp
+                )
+            uid = xp.clip(uid_r, 0, uproj.shape[0] - 1)
+            row = uproj[uid]
+            ustart = row[..., 0].astype(xp.int64)
+            out_uid = xp.where(found, uid, out_uid)
+            out_ulen = xp.where(found, row[..., 1].astype(xp.int64), out_ulen)
+            out_pos = xp.where(found, out_pos - ustart, out_pos)
+            if mode == "main":
+                uoc = row[..., 2]
+                zl = xp.zeros_like(out_pos)
+                zw = xp.zeros_like(row[..., 3])
+                out_ow = xp.where(found, row[..., 3], zw)
+                out_ow2 = xp.where(found, row[..., 4], zw)
+                out_oc = xp.where(
+                    found,
+                    (uoc & U64(0xFFFFFFFF)).astype(xp.int64)
+                    | ((uoc >> U64(32)).astype(xp.int64) << 32),
+                    zl,
+                )
+                uproj_fused = True
+        else:
+            # deferred mapping of the winning useq positions (see probe
+            # body): rank + extent per LANE instead of per candidate
+            # (rank already fused into the validation window above)
+            if uid_r is not None:
+                from ..containers.unitig_set import us_extent
+
+                uid = xp.clip(uid_r, 0, max(d["us"]["meta"].n_unitigs - 1, 0))
+                start, end = us_extent(d["us"], uid, xp)
+                ulen = end - start
+                upos = xp.where(found, out_pos, xp.zeros_like(out_pos)) - start
+            else:
+                uid, ulen, upos, _end_ok = _map_hit(
+                    d, xp.where(found, out_pos, xp.zeros_like(out_pos)), xp
+                )
+            out_uid = xp.where(found, uid, out_uid)
+            out_ulen = xp.where(found, ulen, out_ulen)
+            out_pos = xp.where(found, upos, out_pos)
 
     # skew path (reference src/kphf/sshash.rs:415-433)
     if mode == "main":
@@ -1516,7 +1588,75 @@ def sshash_k2u(
                 out["occ_cnt"] = out_oc
             if m.pos_kind in ("inline2", "fixedcap2"):
                 out["occ_word2"] = out_ow2
+        elif uproj_fused:
+            # capacity-tier fused projection data from the uproj record
+            # (width 2: occ_word2 present) — use_skew/unresolved lanes
+            # carry zeros and resolve in the caller's phase 2
+            out["occ_word"] = out_ow
+            out["occ_word2"] = out_ow2
+            out["occ_cnt"] = out_oc & 0xFFFFFFFF
+            out["occ_start"] = out_oc >> 32
         return out
+    out_uid, out_ulen, out_pos, out_mt, out_ow, out_oc = skew_resolve(
+        d,
+        fw,
+        rc,
+        canon,
+        use_skew,
+        (out_uid, out_ulen, out_pos, out_mt, out_ow, out_oc),
+        xp,
+        fused=fused,
+        fused14=fused14,
+    )
+
+    out = {
+        "unitig_id": out_uid,
+        "unitig_len": out_ulen,
+        "pos": out_pos,
+        "mt": out_mt,
+    }
+    if bucket_range is not None:
+        out["mine"] = mine
+    if fused:
+        out["occ_word"] = out_ow
+        if fused14:
+            out["occ_cnt"] = out_oc & 0xFFFFFFFF
+            out["occ_start"] = out_oc >> 32
+        else:
+            out["occ_cnt"] = out_oc
+        if m.pos_kind in ("inline2", "fixedcap2"):
+            out["occ_word2"] = out_ow2
+    elif uproj is not None:
+        # full mode: one end-of-pipeline uproj fetch over the FINAL uid
+        # (generic and skew lanes alike) hands the projection its occ
+        # bounds + first two occurrences without the offsets gathers
+        hitm = out_mt > 0
+        rowf = uproj[xp.clip(out_uid, 0, uproj.shape[0] - 1)]
+        uoc = rowf[..., 2]
+        zl = xp.zeros_like(out_pos)
+        zw = xp.zeros_like(rowf[..., 3])
+        out["occ_word"] = xp.where(hitm, rowf[..., 3], zw)
+        out["occ_word2"] = xp.where(hitm, rowf[..., 4], zw)
+        out["occ_cnt"] = xp.where(hitm, (uoc & U64(0xFFFFFFFF)).astype(xp.int64), zl)
+        out["occ_start"] = xp.where(hitm, (uoc >> U64(32)).astype(xp.int64), zl)
+    return out
+
+
+def skew_resolve(d, fw, rc, canon, use_skew, state, xp, fused=False, fused14=False):
+    """Resolve heavy-bucket (skew) lanes for ALL skew layouts — the single
+    source of truth shared by ``sshash_k2u`` and the sharded query builders
+    (parallel/sharding.py), so engine="direct" skew works everywhere.
+
+    Layouts (reference skew index: src/kphf/sshash.rs:415-433):
+    - ``skew_inline`` + skew_kind="cuckoo": two-choice table, 2 row gathers
+    - ``skew_prefix2`` + ``skew_inline``: direct-mapped bounded buckets
+    - ``skew_mphf`` + ``skew_pos``: MPHF over skew k-mers (parity/fast32)
+
+    ``state`` = (uid, ulen, pos, mt, occ_word, occ_cnt); lanes where
+    ``use_skew`` is False pass through unchanged. Returns updated state."""
+    m = d["meta"]
+    k = m.k
+    out_uid, out_ulen, out_pos, out_mt, out_ow, out_oc = state
     if "skew_inline" in d and getattr(m, "skew_kind", "bucket") == "cuckoo":
         # two-choice (cuckoo) skew: exactly TWO row gathers, no bounds
         from .boophf32 import fold_hash32, fold_hash32b
@@ -1560,7 +1700,7 @@ def sshash_k2u(
         # direct-mapped skew: bounded ONE-row-gather probes
         from .boophf32 import fold_hash32
 
-        b2 = (fold_hash32(canon) & np.uint32(d["meta"].skew_t - 1)).astype(xp.int64)
+        b2 = (fold_hash32(canon) & np.uint32(m.skew_t - 1)).astype(xp.int64)
         spair = d["skew_prefix2"][b2]
         s2 = spair[..., 0].astype(xp.int64)
         c2 = spair[..., 1].astype(xp.int64) - s2
@@ -1571,7 +1711,7 @@ def sshash_k2u(
         def _bw64(lo, hi):
             return lo.astype(xp.uint64) | (hi.astype(xp.uint64) << U64(32))
 
-        for j in range(d["meta"].skew_bound):
+        for j in range(m.skew_bound):
             row = d["skew_inline"][xp.clip(s2 + j, 0, max(n_srec - 1, 0))]  # u32
             kpos = row[..., 0].astype(xp.int64)
             w0 = _bw64(row[..., 4], row[..., 5])
@@ -1596,6 +1736,7 @@ def sshash_k2u(
                 out_oc = xp.where(hit, oc, out_oc)
             sfound = sfound | hit
     elif "skew_mphf" in d:
+        last_km_start = d["us"]["meta"].total_len - k
         h2 = mphf_lookup(d["skew_mphf"], canon, xp).astype(xp.int64)
         n_skew = d["skew_pos"]["meta"].length
         sp = iv_get(d["skew_pos"], xp.clip(h2, 0, n_skew - 1), xp).astype(xp.int64)
@@ -1608,25 +1749,7 @@ def sshash_k2u(
         out_ulen = xp.where(hit, ulen, out_ulen)
         out_pos = xp.where(hit, upos, out_pos)
         out_mt = xp.where(hit, mt, out_mt)
-
-    out = {
-        "unitig_id": out_uid,
-        "unitig_len": out_ulen,
-        "pos": out_pos,
-        "mt": out_mt,
-    }
-    if bucket_range is not None:
-        out["mine"] = mine
-    if fused:
-        out["occ_word"] = out_ow
-        if fused14:
-            out["occ_cnt"] = out_oc & 0xFFFFFFFF
-            out["occ_start"] = out_oc >> 32
-        else:
-            out["occ_cnt"] = out_oc
-        if m.pos_kind in ("inline2", "fixedcap2"):
-            out["occ_word2"] = out_ow2
-    return out
+    return out_uid, out_ulen, out_pos, out_mt, out_ow, out_oc
 
 
 class TwoPhaseSSHash:

@@ -179,23 +179,27 @@ def make_bucket_sharded_query(ss, mesh, data_axis: str = "data", bucket_axis: st
         _found, o_uid, o_ulen, o_pos, o_mt = state
         out = dict(unitig_id=o_uid, unitig_len=o_ulen, pos=o_pos, mt=o_mt)
 
-        # skew path: resolved by the owner shard too (skew arrays replicated)
-        if "skew_mphf" in shared:
-            canon = jnp.minimum(fw, rc)
-            h2 = mphf_lookup(shared["skew_mphf"], canon, jnp).astype(jnp.int64)
-            from ..bits.intvector import iv_get
+        # skew path: resolved by the OWNER shard only (skew arrays are
+        # replicated, but the psum merge adds — non-owners must emit
+        # zeros). skew_resolve handles every skew layout (cuckoo inline,
+        # direct-mapped bounded, MPHF) — the single source of truth
+        # shared with sshash_k2u.
+        if any(kk in shared for kk in ("skew_inline", "skew_prefix2", "skew_mphf")):
+            from ..kphf.sshash import skew_resolve
 
-            n_skew = shared["skew_pos"]["meta"].length
-            sp = iv_get(shared["skew_pos"], jnp.clip(h2, 0, n_skew - 1), jnp).astype(jnp.int64)
-            sp = jnp.clip(sp, 0, max(last_km_start, 0))
-            kw = us_get_kmer(shared["us"], sp, jnp)
-            mt = word_equivalency(fw, rc, kw, k)
-            uid, ulen, upos, end_ok = _map_hit({"us": shared["us"], "meta": m}, sp, jnp)
-            hit = mine & use_skew & (h2 >= 0) & (mt > 0) & end_ok
-            out["unitig_id"] = jnp.where(hit, uid, out["unitig_id"])
-            out["unitig_len"] = jnp.where(hit, ulen, out["unitig_len"])
-            out["pos"] = jnp.where(hit, upos, out["pos"])
-            out["mt"] = jnp.where(hit, mt, out["mt"])
+            canon = jnp.minimum(fw, rc)
+            st = (
+                out["unitig_id"],
+                out["unitig_len"],
+                out["pos"],
+                out["mt"],
+                zero.astype(jnp.uint64),
+                zero,
+            )
+            uid, ulen, upos, mt, _, _ = skew_resolve(
+                shared, fw, rc, canon, mine & use_skew, st, jnp
+            )
+            out = dict(unitig_id=uid, unitig_len=ulen, pos=upos, mt=mt)
 
         # exactly one shard owns each query's bucket -> one-hot psum merge
         merged = {
@@ -316,22 +320,23 @@ def make_alltoall_sharded_query(ss, mesh, bucket_axis: str = "bucket", cap_facto
         _found, o_uid, o_ulen, o_pos, o_mt = state
         out = dict(unitig_id=o_uid, unitig_len=o_ulen, pos=o_pos, mt=o_mt)
 
-        if "skew_mphf" in shared:
-            canon = jnp.minimum(fw, rc)
-            h2 = mphf_lookup(shared["skew_mphf"], canon, jnp).astype(jnp.int64)
-            from ..bits.intvector import iv_get
+        # skew lanes: same shared resolver as sshash_k2u (all skew layouts)
+        if any(kk in shared for kk in ("skew_inline", "skew_prefix2", "skew_mphf")):
+            from ..kphf.sshash import skew_resolve
 
-            n_skew = shared["skew_pos"]["meta"].length
-            sp = iv_get(shared["skew_pos"], jnp.clip(h2, 0, n_skew - 1), jnp).astype(jnp.int64)
-            sp = jnp.clip(sp, 0, max(last_km_start, 0))
-            kw = us_get_kmer(shared["us"], sp, jnp)
-            mt = word_equivalency(fw, rc, kw, k)
-            uid, ulen, upos, end_ok = _map_hit({"us": shared["us"], "meta": m}, sp, jnp)
-            hit = mine & use_skew & (h2 >= 0) & (mt > 0) & end_ok
-            out["unitig_id"] = jnp.where(hit, uid, out["unitig_id"])
-            out["unitig_len"] = jnp.where(hit, ulen, out["unitig_len"])
-            out["pos"] = jnp.where(hit, upos, out["pos"])
-            out["mt"] = jnp.where(hit, mt, out["mt"])
+            canon = jnp.minimum(fw, rc)
+            st = (
+                out["unitig_id"],
+                out["unitig_len"],
+                out["pos"],
+                out["mt"],
+                out["pos"].astype(jnp.uint64),
+                out["pos"],
+            )
+            uid, ulen, upos, mt, _, _ = skew_resolve(
+                shared, fw, rc, canon, mine & use_skew, st, jnp
+            )
+            out = dict(unitig_id=uid, unitig_len=ulen, pos=upos, mt=mt)
         return out
 
     def shard_fn(shared_, stk, kms_local):

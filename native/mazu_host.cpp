@@ -457,3 +457,293 @@ void minimizer_scan32(const uint64_t* useq_words, const int64_t* kpos,
 }
 
 }  // extern "C"
+
+
+#include <atomic>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Gbp-scale build kernels (round 4): parallel radix sort of (minimizer, pos)
+// pairs, BooPHF32 level construction + batched lookup, run-length bounds.
+// These replace the NumPy argsort/bincount/searchsorted chain that cost
+// ~11,800s of the 13,791s 3Gbp build (.ckpts/build_3g.log). Parity: each
+// kernel reproduces the corresponding mazu_tpu/kphf/boophf32.py /
+// kphf/sshash.py NumPy stage bit-for-bit (tested).
+// ---------------------------------------------------------------------------
+
+// LSD radix sort of u64 keys carrying one i64 value, 8-bit digits,
+// parallel histogram + stable per-thread scatter. key_bits bounds the
+// number of passes (minimizers are < 4^w). Scratch is allocated here
+// (one double buffer, reused across passes).
+void radix_sort_pairs_u64(uint64_t* keys, int64_t* vals, int64_t n,
+                          int key_bits) {
+    if (n <= 1) return;
+#ifdef _OPENMP
+    int nt = omp_get_max_threads();
+#else
+    int nt = 1;
+#endif
+    int passes = (key_bits + 7) / 8;
+    uint64_t* kbuf = new uint64_t[n];
+    int64_t* vbuf = new int64_t[n];
+    uint64_t* src_k = keys; int64_t* src_v = vals;
+    uint64_t* dst_k = kbuf; int64_t* dst_v = vbuf;
+    // hist[t][d]: count of digit d in thread t's block
+    int64_t* hist = new int64_t[(int64_t)nt * 256];
+    int64_t block = (n + nt - 1) / nt;
+    for (int p = 0; p < passes; p++) {
+        int shift = p * 8;
+#pragma omp parallel num_threads(nt)
+        {
+#ifdef _OPENMP
+            int t = omp_get_thread_num();
+#else
+            int t = 0;
+#endif
+            int64_t a = t * block, b = a + block < n ? a + block : n;
+            int64_t* h = hist + (int64_t)t * 256;
+            for (int d = 0; d < 256; d++) h[d] = 0;
+            for (int64_t i = a; i < b; i++) h[(src_k[i] >> shift) & 255]++;
+#pragma omp barrier
+#pragma omp single
+            {
+                // digit-major exclusive prefix: thread t's digit-d run
+                // starts at sum of all counts of digits < d plus counts of
+                // digit d in threads < t (stable order)
+                int64_t acc = 0;
+                for (int d = 0; d < 256; d++)
+                    for (int tt = 0; tt < nt; tt++) {
+                        int64_t c = hist[(int64_t)tt * 256 + d];
+                        hist[(int64_t)tt * 256 + d] = acc;
+                        acc += c;
+                    }
+            }
+            for (int64_t i = a; i < b; i++) {
+                int64_t o = h[(src_k[i] >> shift) & 255]++;
+                dst_k[o] = src_k[i];
+                dst_v[o] = src_v[i];
+            }
+        }
+        uint64_t* tk = src_k; src_k = dst_k; dst_k = tk;
+        int64_t* tv = src_v; src_v = dst_v; dst_v = tv;
+    }
+    if (src_k != keys) {  // odd pass count: copy back
+#pragma omp parallel for schedule(static)
+        for (int64_t i = 0; i < n; i++) { keys[i] = src_k[i]; vals[i] = src_v[i]; }
+    }
+    delete[] hist;
+    delete[] kbuf;
+    delete[] vbuf;
+}
+
+// Run-length bounds of a sorted u64 stream: count of distinct runs
+// (pass 1, starts == nullptr) and the run start indices (pass 2).
+// Parity: np.flatnonzero(mms[1:] != mms[:-1]) prepended with 0.
+int64_t run_bounds_u64(const uint64_t* mms, int64_t n, int64_t* starts) {
+    if (n == 0) return 0;
+#ifdef _OPENMP
+    int nt = omp_get_max_threads();
+#else
+    int nt = 1;
+#endif
+    int64_t block = (n + nt - 1) / nt;
+    int64_t* cnt = new int64_t[nt + 1];
+    cnt[0] = 0;
+#pragma omp parallel num_threads(nt)
+    {
+#ifdef _OPENMP
+        int t = omp_get_thread_num();
+#else
+        int t = 0;
+#endif
+        int64_t a = t * block, b = a + block < n ? a + block : n;
+        int64_t c = 0;
+        for (int64_t i = a; i < b; i++)
+            c += (i == 0) || (mms[i] != mms[i - 1]);
+        cnt[t + 1] = c;
+#pragma omp barrier
+#pragma omp single
+        for (int i = 1; i <= nt; i++) cnt[i] += cnt[i - 1];
+        if (starts) {
+            int64_t o = cnt[t];
+            for (int64_t i = a; i < b; i++)
+                if ((i == 0) || (mms[i] != mms[i - 1])) starts[o++] = i;
+        }
+    }
+    int64_t m = cnt[nt];
+    delete[] cnt;
+    return m;
+}
+
+// xorshift128-ish chain step (parity: boophf32.py chain_next)
+static inline uint32_t mz_chain_next(uint32_t& s0, uint32_t& s1) {
+    uint32_t t = s1 ^ (s1 << 13);
+    t ^= t >> 17;
+    t ^= s0 ^ (s0 >> 5);
+    uint32_t h = t + s0;
+    s0 = s1;
+    s1 = t;
+    return h;
+}
+
+// One BooPHF32 level: advance each remaining key's chain state, mark
+// singleton positions in the level bitmap, flag dropped (singleton) keys.
+// words (u32[n_bits/32], zeroed by caller) receives the singleton bitmap
+// == NumPy's (bincount(pos) == 1) scatter. seen2 is internal scratch.
+// drop[i]=1 iff key i landed on a singleton slot (leaves the rem set).
+void boophf32_level(const uint64_t* keys, uint32_t* s0, uint32_t* s1,
+                    int64_t n, int64_t n_bits, uint32_t* words,
+                    uint8_t* drop) {
+    const uint32_t mask = (uint32_t)(n_bits - 1);
+    int64_t nw = n_bits / 32;
+    std::atomic<uint32_t>* A = (std::atomic<uint32_t>*)words;
+    uint32_t* Braw = new uint32_t[nw]();
+    std::atomic<uint32_t>* B = (std::atomic<uint32_t>*)Braw;
+    uint32_t* pos = new uint32_t[n];
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; i++) {
+        uint32_t h = mz_chain_next(s0[i], s1[i]);
+        uint32_t p = h & mask;
+        pos[i] = p;
+        uint32_t bit = 1u << (p & 31);
+        uint32_t old = A[p >> 5].fetch_or(bit, std::memory_order_relaxed);
+        if (old & bit) B[p >> 5].fetch_or(bit, std::memory_order_relaxed);
+    }
+    // words := seen-once & ~seen-twice == exactly-once (singletons)
+#pragma omp parallel for schedule(static)
+    for (int64_t w = 0; w < nw; w++) words[w] &= ~Braw[w];
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; i++) {
+        uint32_t p = pos[i];
+        drop[i] = (words[p >> 5] >> (p & 31)) & 1u;
+    }
+    delete[] Braw;
+    delete[] pos;
+}
+
+// Stable compaction of (keys, s0, s1) where drop[i]==0 into the output
+// arrays; returns the kept count.
+int64_t compact_kept(const uint64_t* keys, const uint32_t* s0,
+                     const uint32_t* s1, const uint8_t* drop, int64_t n,
+                     uint64_t* out_keys, uint32_t* out_s0, uint32_t* out_s1) {
+#ifdef _OPENMP
+    int nt = omp_get_max_threads();
+#else
+    int nt = 1;
+#endif
+    int64_t block = (n + nt - 1) / nt;
+    int64_t* cnt = new int64_t[nt + 1];
+    cnt[0] = 0;
+#pragma omp parallel num_threads(nt)
+    {
+#ifdef _OPENMP
+        int t = omp_get_thread_num();
+#else
+        int t = 0;
+#endif
+        int64_t a = t * block, b = a + block < n ? a + block : n;
+        int64_t c = 0;
+        for (int64_t i = a; i < b; i++) c += !drop[i];
+        cnt[t + 1] = c;
+#pragma omp barrier
+#pragma omp single
+        for (int i = 1; i <= nt; i++) cnt[i] += cnt[i - 1];
+        int64_t o = cnt[t];
+        for (int64_t i = a; i < b; i++)
+            if (!drop[i]) { out_keys[o] = keys[i]; out_s0[o] = s0[i]; out_s1[o] = s1[i]; o++; }
+    }
+    int64_t m = cnt[nt];
+    delete[] cnt;
+    return m;
+}
+
+// Batched BooPHF32 lookup over the padded device-array layout (parity:
+// boophf32.py boophf32_lookup / device_arrays): words = per-level
+// bitmaps padded to 256-bit blocks and concatenated; ranks = per-level
+// 256-bit-block prefix counts (global value offsets baked in); final
+// hash = sorted fh_keys + fh_vals. out[i] = value or -1 (definite miss).
+void boophf32_lookup_batch(const uint32_t* words, const uint32_t* ranks,
+                           int n_levels, const int64_t* n_bits,
+                           const int64_t* word_off, const int64_t* rank_off,
+                           const uint64_t* fh_keys, const uint32_t* fh_vals,
+                           int64_t n_fh, const uint64_t* keys, int64_t n,
+                           int32_t* out) {
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t key = keys[i];
+        uint32_t lo = (uint32_t)key, hi = (uint32_t)(key >> 32);
+        uint32_t s0 = mz_mix32(lo ^ 0x9E3779B9u);
+        uint32_t s1 = mz_mix32(hi ^ 0x85EBCA6Bu) ^ lo;
+        int32_t res = -1;
+        for (int li = 0; li < n_levels; li++) {
+            uint32_t h = mz_chain_next(s0, s1);
+            uint32_t p = h & (uint32_t)(n_bits[li] - 1);
+            const uint32_t* w = words + word_off[li];
+            if ((w[p >> 5] >> (p & 31)) & 1u) {
+                uint32_t r = ranks[rank_off[li] + (p >> 8)];
+                uint32_t wi = p >> 5;
+                for (uint32_t b = (p >> 8) << 3; b < wi; b++)
+                    r += (uint32_t)__builtin_popcount(w[b]);
+                uint32_t off = p & 31;
+                if (off) r += (uint32_t)__builtin_popcount(w[wi] & (~0u >> (32 - off)));
+                res = (int32_t)r;
+                break;
+            }
+        }
+        if (res < 0 && n_fh > 0) {
+            int64_t a = 0, b = n_fh;
+            while (a < b) {
+                int64_t mid = (a + b) >> 1;
+                if (fh_keys[mid] < key) a = mid + 1; else b = mid;
+            }
+            if (a < n_fh && fh_keys[a] == key) res = (int32_t)fh_vals[a];
+        }
+        out[i] = res;
+    }
+}
+
+// Canonical minimizer scan with ON-THE-FLY k-mer positions: ranges
+// (starts[r], counts[r]) generate kpos = starts[r]+j without the 8B/kmer
+// kpos array (a pure ~24 GB page-fault cost at 3Gbp), and the occurrence
+// position (kpos + offset) is written directly. Parity: minimizer_scan32
+// over expand_ranges(starts, counts).
+void minimizer_scan32_ranges(const uint64_t* useq_words,
+                             const int64_t* starts, const int64_t* counts,
+                             const int64_t* offsets, int64_t nr, int k,
+                             int w, uint32_t seed32, uint64_t* mm_out,
+                             int64_t* occ_pos_out, uint8_t* isfw_out) {
+    const int n_win = k - w + 1;
+    const uint64_t mk = (k == 32) ? ~0ull : ((1ull << (2 * k)) - 1);
+    const uint64_t mw = (1ull << (2 * w)) - 1;
+#pragma omp parallel for schedule(dynamic, 64)
+    for (int64_t r = 0; r < nr; r++) {
+        const int64_t s = starts[r], c = counts[r], o = offsets[r];
+        for (int64_t j = 0; j < c; j++) {
+            const int64_t kpos = s + j;
+            const int64_t bit = kpos * 2;
+            const int64_t wi = bit >> 6;
+            const int rr = (int)(bit & 63);
+            uint64_t lo = useq_words[wi];
+            uint64_t hi = useq_words[wi + 1];
+            uint64_t g = rr ? ((lo >> rr) | (hi << (64 - rr))) : lo;
+            g &= mk;
+            const uint64_t rc = mz_revcomp(g, k);
+            const bool is_fw = g <= rc;
+            const uint64_t cn = is_fw ? g : rc;
+            uint64_t best_mv = cn & mw;
+            uint32_t best_sc = mz_mix32((uint32_t)best_mv ^ seed32);
+            int best_j = 0;
+            for (int jj = 1; jj < n_win; jj++) {
+                const uint64_t mv = (cn >> (2 * jj)) & mw;
+                const uint32_t sc = mz_mix32((uint32_t)mv ^ seed32);
+                if (sc < best_sc) { best_sc = sc; best_mv = mv; best_j = jj; }
+            }
+            mm_out[o + j] = best_mv;
+            occ_pos_out[o + j] = kpos + (is_fw ? best_j : (k - w - best_j));
+            isfw_out[o + j] = is_fw ? 1 : 0;
+        }
+    }
+}
+
+}  // extern "C"

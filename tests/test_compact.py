@@ -504,7 +504,7 @@ class TestCompactTierNonFused:
     positions, EF/flat prefix — the Gbp capacity tier) must equal the
     padded oracle exactly, including the probe_start phase-2B re-probe."""
 
-    def _setup(self, engine, prefix_kind, skew, seed=31):
+    def _setup(self, engine, prefix_kind, skew, seed=31, uproj=False):
         from mazu_tpu.kmer import revcomp
 
         idx = piscem_index_from_cf_prefix(CHR7, 15, engine=engine, skew_param=skew)
@@ -518,7 +518,9 @@ class TestCompactTierNonFused:
         miss = rng.random(n) < 0.05
         work[miss] = rng.integers(0, 1 << 62, int(miss.sum()), dtype=np.uint64)
         rng.shuffle(work)
-        arrays = idx.device_arrays(pos_kind="packed", prefix_kind=prefix_kind)
+        arrays = idx.device_arrays(
+            pos_kind="packed", prefix_kind=prefix_kind, uproj=uproj
+        )
         return idx, arrays, work
 
     @pytest.mark.parametrize(
@@ -609,6 +611,76 @@ class TestCompactTierNonFused:
             np.testing.assert_array_equal(
                 np.where(v, want[kk], 0), np.where(v, got[kk], 0), err_msg=kk
             )
+
+    @pytest.mark.parametrize(
+        "engine,prefix_kind,skew,plim,kw",
+        [
+            # round-4 capacity configs: uproj record + fused validate+rank
+            ("fast32", "grouped16", 64, 2, dict(defer_valid=True, mphf_level_limit=4)),
+            ("direct", "flat32", 64, 3, dict(defer_valid=True)),
+            ("direct", "grouped16", 64, 2, dict(defer_valid=True)),
+            ("fast32", "flat32", 4, 1, dict()),  # heavy skew traffic, no defer
+            ("parity", "ef", 8, 2, dict(defer_valid=True)),
+        ],
+    )
+    def test_uproj_equals_padded(self, engine, prefix_kind, skew, plim, kw):
+        """uproj per-unitig projection records (ModIndex.device_arrays
+        uproj=True): the capacity-tier main phase projects through
+        _project_fused from ONE 40B row gather. Must equal the padded
+        oracle computed on the NON-uproj arrays (cross-layout check)."""
+        idx, arrays, work = self._setup(engine, prefix_kind, skew, seed=53, uproj=True)
+        assert "uproj" in arrays["k2u"]["us"]
+        plain = idx.device_arrays(pos_kind="packed", prefix_kind=prefix_kind)
+        mo = max(1, idx.max_occs())
+        want = get_ref_pos_padded(plain, work, np, mo)
+        got = get_ref_pos_compact(
+            arrays, work, np, mo, probe_limit=plim, m2=2048, m2b=2048, **kw
+        )
+        assert not bool(got["over_budget"])
+        for kk in ("unitig_id", "pos", "mt", "n_occs"):
+            np.testing.assert_array_equal(want[kk], got[kk], err_msg=kk)
+        v = want["valid"]
+        np.testing.assert_array_equal(got["valid"], v)
+        for kk in ("ref_id", "ref_pos", "orient"):
+            np.testing.assert_array_equal(
+                np.where(v, want[kk], 0), np.where(v, got[kk], 0), err_msg=kk
+            )
+        # the padded (full-mode) pipeline must also be exact WITH uproj
+        # arrays (its projection switches to the inline occ bounds)
+        got_full = get_ref_pos_padded(arrays, work, np, mo)
+        for kk in ("unitig_id", "pos", "mt", "n_occs"):
+            np.testing.assert_array_equal(want[kk], got_full[kk], err_msg=kk)
+        for kk in ("ref_id", "ref_pos", "orient"):
+            np.testing.assert_array_equal(
+                np.where(v, want[kk], 0),
+                np.where(v, got_full[kk], 0),
+                err_msg=kk,
+            )
+
+    def test_validate_rank_fused_equals_separate(self):
+        """us_validate_rank == (us_is_valid_pos, us_rank) on every k-mer
+        start position, boundary-straddling positions, and random fuzz."""
+        from mazu_tpu.containers.unitig_set import (
+            us_is_valid_pos,
+            us_rank,
+            us_validate_rank,
+        )
+
+        idx, arrays, _ = self._setup("fast32", "grouped16", 64)
+        us = arrays["k2u"]["us"]
+        total = us["meta"].total_len
+        rng = np.random.default_rng(11)
+        pos = np.concatenate(
+            [
+                idx.k2u.unitigs.kmer_start_positions(),
+                np.asarray(idx.k2u.unitigs.accum[1:]) - 1,  # boundary bits
+                rng.integers(0, total, 4096),
+                np.array([0, total - 1]),
+            ]
+        ).astype(np.int64)
+        valid, uid = us_validate_rank(us, pos, np)
+        np.testing.assert_array_equal(valid, us_is_valid_pos(us, pos, np))
+        np.testing.assert_array_equal(uid, us_rank(us, pos, np))
 
     def test_middle_phase_over_budget(self):
         """m2c must bound the residue: a 1-lane capacity with real skew
