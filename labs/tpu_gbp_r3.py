@@ -77,11 +77,20 @@ def main():
         )
         index = ModIndex(k2u, u2pos, refs)
     plims = [int(p) for p in os.environ.get("MAZU_GBP_PLIM", "2").split(",")]
+    uprojs = [
+        v != "0" for v in os.environ.get("MAZU_GBP_UPROJ", "1").split(",")
+    ]
     for prefix_kind in os.environ.get("MAZU_GBP_PREFIX", "grouped16").split(","):
-        run_prefix(prefix_kind, index, k2u, u2pos, refs, unitigs, NB, PIECE, k, plims)
+        for up in uprojs:
+            run_prefix(
+                prefix_kind, index, k2u, u2pos, refs, unitigs, NB, PIECE, k,
+                plims, uproj=up,
+            )
 
 
-def run_prefix(prefix_kind, index, k2u, u2pos, refs, unitigs, NB, PIECE, k, plims=(2,)):
+def run_prefix(
+    prefix_kind, index, k2u, u2pos, refs, unitigs, NB, PIECE, k, plims=(2,), uproj=True
+):
     import jax
     import jax.numpy as jnp
 
@@ -104,10 +113,10 @@ def run_prefix(prefix_kind, index, k2u, u2pos, refs, unitigs, NB, PIECE, k, plim
         "meta": make_meta(k=index.k, index_type=index.index_type),
     }
     host_arrays["refs"].pop("seq", None)  # workload sampling stays host-side
-    if os.environ.get("MAZU_GBP_UPROJ", "1") != "0":
+    if uproj:
         # round-4 gather diet: per-unitig projection records (one 40B row
         # gather replaces extent + offsets pair + width-2 ctable fetch and
-        # makes the main projection zero-gather; MAZU_GBP_UPROJ=0 to A/B)
+        # makes the main projection zero-gather; MAZU_GBP_UPROJ=0,1 to A/B)
         from mazu_tpu.index.modindex import build_uproj
 
         host_arrays["k2u"]["us"]["uproj"] = build_uproj(u2pos, unitigs)
@@ -136,7 +145,8 @@ def run_prefix(prefix_kind, index, k2u, u2pos, refs, unitigs, NB, PIECE, k, plim
     kms[flip] = revcomp(kms[flip], k)
 
     if os.environ.get("MAZU_GBP_ATTR"):
-        run_attr(prefix_kind, index, arrays, kms, B, plims[0])
+        for plim in plims:
+            run_attr(prefix_kind, index, arrays, kms, B, plim)
         return
 
     defers = [
@@ -402,10 +412,11 @@ def run_plim(plim, prefix_kind, index, arrays, host_arrays, kms, uid, upos, B, N
         f"{iters} x {CH}x{B} full queries in {dt:.2f}s -> {qps/1e6:.2f}M q/s "
         f"(chk={chk0})"
     )
+    up = "_uproj" if "uproj" in host_arrays["k2u"]["us"] else ""
     print(
         f'{{"metric": "compact_tier_qps_{NB}_{prefix_kind}_plim{plim}'
         f'{"_defer" if dv else ""}{f"_mlim{mlim}" if mlim else ""}'
-        f'{f"_p2x{plim2}" if plim2 else ""}", "value": {qps:.0f}, '
+        f'{f"_p2x{plim2}" if plim2 else ""}{up}", "value": {qps:.0f}, '
         f'"unit": "queries/s", "vs_baseline": {qps/1e9:.6f}}}'
     )
 
