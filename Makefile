@@ -5,7 +5,7 @@
 native: native/libmazu_host.so
 
 native/libmazu_host.so: native/mazu_host.cpp
-	g++ -O3 -march=native -shared -fPIC -o $@ $<
+	g++ -O3 -march=native -fopenmp -shared -fPIC -o $@ $<
 
 test: native
 	python -m pytest tests/ -q

@@ -167,9 +167,12 @@ class TestScatterRanges:
         tot = int(counts.sum())
         starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
         mps = rng.integers(0, 1 << 40, tot).astype(np.int64)
+        # disjoint destination regions (the kernel contract; the builder
+        # guarantees it via the MPHF bijection): lay rows out in a permuted
+        # ORDER, each region sized by its own count
         perm = rng.permutation(nr)
         dest = np.zeros(nr, dtype=np.int64)
-        dest[perm] = starts  # rows land at a permuted start set
+        dest[perm] = np.concatenate([[0], np.cumsum(counts[perm])[:-1]])
         got = scatter_ranges_gather(mps, starts, counts, dest)
         want = np.zeros(tot, dtype=np.uint64)
         ds = np.repeat(dest, counts)
