@@ -430,10 +430,35 @@ def get_ref_pos_compact(
         else:
             r = kcdict_k2u(d["k2u"], fw, xp, mode="main")
     else:
-        r = sshash_k2u(
-            d["k2u"], fw, xp, mode="main", probe_limit=probe_limit,
-            defer_valid=defer_valid, mphf_level_limit=mphf_level_limit,
-        )
+        import os
+
+        m_ = d["k2u"]["meta"]
+        cap_pallas = os.environ.get("MAZU_PALLAS_CAPACITY", "0")
+        if (
+            cap_pallas != "0"
+            and xp is not np
+            and probe_limit is not None
+            and defer_valid
+            and getattr(m_, "prefix_kind", "") == "grouped16"
+            and getattr(m_, "pos_kind", "") == "packed"
+            and "words2" in d["k2u"].get("us", {}).get("useq", {})
+            and "wb2" in d["k2u"]["us"]["bv"]
+        ):
+            # one-command switch to the capacity-tier DMA-ring probe
+            # kernel (Mosaic backend; =interpret for the TPU interpreter)
+            # — see mazu_tpu/ops/pallas_capacity.py
+            from ..ops.pallas_capacity import pallas_capacity_k2u
+
+            r = pallas_capacity_k2u(
+                d["k2u"], fw, probe_limit,
+                interpret=cap_pallas == "interpret",
+                mphf_level_limit=mphf_level_limit,
+            )
+        else:
+            r = sshash_k2u(
+                d["k2u"], fw, xp, mode="main", probe_limit=probe_limit,
+                defer_valid=defer_valid, mphf_level_limit=mphf_level_limit,
+            )
         if probe_limit is not None and not defer_valid and mphf_level_limit is None:
             # phase-2B lanes either never probe (use_skew) or already
             # probed and missed rows [0, probe_limit): the type-split

@@ -125,3 +125,39 @@ def test_pallas_capacity_fast32_mphf(cap_index):
                 np.asarray(got[key]), np.asarray(want[key]),
                 err_msg=f"{key} (mlim={mlim})",
             )
+
+
+def test_pallas_capacity_switch_full_query(cap_index, monkeypatch):
+    """MAZU_PALLAS_CAPACITY=interpret swaps the main-phase probe inside
+    get_ref_pos_compact on the grouped16+packed layout; the full
+    two-phase result must stay identical."""
+    import jax
+    import jax.numpy as jnp
+
+    from mazu_tpu.index.modindex import get_ref_pos_compact
+    from mazu_tpu.pytree import meta as make_meta
+
+    idx = cap_index
+    arrays = jax.device_put(
+        {
+            "k2u": _arrays(idx),
+            "u2pos": idx.u2pos.device_arrays(),
+            "refs": idx.refs.device_arrays(),
+            "meta": make_meta(k=idx.k, index_type=idx.index_type),
+        }
+    )
+    us = idx.k2u.unitigs
+    kms = jnp.asarray(us.get_kmer_u64(us.kmer_start_positions())[:512])
+    mo = max(1, idx.max_occs())
+    kw = dict(merge=False, m2=512, m2b=512, probe_limit=3, defer_valid=True)
+    want = jax.tree_util.tree_map(
+        np.asarray, get_ref_pos_compact(arrays, kms, jnp, mo, **kw)
+    )
+    monkeypatch.setenv("MAZU_PALLAS_CAPACITY", "interpret")
+    got = jax.tree_util.tree_map(
+        np.asarray, get_ref_pos_compact(arrays, kms, jnp, mo, **kw)
+    )
+    for key in ("unitig_id", "pos", "mt"):
+        np.testing.assert_array_equal(got["main"][key], want["main"][key], key)
+    np.testing.assert_array_equal(got["n_ovf"], want["n_ovf"])
+    np.testing.assert_array_equal(got["n_ovf_b"], want["n_ovf_b"])
