@@ -400,12 +400,16 @@ def _emit_capacity_tier(ck):
 
 def _emit_serve_tier():
     """SERVE tier for the driver bench: the end-to-end FASTQ->pseudoalign
-    pipeline on a fresh chr01 direct-engine index (the headline 1graph run
-    uses mono2 arrays, which the serve kernel does not take)."""
+    pipeline on a fresh chr01 index. Default engine mono2 — the serve map
+    kernel is get_ref_pos_compact, which takes the one-gather mono2 probe
+    (round 4; serve is kernel-bound, STATUS r3) — MAZU_BENCH_SERVE_ENGINE
+    overrides (r3 shipped direct at 15.06M read-kmers/s)."""
     import jax
 
     eng = os.environ.get("MAZU_BENCH_ENGINE")
-    os.environ["MAZU_BENCH_ENGINE"] = "direct"
+    os.environ["MAZU_BENCH_ENGINE"] = os.environ.get(
+        "MAZU_BENCH_SERVE_ENGINE", "mono2"
+    )
     try:
         index = build_index()
     finally:

@@ -121,6 +121,17 @@ def run_prefix(
 
         host_arrays["k2u"]["us"]["uproj"] = build_uproj(u2pos, unitigs)
         log(f"uproj records: {host_arrays['k2u']['us']['uproj'].nbytes/1e6:.1f} MB")
+    if os.environ.get("MAZU_GBP_USREC"):
+        # round-4 window-record probe: validation + rank + projection ride
+        # the candidate fetch (1.75 B/base; the <=1Gbp speed-at-capacity
+        # layout — see build_useqrec)
+        from mazu_tpu.index.modindex import build_useqrec
+
+        host_arrays["k2u"]["us"]["useqrec"] = build_useqrec(u2pos, unitigs)
+        log(
+            f"useqrec records: "
+            f"{host_arrays['k2u']['us']['useqrec'].nbytes/1e9:.2f} GB"
+        )
     if os.environ.get("MAZU_GBP_DROP_FLAT") and "words2" in host_arrays["k2u"]["us"]["useq"]:
         # paired words2 serves every query-path read; the flat words copy
         # is only the fallback branch — dropping it saves ~0.75 GB at 3Gbp
@@ -413,6 +424,8 @@ def run_plim(plim, prefix_kind, index, arrays, host_arrays, kms, uid, upos, B, N
         f"(chk={chk0})"
     )
     up = "_uproj" if "uproj" in host_arrays["k2u"]["us"] else ""
+    if "useqrec" in host_arrays["k2u"]["us"]:
+        up += "_usrec"
     print(
         f'{{"metric": "compact_tier_qps_{NB}_{prefix_kind}_plim{plim}'
         f'{"_defer" if dv else ""}{f"_mlim{mlim}" if mlim else ""}'

@@ -61,6 +61,52 @@ def build_uproj(u2pos, unitigs) -> np.ndarray:
     return rows
 
 
+def build_useqrec(u2pos, unitigs) -> np.ndarray:
+    """Per-32-BASE useq window record for the capacity tier (round 4):
+    u64 rows ``[useq_word_i, useq_word_{i+1}, ustart | ulen<<40,
+    uid | cnt<<32, occ_start, occ_word1, occ_word2]`` (56 B — at the
+    fast-gather row threshold), keyed by useq WORD index i (32 bases).
+
+    The probe's candidate-window fetch (rows i, i+1 — one random + one
+    adjacent gather) then carries, inline, everything the query tail
+    needs for the unitig containing the candidate position: the extent
+    check (== the boundary-bv validity predicate, see
+    probe_body_generic), the unitig id (no rank), and the uproj
+    projection record (no offsets/ctable gathers). A k-mer whose 96-base
+    window spans a unitig boundary can mismatch the row's unitig record;
+    such lanes are flagged unresolved and resolve in the caller's
+    validating phase 2 — the exactness contract is unchanged.
+
+    Cost: 1.75 B/base of device memory — the ≤1 Gbp speed-at-capacity
+    layout; the 3 Gbp tier keeps the lean words2+wb2 arrays.
+
+    Parity: same projection content as the reference's occ table walk
+    (src/index.rs:193-216); same validity predicate as
+    src/kphf/pfhash.rs:253. Exactness-tested vs the padded oracle."""
+    up = build_uproj(u2pos, unitigs)
+    words = np.asarray(unitigs.useq.words, dtype=np.uint64)
+    accum = np.asarray(unitigs.accum, dtype=np.int64)
+    nw = len(words)
+    base = np.arange(nw, dtype=np.int64) * 32
+    uid = np.clip(
+        np.searchsorted(accum, base, side="right") - 1, 0, len(accum) - 2
+    ).astype(np.int64)
+    ustart, ulen = up[uid, 0], up[uid, 1]
+    assert int(ustart.max(initial=0)) < 1 << 40, "ustart rides in 40 bits"
+    assert int(ulen.max(initial=0)) < 1 << 24, "ulen rides in 24 bits"
+    assert len(accum) - 1 < 1 << 32, "uid rides in 32 bits"
+    coc = up[uid, 2]  # cnt | occ_start<<32
+    rec = np.empty((nw, 7), dtype=np.uint64)
+    rec[:, 0] = words
+    rec[:, 1] = np.concatenate([words[1:], words[-1:]]) if nw else words
+    rec[:, 2] = ustart | (ulen << np.uint64(40))
+    rec[:, 3] = uid.astype(np.uint64) | ((coc & np.uint64(0xFFFFFFFF)) << np.uint64(32))
+    rec[:, 4] = coc >> np.uint64(32)
+    rec[:, 5] = up[uid, 3]
+    rec[:, 6] = up[uid, 4]
+    return rec
+
+
 def k2u_batch(d: dict, fw_words, xp, probe_start: int = 0):
     """Dispatch on the (static) k2u kind. ``probe_start`` (sshash only)
     skips candidate rows [0, probe_start) — see sshash_k2u's exactness
@@ -251,7 +297,14 @@ def _compact_split(
         m_c = int(m_c) if m_c else max(64, m_b // 8)
         lanes_c, n_c = flagged_lanes(type_c, m_c, xp)
         over_budget = over_budget | (n_c > m_c)
-        ps2 = min(int(probe_limit2), int(d["k2u"]["meta"].probe_bound))
+        # with the useqrec probe the middle phase's unresolved lanes
+        # include kw-matched-but-unvalidated rows < probe_limit2 — the
+        # residue must re-probe them from 0 (see sshash_k2u)
+        ps2 = (
+            0
+            if "useqrec" in d["k2u"].get("us", {})
+            else min(int(probe_limit2), int(d["k2u"]["meta"].probe_bound))
+        )
         outC = get_ref_pos_padded(
             d, fwB[lanes_c], xp, max_occs, probe_start=ps2
         )
@@ -459,13 +512,20 @@ def get_ref_pos_compact(
                 d["k2u"], fw, xp, mode="main", probe_limit=probe_limit,
                 defer_valid=defer_valid, mphf_level_limit=mphf_level_limit,
             )
-        if probe_limit is not None and not defer_valid and mphf_level_limit is None:
+        if (
+            probe_limit is not None
+            and not defer_valid
+            and mphf_level_limit is None
+            and "useqrec" not in d["k2u"].get("us", {})
+        ):
             # phase-2B lanes either never probe (use_skew) or already
             # probed and missed rows [0, probe_limit): the type-split
             # re-probe may start past them (sshash_k2u exactness contract).
             # With defer_valid that miss-proof does NOT hold (a failed
-            # deferred winner suppressed later candidates), so the re-probe
-            # keeps probe_start=0 and full in-loop validation.
+            # deferred winner suppressed later candidates), and with the
+            # useqrec probe a kw-matched-but-unvalidated row is not a
+            # proven miss either — both keep probe_start=0 with full
+            # in-loop validation in the re-probe.
             probe_start = min(int(probe_limit), int(d["k2u"]["meta"].probe_bound))
     if "occ_cnt" in r:
         p = _project_fused(d, r, xp)
@@ -670,6 +730,7 @@ class ModIndex:
         pos_kind: str | None = None,
         prefix_kind: str | None = None,
         uproj: bool = False,
+        useqrec: bool = False,
     ) -> dict:
         # pos_kind/prefix_kind are SSHash layout knobs; other K2Us take no
         # arguments
@@ -693,6 +754,13 @@ class ModIndex:
             # bounds + first two occurrences in ONE row gather
             assert "us" in d["k2u"], "uproj requires a unitig-set K2U (sshash)"
             d["k2u"]["us"]["uproj"] = build_uproj(self.u2pos, self.k2u.unitigs)
+        if useqrec:
+            # round-4 window-record probe: validation + rank + projection
+            # ride the candidate fetch (see build_useqrec; packed pos only)
+            assert "us" in d["k2u"], "useqrec requires a unitig-set K2U"
+            d["k2u"]["us"]["useqrec"] = build_useqrec(
+                self.u2pos, self.k2u.unitigs
+            )
         if fused and d["k2u"]["meta"].kind == "kcdict":
             return d  # kcdict rows already carry the fused occurrence data
         if fused:

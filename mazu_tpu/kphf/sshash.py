@@ -1346,6 +1346,77 @@ def sshash_k2u(
             active = active & (~hit)
         return found, out_uid, out_ulen, out_pos, out_mt, out_ow, out_oc, out_ow2
 
+    def probe_body_usrec(j, state):
+        """Per-32-base WINDOW-RECORD probe (round 4, build_useqrec): the
+        candidate-window fetch (record rows wi, wi+1 — one random + one
+        adjacent gather) carries the containing unitig's extent, id, and
+        projection record inline, so the extent check (== the boundary-bv
+        validity predicate), the rank, and the whole projection tail ride
+        the probe gather — zero post-loop gathers for in-unitig hits.
+
+        A candidate whose k-mer word matches but whose position fails the
+        selected row's extent check (its 96-base window spans a unitig
+        boundary, or the row's unitig is not the candidate's) is marked
+        with the mt==3 sentinel WITHOUT stopping the probe; post-loop
+        such lanes (if still unfound) are reported unresolved and the
+        caller's phase 2 re-probes them from row 0 with full boundary-bv
+        validation — a window that spells the query across a boundary is
+        not a hit, and a true boundary-adjacent hit is recovered there."""
+        found, out_uid, out_ulen, out_pos, out_mt, out_ow, out_oc, out_ow2 = state
+        active = (~found) & (j < n_occs) & (~use_skew)
+        if pos_win is not None and isinstance(j, int):
+            mm_pos = pos_win[j]
+        else:
+            mm_pos = _pos_get(d, xp.clip(ps + j, 0, n_pos - 1), xp)
+        base = xp.clip(mm_pos - (k - w), 0, None)
+        wi = (base * 2) >> 6
+        rec = d["us"]["useqrec"]
+        nrec = rec.shape[0]
+        r0 = rec[xp.clip(wi, 0, nrec - 1)]
+        r1 = rec[xp.clip(wi + 1, 0, nrec - 1)]
+        q0, q1, q2 = r0[..., 0], r0[..., 1], r1[..., 1]
+        woff = ((base * 2) & 63).astype(xp.uint64)
+        m2k = U64((1 << (2 * k)) - 1)
+        u40 = U64((1 << 40) - 1)
+        u32m = U64(0xFFFFFFFF)
+        for cand_off in (offset, rc_offset):
+            km_pos = mm_pos - cand_off
+            in_range = (mm_pos >= cand_off) & (km_pos <= last_km_start)
+            km_pos_c = xp.clip(km_pos, 0, max(last_km_start, 0))
+            dbit = woff + (2 * xp.clip(km_pos_c - base, 0, None)).astype(xp.uint64)
+            s1 = dbit >= 64
+            r = (dbit & U64(63)).astype(xp.uint64)
+            lo_w = xp.where(s1, q1, q0)
+            hi_w = xp.where(s1, q2, q1)
+            hi_shift = (U64(64) - r) & U64(63)
+            hi = xp.where(r == 0, xp.zeros_like(hi_w), hi_w << hi_shift)
+            kw = ((lo_w >> r) | hi) & m2k
+            mt = word_equivalency(fw, rc, kw, k)
+            # record row containing km_pos: wi's window is [32wi, 32wi+64)
+            sel1 = km_pos_c >= (wi + 1) * 32
+            f2 = xp.where(sel1, r1[..., 2], r0[..., 2])
+            ustart = (f2 & u40).astype(xp.int64)
+            ulen = (f2 >> U64(40)).astype(xp.int64)
+            ok = (km_pos_c >= ustart) & (km_pos_c + k <= ustart + ulen)
+            kwm = active & in_range & (mt > 0)
+            hit = kwm & ok
+            f3 = xp.where(sel1, r1[..., 3], r0[..., 3])
+            uid = (f3 & u32m).astype(xp.int64)
+            cnt = (f3 >> U64(32)).astype(xp.int64)
+            ostart = xp.where(sel1, r1[..., 4], r0[..., 4]).astype(xp.int64)
+            out_uid = xp.where(hit, uid, out_uid)
+            out_ulen = xp.where(hit, ulen, out_ulen)
+            out_pos = xp.where(hit, km_pos_c - ustart, out_pos)
+            out_mt = xp.where(
+                hit, mt, xp.where(kwm & (~ok), xp.uint8(3), out_mt)
+            )
+            out_ow = xp.where(hit, xp.where(sel1, r1[..., 5], r0[..., 5]), out_ow)
+            out_ow2 = xp.where(hit, xp.where(sel1, r1[..., 6], r0[..., 6]), out_ow2)
+            out_oc = xp.where(hit, cnt | (ostart << 32), out_oc)
+            found = found | hit
+            active = active & (~hit)
+        return found, out_uid, out_ulen, out_pos, out_mt, out_ow, out_oc, out_ow2
+
     def probe_body_inline(j, state):
         """ONE-row-gather probe: the occurrence row carries ids, extents,
         and the useq words of the whole candidate window."""
@@ -1449,6 +1520,18 @@ def sshash_k2u(
         "fixedcap": probe_body_inline,  # same u32 row layout, direct-addressed
         "fixedcap2": probe_body_inline2,  # pre-aligned rows, direct-addressed
     }.get(m.pos_kind, probe_body_generic)
+    if (
+        mode == "main"
+        and probe_start == 0
+        and m.pos_kind == "packed"
+        and "useqrec" in d.get("us", {})
+    ):
+        # window-record probe: validation + rank + projection ride the
+        # candidate fetch (see build_useqrec). Main-mode only — its
+        # kw-matched-but-unvalidated lanes surface as unresolved, which
+        # full mode has no channel for; and probe_start must be 0 (those
+        # lanes' shallow rows were not proven misses).
+        probe_body = probe_body_usrec
 
     bound = m.probe_bound
     if mode == "main" and probe_limit is not None:
@@ -1459,7 +1542,7 @@ def sshash_k2u(
         bound = min(bound, probe_limit)
     pos_win = None
     if (
-        probe_body is probe_body_generic
+        probe_body in (probe_body_generic, probe_body_usrec)
         and m.pos_kind == "packed"
         and probe_start == 0
         and bound - probe_start <= 8
@@ -1488,8 +1571,16 @@ def sshash_k2u(
 
     found, out_uid, out_ulen, out_pos, out_mt, out_ow, out_oc, out_ow2 = state
     deferred_fail = None
+    maybe = None
     uproj = d["us"].get("uproj")
     uproj_fused = False
+    if probe_body is probe_body_usrec:
+        # mt==3 sentinel: kw-matched candidates the inline extent check
+        # could not validate (window spans a unitig boundary) — cleared
+        # here and routed to the caller's validating phase 2
+        maybe = out_mt == xp.uint8(3)
+        out_mt = xp.where(maybe, xp.zeros_like(out_mt), out_mt)
+        uproj_fused = True  # occ projection fields ride the record rows
     if probe_body is probe_body_generic:
         posw = xp.where(found, out_pos, xp.zeros_like(out_pos))
         uid_r = None
@@ -1571,6 +1662,7 @@ def sshash_k2u(
                 if deferred_fail is not None
                 else xp.zeros_like(found)
             )
+            | (maybe if maybe is not None else xp.zeros_like(found))
             | (
                 mphf_unres
                 if mphf_unres is not None

@@ -504,7 +504,7 @@ class TestCompactTierNonFused:
     positions, EF/flat prefix — the Gbp capacity tier) must equal the
     padded oracle exactly, including the probe_start phase-2B re-probe."""
 
-    def _setup(self, engine, prefix_kind, skew, seed=31, uproj=False):
+    def _setup(self, engine, prefix_kind, skew, seed=31, uproj=False, useqrec=False):
         from mazu_tpu.kmer import revcomp
 
         idx = piscem_index_from_cf_prefix(CHR7, 15, engine=engine, skew_param=skew)
@@ -519,7 +519,8 @@ class TestCompactTierNonFused:
         work[miss] = rng.integers(0, 1 << 62, int(miss.sum()), dtype=np.uint64)
         rng.shuffle(work)
         arrays = idx.device_arrays(
-            pos_kind="packed", prefix_kind=prefix_kind, uproj=uproj
+            pos_kind="packed", prefix_kind=prefix_kind, uproj=uproj,
+            useqrec=useqrec,
         )
         return idx, arrays, work
 
@@ -656,6 +657,77 @@ class TestCompactTierNonFused:
                 np.where(v, got_full[kk], 0),
                 err_msg=kk,
             )
+
+    @pytest.mark.parametrize(
+        "engine,prefix_kind,skew,plim,kw",
+        [
+            # round-4 window-record probe (build_useqrec): validation +
+            # rank + projection ride the candidate fetch
+            ("direct", "grouped16", 64, 2, dict()),
+            ("direct", "flat32", 64, 3, dict()),
+            ("direct", "grouped16", 64, 2, dict(probe_limit2=6, m2c=512)),
+            ("fast32", "grouped16", 64, 2, dict(mphf_level_limit=4)),
+            ("fast32", "flat32", 4, 1, dict()),  # heavy skew traffic
+            ("fast32", "grouped16", 64, 1, dict(probe_limit2=4, m2c=512)),
+            ("parity", "ef", 8, 2, dict()),
+        ],
+    )
+    def test_useqrec_equals_padded(self, engine, prefix_kind, skew, plim, kw):
+        """useqrec window-record probe: the main phase validates, ranks,
+        and projects from the candidate-fetch rows (zero tail gathers);
+        kw-matched-but-unvalidated lanes (boundary windows) must surface
+        as unresolved and resolve in phase 2 — exact vs the padded oracle
+        computed on the NON-useqrec arrays (cross-layout check)."""
+        idx, arrays, work = self._setup(
+            engine, prefix_kind, skew, seed=59, useqrec=True
+        )
+        assert "useqrec" in arrays["k2u"]["us"]
+        plain = idx.device_arrays(pos_kind="packed", prefix_kind=prefix_kind)
+        mo = max(1, idx.max_occs())
+        want = get_ref_pos_padded(plain, work, np, mo)
+        got = get_ref_pos_compact(
+            arrays, work, np, mo, probe_limit=plim, m2=2048, m2b=2048, **kw
+        )
+        assert not bool(got["over_budget"])
+        for kk in ("unitig_id", "pos", "mt", "n_occs"):
+            np.testing.assert_array_equal(want[kk], got[kk], err_msg=kk)
+        v = want["valid"]
+        np.testing.assert_array_equal(got["valid"], v)
+        for kk in ("ref_id", "ref_pos", "orient"):
+            np.testing.assert_array_equal(
+                np.where(v, want[kk], 0), np.where(v, got[kk], 0), err_msg=kk
+            )
+
+    def test_useqrec_boundary_kmers_exact(self):
+        """Every k-mer start within (k + w) bases of a unitig boundary —
+        the windows where the record row's unitig can mismatch the
+        candidate's — must still resolve exactly (via the unresolved ->
+        phase-2 route when the inline extent check fails)."""
+        from mazu_tpu.kmer import revcomp
+
+        idx, arrays, _ = self._setup("direct", "grouped16", 64, useqrec=True)
+        us = idx.k2u.unitigs
+        k = idx.k
+        accum = np.asarray(us.accum, dtype=np.int64)
+        starts = us.kmer_start_positions()
+        uid = np.searchsorted(accum, starts, side="right") - 1
+        near_end = (accum[uid + 1] - starts) <= (k + 15 + 32)
+        near_start = (starts - accum[uid]) <= 32
+        pos = starts[near_end | near_start]
+        assert len(pos) > 100, "fixture lost its boundary coverage"
+        work = us.get_kmer_u64(pos)
+        half = len(work) // 2
+        work[:half] = revcomp(work[:half], k)
+        mo = max(1, idx.max_occs())
+        plain = idx.device_arrays(pos_kind="packed", prefix_kind="grouped16")
+        want = get_ref_pos_padded(plain, work, np, mo)
+        got = get_ref_pos_compact(
+            arrays, work, np, mo, probe_limit=2, m2=len(work), m2b=len(work)
+        )
+        assert not bool(got["over_budget"])
+        assert (got["mt"] > 0).all(), "boundary k-mer missed"
+        for kk in ("unitig_id", "pos", "mt", "n_occs"):
+            np.testing.assert_array_equal(want[kk], got[kk], err_msg=kk)
 
     def test_validate_rank_fused_equals_separate(self):
         """us_validate_rank == (us_is_valid_pos, us_rank) on every k-mer
