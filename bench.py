@@ -319,8 +319,9 @@ def _emit_capacity_tier(ck):
     index = load_index(ck)
     unitigs = index.k2u.unitigs
     nb = int(unitigs.total_len)
+    prefix = os.environ.get("MAZU_BENCH_CAP_PREFIX", "flat32")
     host = {
-        "k2u": index.k2u.device_arrays(prefix_kind="grouped16", pos_kind="packed"),
+        "k2u": index.k2u.device_arrays(prefix_kind=prefix, pos_kind="packed"),
         "u2pos": index.u2pos.device_arrays(),
         "refs": index.refs.device_arrays(),
         "meta": make_meta(k=index.k, index_type=index.index_type),
@@ -331,7 +332,8 @@ def _emit_capacity_tier(ck):
         f"capacity tier: {ck} loaded+arrays {time.time()-t0:.0f}s, "
         f"{tree_bytes(host)/1e9:.2f} GB device"
     )
-    plim = int(os.environ.get("MAZU_BENCH_CAP_PLIM", 3))
+    plim = int(os.environ.get("MAZU_BENCH_CAP_PLIM", 2))
+    plim2 = int(os.environ.get("MAZU_BENCH_CAP_PLIM2", 4)) or None
     CH = int(os.environ.get("MAZU_BENCH_CAP_CH", 8))
     B = int(os.environ.get("MAZU_BENCH_CAP_B", 1 << 20))
     rng = np.random.default_rng(0)
@@ -346,7 +348,7 @@ def _emit_capacity_tier(ck):
     o = get_ref_pos_compact(
         host, kms, np, max(1, index.max_occs()), merge=False,
         probe_limit=plim, m2=max(8192, B // 8), m2b=max(8192, B // 8),
-        defer_valid=True,
+        defer_valid=True, probe_limit2=plim2,
     )
     assert not bool(o["over_budget"])
     chk0 = int(OneGraphIndexQuery.checksum(o, np))
@@ -373,6 +375,7 @@ def _emit_capacity_tier(ck):
     og = OneGraphIndexQuery(
         index, B, n_chunks=CH, m2=fit(na * 1.3), m2b=fit(nbv * 1.15),
         probe_limit=plim, host_arrays=host, defer_valid=True,
+        probe_limit2=plim2,
     )
     d_kms = jax.device_put(jnp.asarray(kms))
     t0 = time.time()
