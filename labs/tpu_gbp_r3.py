@@ -104,7 +104,10 @@ def run_prefix(
     from mazu_tpu.pytree import meta as make_meta
 
     host_arrays = {
-        "k2u": k2u.device_arrays(prefix_kind=prefix_kind, pos_kind="packed"),
+        "k2u": k2u.device_arrays(
+            prefix_kind=prefix_kind, pos_kind="packed",
+            bucket_inline=bool(os.environ.get("MAZU_GBP_BPOS")),
+        ),
         "u2pos": u2pos.device_arrays(),
         "refs": refs.device_arrays(),
         # just the static top-level meta — index.device_arrays() would
@@ -426,6 +429,8 @@ def run_plim(plim, prefix_kind, index, arrays, host_arrays, kms, uid, upos, B, N
     up = "_uproj" if "uproj" in host_arrays["k2u"]["us"] else ""
     if "useqrec" in host_arrays["k2u"]["us"]:
         up += "_usrec"
+    if "bpos" in host_arrays["k2u"]:
+        up += "_bpos"
     print(
         f'{{"metric": "compact_tier_qps_{NB}_{prefix_kind}_plim{plim}'
         f'{"_defer" if dv else ""}{f"_mlim{mlim}" if mlim else ""}'

@@ -63,19 +63,24 @@ def build_uproj(u2pos, unitigs) -> np.ndarray:
 
 def build_useqrec(u2pos, unitigs) -> np.ndarray:
     """Per-32-BASE useq window record for the capacity tier (round 4):
-    u64 rows ``[useq_word_i, useq_word_{i+1}, ustart | ulen<<40,
-    uid | cnt<<32, occ_start, occ_word1, occ_word2]`` (56 B — at the
-    fast-gather row threshold), keyed by useq WORD index i (32 bases).
+    u64 rows ``[w_i, w_{i+1}, w_{i+2}, ustart | ulen<<40, uid | cnt<<32,
+    occ_word1, occ_word2]`` (56 B — at the fast-gather row threshold),
+    keyed by useq WORD index i (32 bases).
 
-    The probe's candidate-window fetch (rows i, i+1 — one random + one
-    adjacent gather) then carries, inline, everything the query tail
-    needs for the unitig containing the candidate position: the extent
-    check (== the boundary-bv validity predicate, see
-    probe_body_generic), the unitig id (no rank), and the uproj
-    projection record (no offsets/ctable gathers). A k-mer whose 96-base
-    window spans a unitig boundary can mismatch the row's unitig record;
-    such lanes are flagged unresolved and resolve in the caller's
-    validating phase 2 — the exactness contract is unchanged.
+    ONE row gather per probe iteration then carries the whole 96-base
+    candidate window AND everything the query tail needs for the unitig
+    containing base 32i: the extent check (== the boundary-bv validity
+    predicate, see probe_body_generic), the unitig id (no rank), and the
+    projection record (no offsets/ctable gathers). Measured round 4: the
+    TPU query is bound by GATHER-OP COUNT (each ~20 ns at issue rate,
+    adjacency irrelevant; the extraction ALU is free — see
+    labs/tpu_usrec_attr.py), so folding the second window word and the
+    record into one row is the whole game. A candidate whose k-mer sits
+    past a unitig boundary relative to the row's unitig (or whose window
+    spans one) fails the inline extent check, is flagged unresolved, and
+    resolves in the caller's validating phase 2 — exactness unchanged.
+    occ_start is NOT carried (56 B budget): cnt>2 (type-A) lanes
+    re-gather their occurrence bounds in the compacted phase.
 
     Cost: 1.75 B/base of device memory — the ≤1 Gbp speed-at-capacity
     layout; the 3 Gbp tier keeps the lean words2+wb2 arrays.
@@ -96,12 +101,13 @@ def build_useqrec(u2pos, unitigs) -> np.ndarray:
     assert int(ulen.max(initial=0)) < 1 << 24, "ulen rides in 24 bits"
     assert len(accum) - 1 < 1 << 32, "uid rides in 32 bits"
     coc = up[uid, 2]  # cnt | occ_start<<32
+    wp = np.concatenate([words, np.zeros(2, dtype=np.uint64)])
     rec = np.empty((nw, 7), dtype=np.uint64)
-    rec[:, 0] = words
-    rec[:, 1] = np.concatenate([words[1:], words[-1:]]) if nw else words
-    rec[:, 2] = ustart | (ulen << np.uint64(40))
-    rec[:, 3] = uid.astype(np.uint64) | ((coc & np.uint64(0xFFFFFFFF)) << np.uint64(32))
-    rec[:, 4] = coc >> np.uint64(32)
+    rec[:, 0] = wp[:nw]
+    rec[:, 1] = wp[1 : nw + 1]
+    rec[:, 2] = wp[2 : nw + 2]
+    rec[:, 3] = ustart | (ulen << np.uint64(40))
+    rec[:, 4] = uid.astype(np.uint64) | ((coc & np.uint64(0xFFFFFFFF)) << np.uint64(32))
     rec[:, 5] = up[uid, 3]
     rec[:, 6] = up[uid, 4]
     return rec
@@ -731,15 +737,19 @@ class ModIndex:
         prefix_kind: str | None = None,
         uproj: bool = False,
         useqrec: bool = False,
+        bucket_inline: bool = False,
     ) -> dict:
         # pos_kind/prefix_kind are SSHash layout knobs; other K2Us take no
         # arguments
         k2u_takes_kinds = (
-            pos_kind is not None or prefix_kind is not None
+            pos_kind is not None or prefix_kind is not None or bucket_inline
         ) and hasattr(self.k2u, "pos")
         d = {
             "k2u": (
-                self.k2u.device_arrays(prefix_kind=prefix_kind, pos_kind=pos_kind)
+                self.k2u.device_arrays(
+                    prefix_kind=prefix_kind, pos_kind=pos_kind,
+                    bucket_inline=bucket_inline,
+                )
                 if k2u_takes_kinds
                 else self.k2u.device_arrays()
             ),

@@ -677,7 +677,12 @@ class SSHash:
         log(f"bits / kmer: {self.num_bits() / nk:.3f}")
 
     # --------------------------------------------------------------- device
-    def device_arrays(self, prefix_kind: str | None = None, pos_kind: str | None = None) -> dict:
+    def device_arrays(
+        self,
+        prefix_kind: str | None = None,
+        pos_kind: str | None = None,
+        bucket_inline: bool = False,
+    ) -> dict:
         """Array layout knobs:
 
         - ``prefix_kind``: "ef" = Elias-Fano bucket bounds (reference
@@ -686,6 +691,15 @@ class SSHash:
           "flat32" for fast32.
         - ``pos_kind``: "packed" = minimal-width IntVector (parity);
           "flat32" = int32 array (1-gather fast path). Same defaults.
+        - ``bucket_inline``: add a direct-addressed ``bpos`` u32[T, 4]
+          table = (pos0, pos1, pos2, count) per bucket — the MAIN-phase
+          shallow probe (probe_limit <= 3) then reads bucket bounds AND
+          its candidate positions in ONE gather instead of the 4-6
+          prefix/pos-window gathers (round 4: the query is bound by
+          gather-OP count, ~20 ns each — labs/tpu_usrec_attr.py). 16
+          B/bucket on top of the packed arrays (which phases 2/2B still
+          use) — the <=1 Gbp speed-at-capacity knob. Requires
+          total_len < 2^31.
         """
         if pos_kind is None:
             # inline+prefix measured faster than fixedcap (dense rows beat
@@ -950,6 +964,21 @@ class SSHash:
                 }
         else:
             d["prefix"] = {"flat": self.occs_prefix_sum}
+        if bucket_inline:
+            assert self.unitigs.total_len < (1 << 31), (
+                "bucket_inline positions ride in u32"
+            )
+            p = self.occs_prefix_sum.astype(np.int64)
+            posv = self.pos.to_array()
+            cnt = p[1:] - p[:-1]
+            hi = max(len(posv) - 1, 0)
+            bp = np.zeros((len(cnt), 4), dtype=np.uint32)
+            for j in range(3):
+                bp[:, j] = posv[np.clip(p[:-1] + j, 0, hi)].astype(
+                    np.uint32
+                ) * (cnt > j)
+            bp[:, 3] = np.minimum(cnt, 0xFFFFFFFF).astype(np.uint32)
+            d["bpos"] = bp
         if self.skew_mphf is not None:
             d["skew_mphf"] = self.skew_mphf.device_arrays()
             d["skew_pos"] = self.skew_pos.device_arrays()
@@ -1138,18 +1167,37 @@ def sshash_k2u(
     offset = offset.astype(xp.int64)
 
     mphf_unres = None  # truncated-MPHF lanes needing a full phase-2 lookup
+    # bucket-inline MAIN probe (round 4): ONE bpos row gather replaces
+    # the bucket-bounds gathers AND the packed pos window — bounds +
+    # first-3 positions + count in 16B. Main-mode shallow probes only
+    # (phases 2/2B keep the prefix/packed arrays).
+    use_bpos = (
+        "bpos" in d
+        and mode == "main"
+        and probe_start == 0
+        and bucket_range is None
+        and probe_limit is not None
+        and 0 < probe_limit <= d["bpos"].shape[1] - 1
+    )
+    brow = None
     if m.direct_t:
         from .boophf32 import fold_hash32
 
         hc = (fold_hash32(mm) & np.uint32(m.direct_t - 1)).astype(xp.int64)
-        if bucket_range is not None:
+        if use_bpos:
+            brow = d["bpos"][hc]
+            n_occs = brow[..., 3].astype(xp.int64)
+            ps = xp.zeros_like(n_occs)
+        elif bucket_range is not None:
             assert m.pos_kind != "fixedcap" and "flat2" in d.get("prefix", {}), (
                 "bucket_range requires the direct engine with flat2 prefix rows"
             )
             lo_b, hi_b = bucket_range
             mine = (hc >= lo_b) & (hc < hi_b)
             hc = xp.clip(hc - lo_b, 0, d["prefix"]["flat2"].shape[0] - 1)
-        if m.pos_kind in ("fixedcap", "fixedcap2"):
+        if use_bpos:
+            pass  # bounds + positions already read from the bpos row
+        elif m.pos_kind in ("fixedcap", "fixedcap2"):
             # direct row addressing: bucket b's rows at [b*B, (b+1)*B) —
             # no bucket-bounds gather. Slot 0's uid field flags heavy
             # (skew) buckets; invalid slots self-reject in verification
@@ -1192,14 +1240,21 @@ def sshash_k2u(
         else:
             h = mphf_lookup(d["mphf"], mm, xp).astype(xp.int64)
         hc = xp.clip(h, 0, None)
-        if "flat2" in d.get("prefix", {}):
+        if use_bpos:
+            brow = d["bpos"][hc]
+            n_occs = brow[..., 3].astype(xp.int64)
+            ps = xp.zeros_like(n_occs)
+        elif "flat2" in d.get("prefix", {}):
             pair = d["prefix"]["flat2"][hc]
             ps = pair[..., 0].astype(xp.int64)
             pe = pair[..., 1].astype(xp.int64)
         else:
             ps = _prefix_get(d, hc, xp)
             pe = _prefix_get(d, hc + 1, xp)
-        n_occs = xp.where(h < 0, xp.zeros_like(pe), pe - ps)
+        if not use_bpos:
+            n_occs = xp.where(h < 0, xp.zeros_like(pe), pe - ps)
+        else:
+            n_occs = xp.where(h < 0, xp.zeros_like(n_occs), n_occs)
 
     if m.pos_kind in ("fixedcap", "fixedcap2"):
         use_skew = row0[..., 1] == np.uint32(0xFFFFFFFE)
@@ -1347,18 +1402,21 @@ def sshash_k2u(
         return found, out_uid, out_ulen, out_pos, out_mt, out_ow, out_oc, out_ow2
 
     def probe_body_usrec(j, state):
-        """Per-32-base WINDOW-RECORD probe (round 4, build_useqrec): the
-        candidate-window fetch (record rows wi, wi+1 — one random + one
-        adjacent gather) carries the containing unitig's extent, id, and
-        projection record inline, so the extent check (== the boundary-bv
-        validity predicate), the rank, and the whole projection tail ride
-        the probe gather — zero post-loop gathers for in-unitig hits.
+        """Per-32-base WINDOW-RECORD probe (round 4, build_useqrec): ONE
+        56B row gather per iteration carries the whole 96-base candidate
+        window plus the containing unitig's extent, id, and projection
+        record — the extent check (== the boundary-bv validity
+        predicate), the rank, and the whole projection tail ride the
+        probe gather; zero post-loop gathers for in-unitig hits. The TPU
+        query is bound by gather-OP count (~20 ns each at issue rate,
+        adjacency irrelevant, extraction ALU free — STATUS round 4), so
+        one row per iteration is the design point.
 
-        A candidate whose k-mer word matches but whose position fails the
-        selected row's extent check (its 96-base window spans a unitig
-        boundary, or the row's unitig is not the candidate's) is marked
-        with the mt==3 sentinel WITHOUT stopping the probe; post-loop
-        such lanes (if still unfound) are reported unresolved and the
+        A candidate whose k-mer word matches but whose position fails
+        the row's extent check (its window spans a unitig boundary, or
+        the candidate lies in the unitig after the row's) is marked with
+        the mt==3 sentinel WITHOUT stopping the probe; post-loop such
+        lanes (if still unfound) are reported unresolved and the
         caller's phase 2 re-probes them from row 0 with full boundary-bv
         validation — a window that spells the query across a boundary is
         not a hit, and a true boundary-adjacent hit is recovered there."""
@@ -1373,12 +1431,15 @@ def sshash_k2u(
         rec = d["us"]["useqrec"]
         nrec = rec.shape[0]
         r0 = rec[xp.clip(wi, 0, nrec - 1)]
-        r1 = rec[xp.clip(wi + 1, 0, nrec - 1)]
-        q0, q1, q2 = r0[..., 0], r0[..., 1], r1[..., 1]
+        q0, q1, q2 = r0[..., 0], r0[..., 1], r0[..., 2]
+        f2 = r0[..., 3]
+        ustart = (f2 & U64((1 << 40) - 1)).astype(xp.int64)
+        ulen = (f2 >> U64(40)).astype(xp.int64)
+        f3 = r0[..., 4]
+        uid = (f3 & U64(0xFFFFFFFF)).astype(xp.int64)
+        cnt = (f3 >> U64(32)).astype(xp.int64)
         woff = ((base * 2) & 63).astype(xp.uint64)
         m2k = U64((1 << (2 * k)) - 1)
-        u40 = U64((1 << 40) - 1)
-        u32m = U64(0xFFFFFFFF)
         for cand_off in (offset, rc_offset):
             km_pos = mm_pos - cand_off
             in_range = (mm_pos >= cand_off) & (km_pos <= last_km_start)
@@ -1392,27 +1453,18 @@ def sshash_k2u(
             hi = xp.where(r == 0, xp.zeros_like(hi_w), hi_w << hi_shift)
             kw = ((lo_w >> r) | hi) & m2k
             mt = word_equivalency(fw, rc, kw, k)
-            # record row containing km_pos: wi's window is [32wi, 32wi+64)
-            sel1 = km_pos_c >= (wi + 1) * 32
-            f2 = xp.where(sel1, r1[..., 2], r0[..., 2])
-            ustart = (f2 & u40).astype(xp.int64)
-            ulen = (f2 >> U64(40)).astype(xp.int64)
             ok = (km_pos_c >= ustart) & (km_pos_c + k <= ustart + ulen)
             kwm = active & in_range & (mt > 0)
             hit = kwm & ok
-            f3 = xp.where(sel1, r1[..., 3], r0[..., 3])
-            uid = (f3 & u32m).astype(xp.int64)
-            cnt = (f3 >> U64(32)).astype(xp.int64)
-            ostart = xp.where(sel1, r1[..., 4], r0[..., 4]).astype(xp.int64)
             out_uid = xp.where(hit, uid, out_uid)
             out_ulen = xp.where(hit, ulen, out_ulen)
             out_pos = xp.where(hit, km_pos_c - ustart, out_pos)
             out_mt = xp.where(
                 hit, mt, xp.where(kwm & (~ok), xp.uint8(3), out_mt)
             )
-            out_ow = xp.where(hit, xp.where(sel1, r1[..., 5], r0[..., 5]), out_ow)
-            out_ow2 = xp.where(hit, xp.where(sel1, r1[..., 6], r0[..., 6]), out_ow2)
-            out_oc = xp.where(hit, cnt | (ostart << 32), out_oc)
+            out_ow = xp.where(hit, r0[..., 5], out_ow)
+            out_ow2 = xp.where(hit, r0[..., 6], out_ow2)
+            out_oc = xp.where(hit, cnt, out_oc)
             found = found | hit
             active = active & (~hit)
         return found, out_uid, out_ulen, out_pos, out_mt, out_ow, out_oc, out_ow2
@@ -1541,7 +1593,11 @@ def sshash_k2u(
         # compacted overflow pass (see get_ref_pos_compact)
         bound = min(bound, probe_limit)
     pos_win = None
-    if (
+    if use_bpos and probe_body in (probe_body_generic, probe_body_usrec):
+        # candidate positions came inline with the bpos row — the whole
+        # shallow loop runs with ZERO position gathers
+        pos_win = [brow[..., j].astype(xp.int64) for j in range(bound)]
+    elif (
         probe_body in (probe_body_generic, probe_body_usrec)
         and m.pos_kind == "packed"
         and probe_start == 0
@@ -1574,6 +1630,7 @@ def sshash_k2u(
     maybe = None
     uproj = d["us"].get("uproj")
     uproj_fused = False
+    usrec_fused = False
     if probe_body is probe_body_usrec:
         # mt==3 sentinel: kw-matched candidates the inline extent check
         # could not validate (window spans a unitig boundary) — cleared
@@ -1581,6 +1638,7 @@ def sshash_k2u(
         maybe = out_mt == xp.uint8(3)
         out_mt = xp.where(maybe, xp.zeros_like(out_mt), out_mt)
         uproj_fused = True  # occ projection fields ride the record rows
+        usrec_fused = True  # ... but occ_start does NOT (56B row budget)
     if probe_body is probe_body_generic:
         posw = xp.where(found, out_pos, xp.zeros_like(out_pos))
         uid_r = None
@@ -1681,13 +1739,17 @@ def sshash_k2u(
             if m.pos_kind in ("inline2", "fixedcap2"):
                 out["occ_word2"] = out_ow2
         elif uproj_fused:
-            # capacity-tier fused projection data from the uproj record
-            # (width 2: occ_word2 present) — use_skew/unresolved lanes
-            # carry zeros and resolve in the caller's phase 2
+            # capacity-tier fused projection data from the uproj/useqrec
+            # record (width 2: occ_word2 present) — use_skew/unresolved
+            # lanes carry zeros and resolve in the caller's phase 2
             out["occ_word"] = out_ow
             out["occ_word2"] = out_ow2
             out["occ_cnt"] = out_oc & 0xFFFFFFFF
-            out["occ_start"] = out_oc >> 32
+            if not usrec_fused:
+                # useqrec rows do not carry occ_start (56B budget): the
+                # key must be ABSENT so cnt>2 (type-A) lanes re-gather
+                # their occurrence bounds in the compacted phase
+                out["occ_start"] = out_oc >> 32
         return out
     out_uid, out_ulen, out_pos, out_mt, out_ow, out_oc = skew_resolve(
         d,

@@ -504,7 +504,10 @@ class TestCompactTierNonFused:
     positions, EF/flat prefix — the Gbp capacity tier) must equal the
     padded oracle exactly, including the probe_start phase-2B re-probe."""
 
-    def _setup(self, engine, prefix_kind, skew, seed=31, uproj=False, useqrec=False):
+    def _setup(
+        self, engine, prefix_kind, skew, seed=31, uproj=False, useqrec=False,
+        bucket_inline=False,
+    ):
         from mazu_tpu.kmer import revcomp
 
         idx = piscem_index_from_cf_prefix(CHR7, 15, engine=engine, skew_param=skew)
@@ -520,7 +523,7 @@ class TestCompactTierNonFused:
         rng.shuffle(work)
         arrays = idx.device_arrays(
             pos_kind="packed", prefix_kind=prefix_kind, uproj=uproj,
-            useqrec=useqrec,
+            useqrec=useqrec, bucket_inline=bucket_inline,
         )
         return idx, arrays, work
 
@@ -682,6 +685,48 @@ class TestCompactTierNonFused:
             engine, prefix_kind, skew, seed=59, useqrec=True
         )
         assert "useqrec" in arrays["k2u"]["us"]
+        plain = idx.device_arrays(pos_kind="packed", prefix_kind=prefix_kind)
+        mo = max(1, idx.max_occs())
+        want = get_ref_pos_padded(plain, work, np, mo)
+        got = get_ref_pos_compact(
+            arrays, work, np, mo, probe_limit=plim, m2=2048, m2b=2048, **kw
+        )
+        assert not bool(got["over_budget"])
+        for kk in ("unitig_id", "pos", "mt", "n_occs"):
+            np.testing.assert_array_equal(want[kk], got[kk], err_msg=kk)
+        v = want["valid"]
+        np.testing.assert_array_equal(got["valid"], v)
+        for kk in ("ref_id", "ref_pos", "orient"):
+            np.testing.assert_array_equal(
+                np.where(v, want[kk], 0), np.where(v, got[kk], 0), err_msg=kk
+            )
+
+    @pytest.mark.parametrize(
+        "engine,prefix_kind,skew,plim,useqrec,kw",
+        [
+            # round-4 bucket-inline bpos table: bounds + first-3 positions
+            # + count in ONE row gather (main phase only)
+            ("direct", "grouped16", 64, 2, True, dict()),
+            ("direct", "grouped16", 64, 3, True, dict(probe_limit2=6, m2c=512)),
+            ("direct", "flat32", 64, 1, True, dict()),
+            ("direct", "grouped16", 64, 2, False, dict(defer_valid=True)),
+            ("fast32", "grouped16", 64, 2, True, dict(mphf_level_limit=4)),
+            ("fast32", "flat32", 4, 2, True, dict()),  # heavy skew traffic
+            ("parity", "ef", 8, 2, True, dict()),
+        ],
+    )
+    def test_bucket_inline_equals_padded(
+        self, engine, prefix_kind, skew, plim, useqrec, kw
+    ):
+        """bpos bucket-inline table: the main phase reads bounds AND its
+        candidate positions from one direct-addressed row; phases 2/2B
+        keep the prefix/packed arrays. Exact vs the padded oracle on the
+        plain arrays, with and without the useqrec probe on top."""
+        idx, arrays, work = self._setup(
+            engine, prefix_kind, skew, seed=61, useqrec=useqrec,
+            bucket_inline=True,
+        )
+        assert "bpos" in arrays["k2u"]
         plain = idx.device_arrays(pos_kind="packed", prefix_kind=prefix_kind)
         mo = max(1, idx.max_occs())
         want = get_ref_pos_padded(plain, work, np, mo)
