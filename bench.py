@@ -309,7 +309,7 @@ def _emit_capacity_tier(ck):
     import jax
     import jax.numpy as jnp
 
-    from mazu_tpu.index.modindex import build_uproj, get_ref_pos_compact
+    from mazu_tpu.index.modindex import get_ref_pos_compact
     from mazu_tpu.index.pipeline import OneGraphIndexQuery
     from mazu_tpu.io.checkpoint import load_index
     from mazu_tpu.kmer import revcomp
@@ -319,15 +319,24 @@ def _emit_capacity_tier(ck):
     index = load_index(ck)
     unitigs = index.k2u.unitigs
     nb = int(unitigs.total_len)
-    prefix = os.environ.get("MAZU_BENCH_CAP_PREFIX", "flat32")
+    prefix = os.environ.get("MAZU_BENCH_CAP_PREFIX", "grouped16")
     host = {
-        "k2u": index.k2u.device_arrays(prefix_kind=prefix, pos_kind="packed"),
+        # round-4 tuned capacity config: bucket-inline bpos (bounds +
+        # first-3 positions in ONE gather) + useqrec window records (one
+        # row per probe iteration) — 8.1M q/s measured at 300Mbp
+        "k2u": index.k2u.device_arrays(
+            prefix_kind=prefix, pos_kind="packed", bucket_inline=True
+        ),
         "u2pos": index.u2pos.device_arrays(),
         "refs": index.refs.device_arrays(),
         "meta": make_meta(k=index.k, index_type=index.index_type),
     }
     host["refs"].pop("seq", None)
-    host["k2u"]["us"]["uproj"] = build_uproj(index.u2pos, index.k2u.unitigs)
+    from mazu_tpu.index.modindex import build_useqrec
+
+    host["k2u"]["us"]["useqrec"] = build_useqrec(
+        index.u2pos, index.k2u.unitigs
+    )
     log(
         f"capacity tier: {ck} loaded+arrays {time.time()-t0:.0f}s, "
         f"{tree_bytes(host)/1e9:.2f} GB device"
