@@ -139,6 +139,19 @@ def run_prefix(
         # paired words2 serves every query-path read; the flat words copy
         # is only the fallback branch — dropping it saves ~0.75 GB at 3Gbp
         host_arrays["k2u"]["us"]["useq"].pop("words")
+    if os.environ.get("MAZU_GBP_LEAN"):
+        # 3Gbp single-chip fit: drop the PAIRED layouts instead (probe
+        # pays +1 gather op per iteration, validate falls back to the
+        # plain boundary-bv window) — words2+wb2 are ~2.25 GB at 3Gbp
+        us_ = host_arrays["k2u"]["us"]
+        if "words2" in us_["useq"]:
+            if "words" not in us_["useq"]:
+                us_["useq"]["words"] = np.ascontiguousarray(
+                    us_["useq"]["words2"][:, 0]
+                )
+            us_["useq"].pop("words2")
+        us_["bv"].pop("wb2", None)
+        log("LEAN: dropped words2/wb2 paired layouts")
     log(
         f"host arrays ({prefix_kind}) {time.time()-t0:.0f}s, device footprint "
         f"{tree_bytes(host_arrays)/1e9:.2f} GB"
