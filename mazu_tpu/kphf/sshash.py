@@ -943,6 +943,29 @@ class SSHash:
                 "gbase": base,
                 "gdelta": delta.astype(np.uint16),
             }
+        elif prefix_kind == "grouped32":
+            # grouped16's two-level prefix with PAIRED access arrays
+            # (round 4: the wall is per gather OP): gd2[i] packs the
+            # in-group deltas of buckets i and i+1 in one u32, gb2[g]
+            # pairs the group bases of g and g+1 in one 16B row — BOTH
+            # bucket bounds in 2 gather ops (grouped16 pays 4).
+            # ~4.03 B/bucket (vs 2.06 grouped16, 8 flat2).
+            p = self.occs_prefix_sum
+            base = np.ascontiguousarray(p[::1024]).astype(np.int64)
+            delta = p - base[np.arange(len(p), dtype=np.int64) >> 10]
+            if int(delta.max(initial=0)) >= (1 << 16):
+                raise ValueError(
+                    "grouped32 prefix overflow: a 1024-bucket group holds "
+                    ">= 2^16 occurrences — use prefix_kind='ef' for this "
+                    "(pathologically skewed) minimizer distribution"
+                )
+            d16 = delta.astype(np.uint32)
+            gd2 = d16[:-1] | (d16[1:] << np.uint32(16))
+            bp = np.concatenate([base, base[-1:]])
+            d["prefix"] = {
+                "gd2": gd2,
+                "gb2": np.stack([bp[:-1], bp[1:]], axis=1),
+            }
         elif prefix_kind == "flat32":
             sp = getattr(self, "_sparse_prefix", None)
             pairs = None
@@ -1036,7 +1059,36 @@ def _prefix_get(d: dict, i, xp):
             d["prefix"]["gbase"][i >> 10].astype(xp.int64)
             + d["prefix"]["gdelta"][i].astype(xp.int64)
         )
+    if pk == "grouped32":
+        gd2 = d["prefix"]["gd2"]
+        lo = xp.clip(i, 0, gd2.shape[0] - 1)
+        dpair = gd2[lo]
+        dlt = xp.where(
+            i == lo,
+            dpair & np.uint32(0xFFFF),
+            dpair >> np.uint32(16),  # i == T reads the high half of T-1
+        ).astype(xp.int64)
+        return d["prefix"]["gb2"][i >> 10, 0].astype(xp.int64) + dlt
     return d["prefix"]["flat"][i].astype(xp.int64)
+
+
+def _prefix_pair(d: dict, i, xp):
+    """Both bucket bounds ``(p[i], p[i+1])``. grouped32 resolves them in
+    TWO gather ops (one u32 delta pair + one 16B base-pair row — round
+    4: the wall is per gather op); other kinds fall back to two
+    ``_prefix_get`` calls."""
+    if d["meta"].prefix_kind == "grouped32":
+        dpair = d["prefix"]["gd2"][i]
+        g = i >> 10
+        gb = d["prefix"]["gb2"][g]
+        ps = gb[..., 0].astype(xp.int64) + (dpair & np.uint32(0xFFFF)).astype(
+            xp.int64
+        )
+        crosses = ((i + 1) >> 10) != g
+        pe_base = xp.where(crosses, gb[..., 1], gb[..., 0]).astype(xp.int64)
+        pe = pe_base + (dpair >> np.uint32(16)).astype(xp.int64)
+        return ps, pe
+    return _prefix_get(d, i, xp), _prefix_get(d, i + 1, xp)
 
 
 def _pos_get(d: dict, i, xp):
@@ -1227,8 +1279,7 @@ def sshash_k2u(
             if bucket_range is not None:
                 n_occs = xp.where(mine, n_occs, xp.zeros_like(n_occs))
         else:
-            ps = _prefix_get(d, hc, xp)
-            pe = _prefix_get(d, hc + 1, xp)
+            ps, pe = _prefix_pair(d, hc, xp)
             n_occs = pe - ps
     else:
         assert bucket_range is None, "bucket_range requires engine='direct'"
@@ -1249,8 +1300,7 @@ def sshash_k2u(
             ps = pair[..., 0].astype(xp.int64)
             pe = pair[..., 1].astype(xp.int64)
         else:
-            ps = _prefix_get(d, hc, xp)
-            pe = _prefix_get(d, hc + 1, xp)
+            ps, pe = _prefix_pair(d, hc, xp)
         if not use_bpos:
             n_occs = xp.where(h < 0, xp.zeros_like(pe), pe - ps)
         else:

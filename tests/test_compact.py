@@ -533,6 +533,8 @@ class TestCompactTierNonFused:
             ("fast32", "flat32", 64, 2, None),
             ("fast32", "ef", 64, 2, 512),
             ("fast32", "grouped16", 64, 2, 512),  # the 3Gbp capacity config
+            ("fast32", "grouped32", 64, 2, 512),  # r4 paired-bounds variant
+            ("direct", "grouped32", 64, 3, 512),
             ("fast32", "flat32", 4, 1, 512),  # heavy skew traffic
             ("parity", "ef", 8, 2, 512),
             ("parity", "grouped16", 8, 2, 512),
@@ -670,6 +672,7 @@ class TestCompactTierNonFused:
             ("direct", "flat32", 64, 3, dict()),
             ("direct", "grouped16", 64, 2, dict(probe_limit2=6, m2c=512)),
             ("fast32", "grouped16", 64, 2, dict(mphf_level_limit=4)),
+            ("fast32", "grouped32", 64, 2, dict(mphf_level_limit=4)),
             ("fast32", "flat32", 4, 1, dict()),  # heavy skew traffic
             ("fast32", "grouped16", 64, 1, dict(probe_limit2=4, m2c=512)),
             ("parity", "ef", 8, 2, dict()),
@@ -707,6 +710,7 @@ class TestCompactTierNonFused:
             # round-4 bucket-inline bpos table: bounds + first-3 positions
             # + count in ONE row gather (main phase only)
             ("direct", "grouped16", 64, 2, True, dict()),
+            ("direct", "grouped32", 64, 2, True, dict()),
             ("direct", "grouped16", 64, 3, True, dict(probe_limit2=6, m2c=512)),
             ("direct", "flat32", 64, 1, True, dict()),
             ("direct", "grouped16", 64, 2, False, dict(defer_valid=True)),
