@@ -76,6 +76,11 @@ TIERS = (
     # + 2 map + 2 projection random gathers), small phase 2b
     Tier("capacity r3 (direct+flat32 packed, 300Mbp, plim=3)", 0.0, 9.0, 4.0, 1.10,
          3.07, "STATUS r3 direct-engine table"),
+    # round-4 gather-OP diet (the wall is per gather op; extraction ALU
+    # free): bpos bucket-inline row (bounds + first-3 positions) + 2
+    # useqrec window-record rows = 3 ops, middle-phase p2x4 overhead
+    Tier("capacity r4 (direct+bpos+useqrec, 300Mbp, plim=2)", 0.0, 3.0, 1.0, 1.25,
+         8.10, "STATUS r4 bpos/useqrec table"),
 )
 
 
