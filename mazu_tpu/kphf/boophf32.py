@@ -193,9 +193,21 @@ class BooPHF32:
         else:
             fh_vals = self.fh_vals
         nb = tuple(int(n) for (n, _, _) in self.levels)
+        # paired word|rank rows (round 4: the TPU wall is per gather OP):
+        # mrows[i] = level word i | (GLOBAL cumulative popcount below
+        # word i) << 32 — the stored values are rank-offset across levels
+        # (level padding words are zero, so the straight cumsum over the
+        # concatenated padded words IS the global offset). The level
+        # bit-test gather then carries the whole rank, collapsing the
+        # 9-op block-rank tail (1 ranks + 7 loop words + 1 masked word)
+        # to ZERO post-loop gathers.
+        pc = np.bitwise_count(words.astype(np.uint32)).astype(np.uint64)
+        csum = np.concatenate([[0], np.cumsum(pc)[:-1]]).astype(np.uint64)
+        mrows = words.astype(np.uint64) | (csum << np.uint64(32))
         return {
             "words": words,
             "ranks": ranks,
+            "mrows": mrows,
             "fh_keys": fh_keys,
             "fh_vals": fh_vals,
             "meta": BooPHF32Meta(
@@ -232,43 +244,70 @@ def boophf32_lookup(d: dict, keys, xp, level_limit: int | None = None):
     n_levels = len(meta.n_bits)
     n_test = n_levels if level_limit is None else min(max(int(level_limit), 1), n_levels)
     s0, s1 = key_fold32(keys)
+    use_mrows = "mrows" in d
     hit_level = None
     hit_pos = None
+    hit_rank = None
     for li in range(n_test):
         h, s0, s1 = chain_next(s0, s1)
         pos = (h & U32(meta.n_bits[li] - 1)).astype(xp.int32)
         woff = meta.word_offsets[li]
-        bit = (
-            (d["words"][woff + (pos >> 5)] >> (pos.astype(xp.uint32) & U32(31))) & U32(1)
-        ) != 0
+        if use_mrows:
+            # paired word|rank row: the level bit-test gather ALSO
+            # carries the per-level rank below this word — the whole
+            # lookup is n_test gather ops, no rank tail (round 4)
+            row = d["mrows"][woff + (pos >> 5)]
+            wrd = (row & np.uint64(0xFFFFFFFF)).astype(xp.uint32)
+            bit = ((wrd >> (pos.astype(xp.uint32) & U32(31))) & U32(1)) != 0
+            off = (pos & 31).astype(xp.uint32)
+            mask = xp.where(
+                off == 0, U32(0), (~U32(0)).astype(xp.uint32) >> (U32(32) - off)
+            )
+            r_li = (row >> np.uint64(32)).astype(xp.int32) + _popcount(
+                xp, wrd & mask
+            )
+        else:
+            bit = (
+                (d["words"][woff + (pos >> 5)] >> (pos.astype(xp.uint32) & U32(31)))
+                & U32(1)
+            ) != 0
+            r_li = None
         if hit_level is None:
             hit_level = xp.where(bit, xp.int32(0), xp.int32(-1))
             hit_pos = xp.where(bit, pos, xp.zeros_like(pos))
+            if use_mrows:
+                hit_rank = xp.where(bit, r_li, xp.zeros_like(r_li))
         else:
             newly = bit & (hit_level < 0)
             hit_level = xp.where(newly, xp.int32(li), hit_level)
             hit_pos = xp.where(newly, pos, hit_pos)
+            if use_mrows:
+                hit_rank = xp.where(newly, r_li, hit_rank)
     if hit_level is None:
         hit_level = xp.full(xp.shape(keys), -1, dtype=xp.int32)
         hit_pos = xp.zeros(xp.shape(keys), dtype=xp.int32)
+        hit_rank = xp.zeros(xp.shape(keys), dtype=xp.int32)
 
-    lvl = xp.clip(hit_level, 0, max(n_levels - 1, 0))
-    woff_t = xp.asarray(np.array(meta.word_offsets or (0,), dtype=np.int32))
-    roff_t = xp.asarray(np.array(meta.rank_offsets or (0,), dtype=np.int32))
-    wo = woff_t[lvl]
-    ro = roff_t[lvl]
-    word_idx = hit_pos >> 5
-    block = hit_pos >> 8
-    block_start = block << 3
-    r = d["ranks"][ro + block].astype(xp.int32)
-    for i in range(7):
-        wid = block_start + i
-        w = d["words"][wo + wid]
-        use = wid < word_idx
-        r = r + xp.where(use, _popcount(xp, w), xp.zeros_like(r))
-    off = (hit_pos & 31).astype(xp.uint32)
-    mask = xp.where(off == 0, U32(0), (~U32(0)).astype(xp.uint32) >> (U32(32) - off))
-    r = r + _popcount(xp, d["words"][wo + word_idx] & mask)
+    if use_mrows:
+        r = hit_rank
+    else:
+        lvl = xp.clip(hit_level, 0, max(n_levels - 1, 0))
+        woff_t = xp.asarray(np.array(meta.word_offsets or (0,), dtype=np.int32))
+        roff_t = xp.asarray(np.array(meta.rank_offsets or (0,), dtype=np.int32))
+        wo = woff_t[lvl]
+        ro = roff_t[lvl]
+        word_idx = hit_pos >> 5
+        block = hit_pos >> 8
+        block_start = block << 3
+        r = d["ranks"][ro + block].astype(xp.int32)
+        for i in range(7):
+            wid = block_start + i
+            w = d["words"][wo + wid]
+            use = wid < word_idx
+            r = r + xp.where(use, _popcount(xp, w), xp.zeros_like(r))
+        off = (hit_pos & 31).astype(xp.uint32)
+        mask = xp.where(off == 0, U32(0), (~U32(0)).astype(xp.uint32) >> (U32(32) - off))
+        r = r + _popcount(xp, d["words"][wo + word_idx] & mask)
 
     res = xp.where(hit_level >= 0, r, xp.full(xp.shape(keys), -1, dtype=xp.int32))
 

@@ -170,3 +170,35 @@ def test_cpp_example_fixtures(name):
         )
         got = mphf.lookup(keys)
         np.testing.assert_array_equal(got, want, err_msg=f"{name}/{section}")
+
+
+class TestBooPHF32MrowsParity:
+    def test_mrows_equals_block_rank_path(self):
+        """The paired word|rank mrows path (round 4, one gather op per
+        level, no rank tail) must equal the legacy block-rank path
+        bit-for-bit, full and truncated."""
+        from mazu_tpu.kphf.boophf32 import BooPHF32, boophf32_lookup
+
+        rng = np.random.default_rng(5)
+        keys = np.unique(rng.integers(0, 1 << 62, 60000, dtype=np.uint64))
+        ph = BooPHF32.build(keys)
+        d = ph.device_arrays()
+        assert "mrows" in d
+        legacy = dict(d)
+        legacy.pop("mrows")
+        probes = np.concatenate(
+            [keys, rng.integers(0, 1 << 62, 8192, dtype=np.uint64)]
+        )
+        np.testing.assert_array_equal(
+            boophf32_lookup(d, probes, np),
+            boophf32_lookup(legacy, probes, np),
+        )
+        for ll in (1, 2, 4):
+            r1, u1 = boophf32_lookup(d, probes, np, level_limit=ll)
+            r2, u2 = boophf32_lookup(legacy, probes, np, level_limit=ll)
+            np.testing.assert_array_equal(u1, u2)
+            np.testing.assert_array_equal(r1[~u1], r2[~u2])
+        # host native lookup stays the independent oracle
+        np.testing.assert_array_equal(
+            boophf32_lookup(d, keys, np), ph.lookup(keys)
+        )
