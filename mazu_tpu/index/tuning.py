@@ -78,7 +78,10 @@ class QueryConfig:
     prefix_kind: str | None = None
     fused: bool = False
     uproj: bool = False
+    useqrec: bool = False
+    bucket_inline: bool = False
     probe_limit: int | None = 2
+    probe_limit2: int | None = None
     defer_valid: bool = False
     mphf_level_limit: int | None = None
     why: list[str] = field(default_factory=list)
@@ -91,11 +94,16 @@ class QueryConfig:
             out["prefix_kind"] = self.prefix_kind
         if self.uproj:
             out["uproj"] = True  # ModIndex.device_arrays only (needs u2pos)
+        if self.useqrec:
+            out["useqrec"] = True  # ModIndex.device_arrays only
+        if self.bucket_inline:
+            out["bucket_inline"] = True
         return out
 
     def query_kwargs(self) -> dict:
         return {
             "probe_limit": self.probe_limit,
+            "probe_limit2": self.probe_limit2,
             "defer_valid": self.defer_valid,
             "mphf_level_limit": self.mphf_level_limit,
         }
@@ -154,6 +162,39 @@ def tuned_query_config(k2u, hbm_budget: int | None = None) -> QueryConfig:
         # shallow and plim=2 wins (1Gbp w=17: 2.78M vs 2.59M).
         w = int(getattr(k2u, "w", 15))
         plim = 2 if w >= 17 else 3
+        # round-4 gather-OP diet: when the bpos bucket-inline table
+        # (16 B/bucket) + useqrec window records (1.75 B/base) fit next
+        # to the lean packed base, the main phase is 1+plim gather ops —
+        # 8.10M q/s at 300Mbp, 5.49M at 1Gbp measured (STATUS r4).
+        total_len = int(getattr(getattr(k2u, "unitigs", None), "total_len", 0))
+        lean = n_kmers * 3  # measured lean packed base ~2-3 B/k-mer
+        rich = lean + 16 * n_buckets + int(1.75 * total_len)
+        if total_len and total_len < (1 << 31) and rich <= 0.8 * hbm_budget:
+            why.append(
+                f"bpos+useqrec fit: ~{rich/1e9:.2f}GB of "
+                f"{hbm_budget/1e9:.1f}GB — 1+plim gather-op main phase "
+                f"(8.1M q/s @300Mbp measured)"
+            )
+            # probe depth follows average bucket OCCUPANCY, not w:
+            # 300Mbp load~0.7 measured plim=2 best (8.10M vs 7.18M at
+            # 3); 1Gbp load~1.0 (deeper merged buckets) plim=3 best
+            # (5.49M vs 4.34M)
+            occs = int(getattr(k2u, "n_minimizer_occs", 0)) or n_kmers
+            bplim = 2 if occs <= n_buckets else 3
+            why.append(
+                f"bucket occupancy {occs/max(n_buckets,1):.2f} -> "
+                f"probe_limit={bplim} + middle phase {bplim+2}"
+            )
+            return QueryConfig(
+                tier="capacity",
+                pos_kind="packed",
+                prefix_kind=prefix_kind,
+                useqrec=True,
+                bucket_inline=True,
+                probe_limit=bplim,
+                probe_limit2=bplim + 2,
+                why=why,
+            )
         why.append(f"direct engine, w={w}: probe_limit={plim}, defer_valid")
         why.append("uproj records: 1-gather tail (round-4 gather diet)")
         return QueryConfig(

@@ -111,3 +111,45 @@ def test_mphf_engine_gets_level_limit():
     cfg = tuned_query_config(k2u, hbm_budget=1 << 20)
     assert cfg.tier == "capacity"
     assert cfg.mphf_level_limit == 4 and cfg.defer_valid
+
+
+def test_capacity_tier_bpos_useqrec_exact(chr7_direct):
+    """Round-4: with room for the bpos + useqrec layouts (but not the
+    speed tier) the config picks the gather-op-diet knobs; the returned
+    kwargs must run get_ref_pos_compact EXACTLY equal to the padded
+    oracle."""
+    import jax
+    import jax.numpy as jnp
+
+    from mazu_tpu.index.modindex import get_ref_pos_compact, get_ref_pos_padded
+
+    idx = chr7_direct
+    budget = 20 << 20  # fits lean+bpos+useqrec, NOT the 22.5MB speed rows
+    cfg = tuned_query_config(idx.k2u, hbm_budget=budget)
+    assert cfg.tier == "capacity", cfg.why
+    assert cfg.useqrec and cfg.bucket_inline, cfg.why
+    assert cfg.probe_limit2 == cfg.probe_limit + 2
+
+    arrays = jax.device_put(idx.device_arrays(**cfg.arrays_kwargs()))
+    assert "bpos" in arrays["k2u"] and "useqrec" in arrays["k2u"]["us"]
+    us = idx.k2u.unitigs
+    kms = us.get_kmer_u64(us.kmer_start_positions()[:4096])
+    rng = np.random.default_rng(1)
+    kms[::7] = rng.integers(0, 1 << 62, len(kms[::7]), dtype=np.uint64)
+    mo = max(1, idx.max_occs())
+    out = get_ref_pos_compact(
+        arrays, jnp.asarray(kms), jnp, mo, m2=2048, m2b=2048, m2c=1024,
+        **cfg.query_kwargs(),
+    )
+    want = get_ref_pos_padded(arrays, jnp.asarray(kms), jnp, mo)
+    assert not bool(out["over_budget"])
+    v = np.asarray(want["valid"])
+    np.testing.assert_array_equal(v, np.asarray(out["valid"]))
+    np.testing.assert_array_equal(
+        np.asarray(out["n_occs"]), np.asarray(want["n_occs"])
+    )
+    for key in ("ref_id", "ref_pos", "orient"):
+        a, b = np.asarray(want[key]), np.asarray(out[key])
+        np.testing.assert_array_equal(
+            np.where(v, a, 0), np.where(v, b, 0), err_msg=key
+        )
