@@ -34,18 +34,29 @@ from dataclasses import dataclass, field
 # labs/tpu_gbp_r3.py sweeps before trusting them on different HBM.
 _SPEED_BYTES_PER_KMER = 21  # sshash direct inline2 load=0.25: ~1.04GB/50Mbp
 _FLAT32_BYTES_PER_BUCKET = 12  # flat + flat2 pair arrays
-_FALLBACK_HBM_BUDGET = int(6.5e9)  # bench chip: ~7.7GB usable, keep margin
+# bench chip: 8.35GB of arrays PLACED and ran the validation graph
+# (STATUS r4 usable-HBM note) — the binding constraint is arrays + the
+# compiled query graph's workspace, modeled separately below.
+_FALLBACK_HBM_TOTAL = int(8.4e9)
+# the OneGraph CH-scan at 1M lanes needs ~1.5-2GB of graph workspace
+# (STATUS r4: 8.35GB of arrays place and VALIDATE but the throughput
+# graph RESOURCE_EXHAUSTs; 5.94GB runs) — capped at 20% for small
+# explicitly-passed budgets, where it reduces to the old 0.8 margin.
+_GRAPH_WORKSPACE = int(2.0e9)
 
 
 def device_hbm_budget(device=None) -> int:
-    """Usable HBM budget for index arrays on ``device`` (default: the
-    first addressable device).
+    """Total usable HBM on ``device`` (default: the first addressable
+    device) for index arrays PLUS the compiled query graph's workspace
+    (``tuned_query_config`` subtracts the workspace model itself —
+    ADVICE r4: the old arrays-only margin let configs place and validate
+    but OOM at query time).
 
     Resolution order: ``MAZU_HBM_BUDGET`` env override (bytes) →
-    ``device.memory_stats()['bytes_limit']`` × 0.85 (jit workspaces,
-    donation slack) → the measured bench-chip fallback. CPU/interpret
-    backends report no stats and get the fallback — fine, since layout
-    decisions only matter where HBM is real."""
+    ``device.memory_stats()['bytes_limit']`` × 0.97 (allocator slack) →
+    the measured bench-chip fallback. CPU/interpret backends report no
+    stats and get the fallback — fine, since layout decisions only
+    matter where HBM is real."""
     import os
 
     env = os.environ.get("MAZU_HBM_BUDGET")
@@ -59,10 +70,18 @@ def device_hbm_budget(device=None) -> int:
         stats = device.memory_stats()
         limit = int(stats.get("bytes_limit", 0)) if stats else 0
         if limit > 0:
-            return int(limit * 0.85)
+            return int(limit * 0.97)
     except Exception:
         pass
-    return _FALLBACK_HBM_BUDGET
+    return _FALLBACK_HBM_TOTAL
+
+
+def _arrays_budget(hbm_budget: int) -> int:
+    """Bytes available for index arrays after the query-graph workspace
+    reserve (min(2GB, 20%) — for small explicit budgets this reduces to
+    the original 0.8 margin; for real chips it subtracts the measured
+    ~2GB OneGraph workspace)."""
+    return hbm_budget - min(_GRAPH_WORKSPACE, int(0.2 * hbm_budget))
 
 
 @dataclass
@@ -127,9 +146,10 @@ def tuned_query_config(k2u, hbm_budget: int | None = None) -> QueryConfig:
 
     n_kmers = int(getattr(k2u, "n_kmers", 0))
     why: list[str] = []
+    avail = _arrays_budget(hbm_budget)
 
     speed_bytes = n_kmers * _SPEED_BYTES_PER_KMER
-    if speed_bytes <= hbm_budget * 0.8:
+    if speed_bytes <= avail:
         why.append(
             f"speed tier: inline2 fused rows ~{speed_bytes/1e9:.2f}GB fits "
             f"budget ({hbm_budget/1e9:.1f}GB) — 54-110M q/s class"
@@ -167,13 +187,19 @@ def tuned_query_config(k2u, hbm_budget: int | None = None) -> QueryConfig:
         # to the lean packed base, the main phase is 1+plim gather ops —
         # 8.10M q/s at 300Mbp, 5.49M at 1Gbp measured (STATUS r4).
         total_len = int(getattr(getattr(k2u, "unitigs", None), "total_len", 0))
-        lean = n_kmers * 3  # measured lean packed base ~2-3 B/k-mer
+        try:
+            # real packed-array bytes (ADVICE r4: the 3 B/k-mer constant
+            # overestimated 1Gbp by ~40%); ×1.2 covers the paired useq
+            # words the packed device layout adds (measured ×1.0-1.16)
+            lean = int(k2u.num_bits() // 8 * 1.2)
+        except Exception:
+            lean = n_kmers * 3  # measured lean packed base ~2-3 B/k-mer
         rich = lean + 16 * n_buckets + int(1.75 * total_len)
-        if total_len and total_len < (1 << 31) and rich <= 0.8 * hbm_budget:
+        if total_len and total_len < (1 << 31) and rich <= avail:
             why.append(
                 f"bpos+useqrec fit: ~{rich/1e9:.2f}GB of "
-                f"{hbm_budget/1e9:.1f}GB — 1+plim gather-op main phase "
-                f"(8.1M q/s @300Mbp measured)"
+                f"{avail/1e9:.1f}GB array budget (workspace reserved) — "
+                f"1+plim gather-op main phase (8.1M q/s @300Mbp measured)"
             )
             # probe depth follows average bucket OCCUPANCY, not w:
             # 300Mbp load~0.7 measured plim=2 best (8.10M vs 7.18M at

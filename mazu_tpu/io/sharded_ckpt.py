@@ -127,20 +127,38 @@ def save_fused_sharded(
     )
 
 
-def save_compact_sharded(dirpath: str, index, n_shards: int) -> None:
+def save_compact_sharded(
+    dirpath: str,
+    index,
+    n_shards: int,
+    bucket_inline: bool = False,
+    useqrec: bool = False,
+) -> None:
     """Partition a CAPACITY-tier index (direct engine + packed positions —
     the multi-Gbp layout) into bucket shards and write the sharded
     checkpoint directory (manifest kind="compact"). This is the >HBM
-    deployment path for genomes past one chip even in compact form."""
+    deployment path for genomes past one chip even in compact form.
+
+    ``bucket_inline``/``useqrec`` (round 5): persist the gather-op-diet
+    layouts (sharded bpos table / replicated window records — the
+    committed 8.1M single-chip config, see shard_compact_arrays); the
+    loader wires them automatically from their presence in the files."""
     from ..parallel.sharding import shard_compact_arrays
 
-    shared, stacked = shard_compact_arrays(index, n_shards)
+    shared, stacked = shard_compact_arrays(
+        index, n_shards, bucket_inline=bucket_inline, useqrec=useqrec
+    )
     _save_sharded(
         dirpath,
         shared,
         stacked,
         n_shards,
-        {"kind": "compact", "max_occs": int(max(1, index.max_occs()))},
+        {
+            "kind": "compact",
+            "max_occs": int(max(1, index.max_occs())),
+            "bucket_inline": bool(bucket_inline),
+            "useqrec": bool(useqrec),
+        },
     )
 
 

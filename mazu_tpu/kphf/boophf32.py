@@ -169,7 +169,7 @@ class BooPHF32:
         nb = sum(32 * len(w) + 32 * len(r) for (_, w, r) in self.levels)
         return nb + 96 * len(self.fh_keys)
 
-    def device_arrays(self) -> dict:
+    def device_arrays(self, mrows: bool = False) -> dict:
         def padded(n_bits, w):
             n_blocks = -(-n_bits // _BLOCK_BITS)
             out = np.zeros(n_blocks * 8, dtype=np.uint32)
@@ -193,35 +193,43 @@ class BooPHF32:
         else:
             fh_vals = self.fh_vals
         nb = tuple(int(n) for (n, _, _) in self.levels)
-        # paired word|rank rows (round 4: the TPU wall is per gather OP):
-        # mrows[i] = level word i | (GLOBAL cumulative popcount below
-        # word i) << 32 — the stored values are rank-offset across levels
-        # (level padding words are zero, so the straight cumsum over the
-        # concatenated padded words IS the global offset). The level
-        # bit-test gather then carries the whole rank, collapsing the
-        # 9-op block-rank tail (1 ranks + 7 loop words + 1 masked word)
-        # to ZERO post-loop gathers.
-        pc = np.bitwise_count(words.astype(np.uint32)).astype(np.uint64)
-        csum = np.concatenate([[0], np.cumsum(pc)[:-1]]).astype(np.uint64)
-        mrows = words.astype(np.uint64) | (csum << np.uint64(32))
-        return {
+        d = {
             "words": words,
             "ranks": ranks,
-            "mrows": mrows,
             "fh_keys": fh_keys,
             "fh_vals": fh_vals,
-            "meta": BooPHF32Meta(
-                n_bits=nb,
-                word_offsets=tuple(
-                    int(x)
-                    for x in np.cumsum([0] + [8 * (-(-n // _BLOCK_BITS)) for n in nb])[:-1]
-                ),
-                rank_offsets=tuple(
-                    int(x)
-                    for x in np.cumsum([0] + [-(-n // _BLOCK_BITS) for n in nb])[:-1]
-                ),
-            ),
         }
+        if mrows:
+            # paired word|rank rows (round 4: the TPU wall is per gather
+            # OP): mrows[i] = level word i | (GLOBAL cumulative popcount
+            # below word i) << 32 — the stored values are rank-offset
+            # across levels (level padding words are zero, so the straight
+            # cumsum over the concatenated padded words IS the global
+            # offset). The level bit-test gather then carries the whole
+            # rank, collapsing the 9-op block-rank tail (1 ranks + 7 loop
+            # words + 1 masked word) to ZERO post-loop gathers. OPT-IN
+            # (ADVICE r4): the u64 rows are 2x the words array — HBM-tight
+            # placements and native-host consumers keep the lean layout.
+            # words+ranks are dropped: the mrows lookup never reads them.
+            pc = np.bitwise_count(words.astype(np.uint32)).astype(np.uint64)
+            csum = np.concatenate([[0], np.cumsum(pc)[:-1]]).astype(np.uint64)
+            d = {
+                "mrows": words.astype(np.uint64) | (csum << np.uint64(32)),
+                "fh_keys": fh_keys,
+                "fh_vals": fh_vals,
+            }
+        d["meta"] = BooPHF32Meta(
+            n_bits=nb,
+            word_offsets=tuple(
+                int(x)
+                for x in np.cumsum([0] + [8 * (-(-n // _BLOCK_BITS)) for n in nb])[:-1]
+            ),
+            rank_offsets=tuple(
+                int(x)
+                for x in np.cumsum([0] + [-(-n // _BLOCK_BITS) for n in nb])[:-1]
+            ),
+        )
+        return d
 
 
 def boophf32_lookup(d: dict, keys, xp, level_limit: int | None = None):

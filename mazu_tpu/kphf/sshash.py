@@ -682,6 +682,7 @@ class SSHash:
         prefix_kind: str | None = None,
         pos_kind: str | None = None,
         bucket_inline: bool = False,
+        mphf_rows: bool = False,
     ) -> dict:
         """Array layout knobs:
 
@@ -735,7 +736,13 @@ class SSHash:
             ),
         }
         if self.mphf is not None:
-            d["mphf"] = self.mphf.device_arrays()
+            # mphf_rows: opt-in paired word|rank mrows layout (BooPHF32
+            # only) — truncated lookups become level_limit gather OPS with
+            # no rank tail, at 2x the bit-array bytes (gated per ADVICE r4)
+            if mphf_rows and isinstance(self.mphf, BooPHF32):
+                d["mphf"] = self.mphf.device_arrays(mrows=True)
+            else:
+                d["mphf"] = self.mphf.device_arrays()
         if pos_kind == "fixedcap":
             # fixed-capacity buckets: bucket b's occurrence rows live at
             # [b*B, (b+1)*B) — direct addressing, NO bucket-bounds gather.
@@ -991,6 +998,13 @@ class SSHash:
             assert self.unitigs.total_len < (1 << 31), (
                 "bucket_inline positions ride in u32"
             )
+            # the bpos main probe reads candidate positions from the bpos
+            # row; fixedcap layouts address occurrence rows directly and
+            # would NameError in sshash_k2u (ADVICE r4) — only the packed
+            # pos layout composes with bucket_inline
+            assert pos_kind == "packed", (
+                f"bucket_inline requires pos_kind='packed', got {pos_kind!r}"
+            )
             p = self.occs_prefix_sum.astype(np.int64)
             posv = self.pos.to_array()
             cnt = p[1:] - p[:-1]
@@ -1226,8 +1240,8 @@ def sshash_k2u(
     use_bpos = (
         "bpos" in d
         and mode == "main"
+        and m.pos_kind == "packed"  # fixedcap rows have no bpos probe path
         and probe_start == 0
-        and bucket_range is None
         and probe_limit is not None
         and 0 < probe_limit <= d["bpos"].shape[1] - 1
     )
@@ -1236,19 +1250,26 @@ def sshash_k2u(
         from .boophf32 import fold_hash32
 
         hc = (fold_hash32(mm) & np.uint32(m.direct_t - 1)).astype(xp.int64)
+        if bucket_range is not None:
+            # bucket-sharded deployment: this shard owns buckets
+            # [lo_b, hi_b); its bpos/flat2 tables are the local slices
+            # (round 5: bpos composes — non-owner lanes zero their
+            # n_occs so they never probe and emit exact zeros)
+            assert m.pos_kind != "fixedcap" and (
+                use_bpos or "flat2" in d.get("prefix", {})
+            ), "bucket_range requires the direct engine with flat2/bpos rows"
+            lo_b, hi_b = bucket_range
+            mine = (hc >= lo_b) & (hc < hi_b)
+            local_T = (
+                d["bpos"].shape[0] if use_bpos else d["prefix"]["flat2"].shape[0]
+            )
+            hc = xp.clip(hc - lo_b, 0, local_T - 1)
         if use_bpos:
             brow = d["bpos"][hc]
             n_occs = brow[..., 3].astype(xp.int64)
+            if bucket_range is not None:
+                n_occs = xp.where(mine, n_occs, xp.zeros_like(n_occs))
             ps = xp.zeros_like(n_occs)
-        elif bucket_range is not None:
-            assert m.pos_kind != "fixedcap" and "flat2" in d.get("prefix", {}), (
-                "bucket_range requires the direct engine with flat2 prefix rows"
-            )
-            lo_b, hi_b = bucket_range
-            mine = (hc >= lo_b) & (hc < hi_b)
-            hc = xp.clip(hc - lo_b, 0, d["prefix"]["flat2"].shape[0] - 1)
-        if use_bpos:
-            pass  # bounds + positions already read from the bpos row
         elif m.pos_kind in ("fixedcap", "fixedcap2"):
             # direct row addressing: bucket b's rows at [b*B, (b+1)*B) —
             # no bucket-bounds gather. Slot 0's uid field flags heavy

@@ -903,7 +903,9 @@ def build_mono_sharded_query(
     return query
 
 
-def shard_compact_arrays(index, n_shards: int):
+def shard_compact_arrays(
+    index, n_shards: int, bucket_inline: bool = False, useqrec: bool = False
+):
     """Host-side partition of the CAPACITY layout (direct engine, packed
     IntVector positions, flat2 bucket bounds — the multi-Gbp-per-chip
     tier) into bucket shards.
@@ -914,12 +916,29 @@ def shard_compact_arrays(index, n_shards: int):
     shard's first position entry), the packed positions (re-packed per
     shard so bit offsets start at 0), and the u2pos ctable2 pair rows.
     Returns (shared, stacked) like shard_fused_arrays.
+
+    Round-5 gather-op-diet options (the committed 8.1M single-chip
+    config, STATUS r4, made deployable past one chip):
+
+    - ``bucket_inline``: also shard the direct-addressed ``bpos``
+      u32[T, 4] table by the same bucket ranges — the sharded MAIN
+      probe then reads bounds + first-3 candidate positions in ONE
+      gather (positions are global useq coords; no rebasing — the
+      unitig set is replicated). Requires ``total_len < 2^31``.
+    - ``useqrec``: REPLICATE the 56B per-32-base window records
+      (build_useqrec) — they are keyed by useq word index, i.e. they
+      are part of the verification path, which this layout replicates
+      by design (like the paired useq words). The sharded main probe
+      then resolves validation + rank + projection in the same row
+      gather; only cnt>2 / skew / unresolved lanes enter phase 2.
     """
     from ..bits.intvector import IntVector
     from ..pytree import meta as make_meta
 
     ss = index.k2u
-    k2u = ss.device_arrays(prefix_kind="flat32", pos_kind="packed")
+    k2u = ss.device_arrays(
+        prefix_kind="flat32", pos_kind="packed", bucket_inline=bucket_inline
+    )
     assert k2u["meta"].direct_t and "flat2" in k2u.get("prefix", {}), (
         "compact sharding requires engine='direct' (flat2 bucket bounds)"
     )
@@ -966,11 +985,28 @@ def shard_compact_arrays(index, n_shards: int):
         "chi": cbounds[1:][:, None],
     }
     shared = {
-        "k2u": {kk: v for kk, v in k2u.items() if kk not in ("prefix", "pos")},
+        "k2u": {
+            kk: v
+            for kk, v in k2u.items()
+            if kk not in ("prefix", "pos", "bpos")
+        },
         "u2pos": {"offsets": u2["offsets"], "meta": u2["meta"]},
         "meta": make_meta(k=index.k, index_type=index.index_type),
         "pos_meta": make_meta(width=width, length=max_rows),
     }
+    if bucket_inline:
+        bp = np.zeros((n_shards, max_T, 4), dtype=np.uint32)
+        for s in range(n_shards):
+            lo, hi = bounds[s], bounds[s + 1]
+            bp[s, : hi - lo] = k2u["bpos"][lo:hi]
+        stacked["bpos"] = bp
+    if useqrec:
+        from ..index.modindex import build_useqrec
+
+        shared["k2u"]["us"] = dict(shared["k2u"]["us"])
+        shared["k2u"]["us"]["useqrec"] = build_useqrec(
+            index.u2pos, ss.unitigs
+        )
     return shared, stacked
 
 
@@ -981,6 +1017,8 @@ def make_compact_sharded_query(
     probe_limit: int | None = 3,
     defer_valid: bool = True,
     max_occs: int | None = None,
+    bucket_inline: bool = False,
+    useqrec: bool = False,
     data_axis: str = "data",
     bucket_axis: str = "bucket",
 ):
@@ -999,7 +1037,9 @@ def make_compact_sharded_query(
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     n_shards = mesh.shape[bucket_axis]
-    shared, stacked = shard_compact_arrays(index, n_shards)
+    shared, stacked = shard_compact_arrays(
+        index, n_shards, bucket_inline=bucket_inline, useqrec=useqrec
+    )
     if max_occs is None:
         max_occs = max(1, index.max_occs())
     shared_dev = jax.device_put(
@@ -1060,6 +1100,11 @@ def build_compact_sharded_query(
         d_local = dict(sh["k2u"])
         d_local["prefix"] = {"flat2": stk["flat2"][0]}
         d_local["pos"] = {"words": stk["pos_words"][0], "meta": pos_meta}
+        if "bpos" in stk:
+            # round 5: sharded bucket-inline table — the main probe reads
+            # the shard's local bpos rows (ONE gather: bounds + first-3
+            # positions); phases below keep the flat2/packed arrays
+            d_local["bpos"] = stk["bpos"][0]
         blo, bhi = stk["blo"][0, 0], stk["bhi"][0, 0]
         clo, chi = stk["clo"][0, 0], stk["chi"][0, 0]
         ct_local = stk["ctable2"][0]
@@ -1070,12 +1115,28 @@ def build_compact_sharded_query(
             d_local, kms, jnp, mode="main", probe_limit=plim,
             defer_valid=dv, bucket_range=(blo, bhi),
         )
-        rm = _occ_fields(offsets, _merge_k2u(r, bucket_axis, jnp))
-        overflow = rm["use_skew"] | rm["unresolved"] | (rm["occ_cnt"] > 2)
-        p = _proj_padded_sharded_occ(
-            ct_local, clo, chi, rm, jnp,
-            u2meta_only=u2meta_only, k=k, mo=2, bucket_axis=bucket_axis,
-        )
+        rm = _merge_k2u(r, bucket_axis, jnp)
+        if "occ_cnt" in rm:
+            # useqrec rows carried the projection inline (zero extra
+            # gathers, no ctable involvement for cnt<=2 lanes) — same
+            # fused path as the single-chip 8.1M config
+            from ..index.twophase import _project_fused
+
+            pf = _project_fused(
+                {"u2pos": u2meta_only, "meta": shared_host["meta"]}, rm, jnp
+            )
+            overflow = pf["overflow"] | rm["unresolved"]
+            p = {
+                kk: pf[kk]
+                for kk in ("ref_id", "ref_pos", "orient", "valid", "n_occs")
+            }
+        else:
+            rm = _occ_fields(offsets, rm)
+            overflow = rm["use_skew"] | rm["unresolved"] | (rm["occ_cnt"] > 2)
+            p = _proj_padded_sharded_occ(
+                ct_local, clo, chi, rm, jnp,
+                u2meta_only=u2meta_only, k=k, mo=2, bucket_axis=bucket_axis,
+            )
         p["valid"] = p["valid"] & (~overflow)[:, None]
         p["overflow"] = overflow
 

@@ -182,10 +182,10 @@ class TestBooPHF32MrowsParity:
         rng = np.random.default_rng(5)
         keys = np.unique(rng.integers(0, 1 << 62, 60000, dtype=np.uint64))
         ph = BooPHF32.build(keys)
-        d = ph.device_arrays()
-        assert "mrows" in d
-        legacy = dict(d)
-        legacy.pop("mrows")
+        d = ph.device_arrays(mrows=True)  # opt-in layout (ADVICE r4)
+        assert "mrows" in d and "words" not in d  # lean: words/ranks dropped
+        legacy = ph.device_arrays()
+        assert "mrows" not in legacy and "words" in legacy
         probes = np.concatenate(
             [keys, rng.integers(0, 1 << 62, 8192, dtype=np.uint64)]
         )

@@ -426,7 +426,10 @@ def test_mono_sharded_checkpoint_roundtrip_and_validate(tmp_path):
     validate_k2u_self_sharded(qf, kc, batch=1024)
 
 
-def _compact_sharded_case(us, u2, refs, mesh_shape, n=4096, seed=13, plim=3):
+def _compact_sharded_case(
+    us, u2, refs, mesh_shape, n=4096, seed=13, plim=3,
+    bucket_inline=False, useqrec=False,
+):
     """Capacity-tier (direct engine + packed pos) sharded query vs the
     single-device padded oracle: k2u fields and the full projected
     occurrence block must match lane-for-lane."""
@@ -469,7 +472,8 @@ def _compact_sharded_case(us, u2, refs, mesh_shape, n=4096, seed=13, plim=3):
     )
     M2 = max(256, n // 4)
     qf = make_compact_sharded_query(
-        idx, mesh, m2=M2, probe_limit=plim, defer_valid=True, max_occs=mo
+        idx, mesh, m2=M2, probe_limit=plim, defer_valid=True, max_occs=mo,
+        bucket_inline=bucket_inline, useqrec=useqrec,
     )
     got = jax.tree_util.tree_map(np.asarray, qf(jnp.asarray(work)))
     assert not bool(got["over_budget"].any())
@@ -536,6 +540,34 @@ def test_compact_sharded_query_matches_single_chip():
     _compact_sharded_case(us, u2, refs, (2, 4), plim=2)
 
 
+def test_compact_sharded_bpos_useqrec_matches():
+    """Round 5 (VERDICT r4 #1): the committed fastest capacity layout —
+    sharded bpos bucket-inline rows + replicated useqrec window records
+    (the 8.1M single-chip config) — deployed across bucket shards, exact
+    vs the padded oracle on 1x8 and 2x4 meshes. Also covers bpos WITHOUT
+    useqrec (generic probe + bpos pos window)."""
+    import os
+
+    from mazu_tpu.index.spt import SPT
+    from mazu_tpu.io.cuttlefish import CfFiles
+    from tests.conftest import TEST_DATA
+
+    chr7 = os.path.join(TEST_DATA, "cf", "yeast_chr7", "yeast_chr7")
+    if not os.path.exists(chr7 + ".cf_seg"):
+        pytest.skip("chr7 fixture missing")
+    spt = SPT.from_cf(CfFiles(chr7))
+    us, u2, refs = spt.unitigs, spt.piscem_table(), spt.ref_seq_collection()
+    _compact_sharded_case(
+        us, u2, refs, (1, 8), plim=2, bucket_inline=True, useqrec=True
+    )
+    _compact_sharded_case(
+        us, u2, refs, (2, 4), plim=3, bucket_inline=True, useqrec=True
+    )
+    _compact_sharded_case(
+        us, u2, refs, (1, 8), plim=3, bucket_inline=True, useqrec=False
+    )
+
+
 def test_compact_sharded_checkpoint_roundtrip(tmp_path):
     """>HBM deployment for the CAPACITY tier: save a bucket-sharded
     compact checkpoint (direct engine + packed pos), load with per-device
@@ -598,6 +630,20 @@ def test_compact_sharded_checkpoint_roundtrip(tmp_path):
     want = get_ref_pos_padded(host, work, np, max(1, idx.max_occs()))
     for kk in ("unitig_id", "pos", "mt"):
         np.testing.assert_array_equal(merged[kk], want[kk], err_msg=kk)
+
+    # round 5: the gather-op-diet layout (sharded bpos + replicated
+    # useqrec — the committed 8.1M single-chip config) persists and
+    # loads through the same ckpt path, wired from file presence alone
+    ck2 = str(tmp_path / "compact_shards_bpos")
+    save_compact_sharded(ck2, idx, n_shards=8, bucket_inline=True, useqrec=True)
+    s0b = load_shard(ck2, 0)
+    assert "bpos" in s0b and s0b["bpos"].shape[1] == 4
+    qf2 = make_compact_sharded_query_from_ckpt(ck2, mesh, m2=1024, probe_limit=2)
+    got2 = jax.tree_util.tree_map(np.asarray, qf2(jnp.asarray(work)))
+    assert not got2["over_budget"].any()
+    merged2 = merge_compact_k2u(got2, np)
+    for kk in ("unitig_id", "pos", "mt"):
+        np.testing.assert_array_equal(merged2[kk], want[kk], err_msg=kk)
 
 
 @pytest.mark.slow
