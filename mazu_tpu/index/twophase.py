@@ -305,6 +305,15 @@ class TwoPhaseIndexQuery:
             }
         return r, lanes, s
 
+    def get_ref_pos_batch(self, fw_words: np.ndarray):
+        """Array-native CSR result (mapping.BatchHits) — the serving hot
+        path (round 5): vectorized merge of the two phases, no per-k-mer
+        Python objects."""
+        from .mapping import BatchHits
+
+        r, lanes, s = self.query(fw_words)
+        return BatchHits.from_twophase(r, lanes, s)
+
     def get_ref_pos_eager(self, fw_words: np.ndarray) -> list:
         """Merged per-query hit lists (None for misses) — same shape of
         answer as ModIndex.get_ref_pos_eager."""

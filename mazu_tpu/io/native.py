@@ -133,6 +133,49 @@ def kmerize(codes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     return pos[:cnt].copy(), words[:cnt].copy()
 
 
+def kmerize_batch(reads: list, k: int):
+    """All valid k-mer windows of MANY reads in one native call (round 5:
+    per-read ctypes dispatch cost more host time than the query kernel on
+    the 16K-read serving path). Returns ``(bounds, positions, words)``
+    with ``bounds`` int64[n_reads+1] CSR over the concatenated
+    positions/words; positions are read-local. None without the lib
+    (caller falls back to the per-read loop)."""
+    lib = _load()
+    if lib is None:
+        return None
+    if len(reads) == 0:
+        z = np.zeros(1, dtype=np.int64)
+        return z, np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.uint64)
+    blob = "".join(reads).encode() if isinstance(reads[0], str) else b"".join(reads)
+    codes = seq_to_codes(blob)
+    lens = np.fromiter((len(r) for r in reads), dtype=np.int64, count=len(reads))
+    rbounds = np.zeros(len(reads) + 1, dtype=np.int64)
+    np.cumsum(lens, out=rbounds[1:])
+    caps = np.maximum(lens - k + 1, 0)
+    cap_off = np.zeros(len(reads) + 1, dtype=np.int64)
+    np.cumsum(caps, out=cap_off[1:])
+    pos = np.empty(cap_off[-1], dtype=np.int64)
+    words = np.empty(cap_off[-1], dtype=np.uint64)
+    counts = np.empty(len(reads), dtype=np.int64)
+    lib.kmerize_batch(
+        codes.ctypes.data_as(ctypes.c_void_p),
+        rbounds.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(len(reads)),
+        ctypes.c_int(k),
+        cap_off.ctypes.data_as(ctypes.c_void_p),
+        pos.ctypes.data_as(ctypes.c_void_p),
+        words.ctypes.data_as(ctypes.c_void_p),
+        counts.ctypes.data_as(ctypes.c_void_p),
+    )
+    bounds = np.zeros(len(reads) + 1, dtype=np.int64)
+    np.cumsum(counts, out=bounds[1:])
+    if int(bounds[-1]) == int(cap_off[-1]):  # no invalid windows anywhere
+        return bounds, pos, words
+    sel = np.repeat(np.arange(len(reads)), caps)
+    keep = (np.arange(cap_off[-1]) - cap_off[sel]) < counts[sel]
+    return bounds, pos[keep], words[keep]
+
+
 def cumsum_i64(x: np.ndarray) -> np.ndarray:
     """Inclusive prefix sum, int64. NumPy's cumsum runs ~100 MB/s on this
     host; the native two-pass OpenMP scan is memory-bound (~30x)."""

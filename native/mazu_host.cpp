@@ -746,4 +746,19 @@ void minimizer_scan32_ranges(const uint64_t* useq_words,
     }
 }
 
+// Batched k-merize over many reads in one call (round 5: the serving
+// map path was paying per-read ctypes dispatch — 16K reads cost more
+// host time than the query kernel). codes = concatenated read codes;
+// read r spans [bounds[r], bounds[r+1]); its windows are written
+// compacted at cap_off[r] (capacity len-k+1); counts[r] = emitted.
+void kmerize_batch(const uint8_t* codes, const int64_t* bounds,
+                   int64_t n_reads, int k, const int64_t* cap_off,
+                   int64_t* pos_out, uint64_t* word_out, int64_t* counts) {
+#pragma omp parallel for schedule(dynamic, 64)
+    for (int64_t r = 0; r < n_reads; r++) {
+        counts[r] = kmerize(codes + bounds[r], bounds[r + 1] - bounds[r], k,
+                            pos_out + cap_off[r], word_out + cap_off[r]);
+    }
+}
+
 }  // extern "C"

@@ -208,3 +208,31 @@ def test_sshash_build_native_equals_fallback(monkeypatch, tmp_path):
     for kk in ("unitig_id", "pos", "mt"):
         np.testing.assert_array_equal(ra[kk], rb[kk], err_msg=kk)
     assert (ra["mt"] > 0).all()
+
+
+class TestKmerizeBatch:
+    def test_matches_per_read_windows(self):
+        """One-call batched k-merization (round 5 serving path) must equal
+        the per-read valid_kmer_windows loop — incl. non-ACGT restarts,
+        sub-k reads, and empty strings."""
+        from mazu_tpu.index.validate import valid_kmer_windows
+        from mazu_tpu.io.native import kmerize_batch
+
+        if kmerize_batch([], 31) is None:
+            import pytest
+
+            pytest.skip("native lib unavailable")
+        rng = np.random.default_rng(4)
+        alpha = np.array(list("ACGTN"))
+        reads = [
+            "".join(alpha[rng.integers(0, 5, int(rng.integers(0, 120)))])
+            for _ in range(300)
+        ]
+        reads += ["", "ACG", "N" * 50]
+        k = 31
+        b, pos, words = kmerize_batch(reads, k)
+        assert len(b) == len(reads) + 1 and int(b[-1]) == len(words)
+        for i, r in enumerate(reads):
+            p, w = valid_kmer_windows(r, k)
+            np.testing.assert_array_equal(p, pos[b[i] : b[i + 1]], err_msg=str(i))
+            np.testing.assert_array_equal(w, words[b[i] : b[i + 1]], err_msg=str(i))
