@@ -738,17 +738,21 @@ class ModIndex:
         uproj: bool = False,
         useqrec: bool = False,
         bucket_inline: bool = False,
+        mphf_rows: bool = False,
     ) -> dict:
         # pos_kind/prefix_kind are SSHash layout knobs; other K2Us take no
         # arguments
         k2u_takes_kinds = (
-            pos_kind is not None or prefix_kind is not None or bucket_inline
+            pos_kind is not None
+            or prefix_kind is not None
+            or bucket_inline
+            or mphf_rows
         ) and hasattr(self.k2u, "pos")
         d = {
             "k2u": (
                 self.k2u.device_arrays(
                     prefix_kind=prefix_kind, pos_kind=pos_kind,
-                    bucket_inline=bucket_inline,
+                    bucket_inline=bucket_inline, mphf_rows=mphf_rows,
                 )
                 if k2u_takes_kinds
                 else self.k2u.device_arrays()

@@ -1051,3 +1051,43 @@ class TestFlaggedLanesHier:
         assert (int(dna), int(dnb)) == (int(na), int(nb))
         np.testing.assert_array_equal(np.asarray(dla), la)
         np.testing.assert_array_equal(np.asarray(dlb), lb)
+
+
+def test_mphf_rows_layout_parity():
+    """mphf_rows=True (paired word|rank mrows, round-5 opt-in) must answer
+    identically to the legacy block-rank layout through the full sshash
+    pipeline, truncated and full."""
+    from mazu_tpu.containers.unitig_set import UnitigSet
+    from mazu_tpu.io.cuttlefish import CfFiles
+    from mazu_tpu.kphf.sshash import SSHash, sshash_k2u
+
+    if not os.path.exists(CHR7 + ".cf_seg"):
+        pytest.skip("chr7 fixture missing")
+    us, _ = UnitigSet.from_cf(CfFiles(CHR7))
+    k2u = SSHash.from_unitig_set(us, 15, skew_param=4, engine="fast32")
+    d1 = k2u.device_arrays(
+        prefix_kind="grouped16", pos_kind="packed", mphf_rows=True
+    )
+    d0 = k2u.device_arrays(prefix_kind="grouped16", pos_kind="packed")
+    assert "mrows" in d1["mphf"] and "words" not in d1["mphf"]
+    kms = us.get_kmer_u64(us.kmer_start_positions()[:4096])
+    rng = np.random.default_rng(9)
+    kms[::9] = rng.integers(0, 1 << 62, len(kms[::9]), dtype=np.uint64)
+    r1 = sshash_k2u(
+        d1, kms, np, mode="main", probe_limit=2, defer_valid=True,
+        mphf_level_limit=4,
+    )
+    r0 = sshash_k2u(
+        d0, kms, np, mode="main", probe_limit=2, defer_valid=True,
+        mphf_level_limit=4,
+    )
+    for kk in ("unitig_id", "pos", "mt", "unresolved"):
+        np.testing.assert_array_equal(
+            np.asarray(r1[kk]), np.asarray(r0[kk]), err_msg=kk
+        )
+    r1f = sshash_k2u(d1, kms, np, mode="full")
+    r0f = sshash_k2u(d0, kms, np, mode="full")
+    for kk in ("unitig_id", "pos", "mt"):
+        np.testing.assert_array_equal(
+            np.asarray(r1f[kk]), np.asarray(r0f[kk]), err_msg=kk
+        )
