@@ -497,6 +497,22 @@ def get_ref_pos_compact(
             cap_pallas != "0"
             and xp is not np
             and probe_limit is not None
+            and "bpos" in d["k2u"]
+            and "useqrec" in d["k2u"].get("us", {})
+            and getattr(m_, "direct_t", 0)
+        ):
+            # round 5: DMA-ring kernel for the COMMITTED capacity config
+            # (bpos bucket-inline + useqrec records — 1+plim DMAs/query)
+            from ..ops.pallas_capacity import pallas_bpos_usrec_k2u
+
+            r = pallas_bpos_usrec_k2u(
+                d["k2u"], fw, probe_limit,
+                interpret=cap_pallas == "interpret",
+            )
+        elif (
+            cap_pallas != "0"
+            and xp is not np
+            and probe_limit is not None
             and defer_valid
             and getattr(m_, "prefix_kind", "") == "grouped16"
             and getattr(m_, "pos_kind", "") == "packed"

@@ -263,6 +263,277 @@ def _kernel(plim, nw, width, k, w, last_km, n_posw, n_w2,
     nocc_ref[:] = n_occs.astype(jnp.int32)
 
 
+def _kernel_bpos(plim, k, w, last_km, skew_param, n_rec,
+                 hc_ref, fw_ref, rc_ref, off_ref,
+                 bpos_ref, rec_ref,
+                 pos_ref, mt_ref, uid_ref, ulen_ref, cnt_ref, nocc_ref,
+                 ow_ref, ow2_ref,
+                 bp_s, bp_v, uq_v, wjc_s,
+                 semA, semC, semS):
+    """Round-5 kernel for the COMMITTED capacity config (STATUS r4:
+    bpos bucket-inline rows + useqrec window records, 8.1M q/s at
+    300Mbp): ring A DMAs the ONE bpos row (bounds + first-3 candidate
+    positions + count, 16 B); ring C DMAs ONE 56 B useqrec row per probe
+    iteration — the whole probe is 1+plim DMAs with validation, rank,
+    and projection riding the record row (probe_body_usrec semantics,
+    incl. the mt==3 boundary sentinel)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    kw_span = k - w
+
+    # ---- ring A: one bpos row per lane -> SMEM (ring-C addressing) +
+    # VMEM mirror (vector verify reads counts/positions)
+    def a_copies(i):
+        h = hc_ref[i]
+        return (
+            pltpu.make_async_copy(
+                bpos_ref.at[pl.ds(h, 1)], bp_s.at[pl.ds(i, 1)], semA.at[i, 0]
+            ),
+            pltpu.make_async_copy(
+                bpos_ref.at[pl.ds(h, 1)], bp_v.at[pl.ds(i, 1)], semA.at[i, 1]
+            ),
+        )
+
+    def issue_a(i, _):
+        for c in a_copies(i):
+            c.start()
+        return _
+
+    jax.lax.fori_loop(0, BLK, issue_a, None)
+
+    def wait_a(i, _):
+        for c in a_copies(i):
+            c.wait()
+        return _
+
+    jax.lax.fori_loop(0, BLK, wait_a, None)
+
+    # ---- ring C: one useqrec row per probe iteration
+    def issue_c(i, _):
+        for j in range(plim):
+            mm = bp_s[i, j].astype(jnp.int64)
+            base = jnp.maximum(mm - kw_span, 0)
+            wj = jnp.clip((base * 2) >> 6, 0, n_rec - 1).astype(jnp.int32)
+            wjc_s[i, j] = wj
+            pltpu.make_async_copy(
+                rec_ref.at[pl.ds(wj, 1)], uq_v.at[i, pl.ds(j, 1)],
+                semC.at[i, j],
+            ).start()
+        return _
+
+    jax.lax.fori_loop(0, BLK, issue_c, None)
+
+    def wait_c(i, _):
+        for j in range(plim):
+            wj = wjc_s[i, j]
+            pltpu.make_async_copy(
+                rec_ref.at[pl.ds(wj, 1)], uq_v.at[i, pl.ds(j, 1)],
+                semC.at[i, j],
+            ).wait()
+        return _
+
+    jax.lax.fori_loop(0, BLK, wait_c, None)
+
+    # ---- vector verify: probe_body_usrec bit-for-bit
+    fw = fw_ref[:]
+    rc = rc_ref[:]
+    offset = off_ref[:].astype(jnp.int64)
+    rc_offset = (k - w) - offset
+    n_occs = bp_v[:, 3].astype(jnp.int64)
+    use_skew = (
+        (n_occs > skew_param)
+        if skew_param >= 0
+        else jnp.zeros_like(n_occs, dtype=jnp.bool_)
+    )
+    m2k = U64((1 << (2 * k)) - 1)
+
+    found = jnp.zeros((BLK,), dtype=jnp.bool_)
+    out_pos = jnp.zeros((BLK,), dtype=jnp.int64)
+    out_mt = jnp.zeros((BLK,), dtype=jnp.int32)
+    out_uid = jnp.zeros((BLK,), dtype=jnp.int64)
+    out_ulen = jnp.zeros((BLK,), dtype=jnp.int64)
+    out_cnt = jnp.zeros((BLK,), dtype=jnp.int64)
+    out_ow = jnp.zeros((BLK,), dtype=jnp.uint64)
+    out_ow2 = jnp.zeros((BLK,), dtype=jnp.uint64)
+    for j in range(plim):
+        active = (~found) & (j < n_occs) & (~use_skew)
+        mm_pos = bp_v[:, j].astype(jnp.int64)
+        base = jnp.maximum(mm_pos - kw_span, 0)
+        wi = (base * 2) >> 6
+        r0 = uq_v[:, j]  # [BLK, 7] u64
+        q0, q1, q2 = r0[:, 0], r0[:, 1], r0[:, 2]
+        f2 = r0[:, 3]
+        ustart = (f2 & U64((1 << 40) - 1)).astype(jnp.int64)
+        ulen = (f2 >> U64(40)).astype(jnp.int64)
+        f3 = r0[:, 4]
+        uid = (f3 & U64(0xFFFFFFFF)).astype(jnp.int64)
+        cnt = (f3 >> U64(32)).astype(jnp.int64)
+        woff = ((base * 2) & 63).astype(jnp.uint64)
+        for cand_off in (offset, rc_offset):
+            km_pos = mm_pos - cand_off
+            in_range = (mm_pos >= cand_off) & (km_pos <= last_km)
+            km_pos_c = jnp.clip(km_pos, 0, max(last_km, 0))
+            dbit = woff + (2 * jnp.clip(km_pos_c - base, 0, None)).astype(
+                jnp.uint64
+            )
+            s1 = dbit >= 64
+            r = (dbit & U64(63)).astype(jnp.uint64)
+            lo_w = jnp.where(s1, q1, q0)
+            hi_w = jnp.where(s1, q2, q1)
+            hs = (U64(64) - r) & U64(63)
+            hb = jnp.where(r == 0, jnp.zeros_like(hi_w), hi_w << hs)
+            kw = ((lo_w >> r) | hb) & m2k
+            mt = jnp.where(kw == fw, 1, jnp.where(kw == rc, 2, 0)).astype(
+                jnp.int32
+            )
+            ok = (km_pos_c >= ustart) & (km_pos_c + k <= ustart + ulen)
+            kwm = active & in_range & (mt > 0)
+            hit = kwm & ok
+            out_uid = jnp.where(hit, uid, out_uid)
+            out_ulen = jnp.where(hit, ulen, out_ulen)
+            out_pos = jnp.where(hit, km_pos_c - ustart, out_pos)
+            out_mt = jnp.where(
+                hit, mt, jnp.where(kwm & (~ok), jnp.int32(3), out_mt)
+            )
+            out_ow = jnp.where(hit, r0[:, 5], out_ow)
+            out_ow2 = jnp.where(hit, r0[:, 6], out_ow2)
+            out_cnt = jnp.where(hit, cnt, out_cnt)
+            found = found | hit
+            active = active & (~hit)
+
+    pos_ref[:] = out_pos.astype(jnp.int32)
+    mt_ref[:] = out_mt
+    uid_ref[:] = out_uid.astype(jnp.int32)
+    ulen_ref[:] = out_ulen.astype(jnp.int32)
+    cnt_ref[:] = out_cnt.astype(jnp.int32)
+    nocc_ref[:] = n_occs.astype(jnp.int32)
+    ow_ref[:] = out_ow
+    ow2_ref[:] = out_ow2
+
+
+@functools.partial(
+    __import__("jax").jit,
+    static_argnames=("plim", "k", "w", "last_km", "skew_param", "interpret"),
+)
+def _pallas_bpos_probe(
+    bpos, rec, hc, fw, rc, offset,
+    *, plim, k, w, last_km, skew_param, interpret,
+):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = hc.shape[0]
+    assert n % BLK == 0
+    grid = (n // BLK,)
+    blk = lambda ms: pl.BlockSpec((BLK,), lambda i: (i,), memory_space=ms)  # noqa: E731
+    o32 = jax.ShapeDtypeStruct((n,), jnp.int32)
+    return pl.pallas_call(
+        functools.partial(
+            _kernel_bpos, plim, k, w, last_km, skew_param, rec.shape[0]
+        ),
+        grid=grid,
+        in_specs=[
+            blk(pltpu.SMEM),  # hc
+            blk(pltpu.VMEM),  # fw
+            blk(pltpu.VMEM),  # rc
+            blk(pltpu.VMEM),  # offset
+            pl.BlockSpec(memory_space=pl.ANY),  # bpos (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # useqrec (HBM)
+        ],
+        out_specs=tuple(blk(pltpu.VMEM) for _ in range(8)),
+        out_shape=(
+            o32, o32, o32, o32, o32, o32,
+            jax.ShapeDtypeStruct((n,), jnp.uint64),
+            jax.ShapeDtypeStruct((n,), jnp.uint64),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((BLK, 4), jnp.uint32),   # bp_s
+            pltpu.VMEM((BLK, 4), jnp.uint32),   # bp_v
+            pltpu.VMEM((BLK, plim, 7), jnp.uint64),  # uq_v
+            pltpu.SMEM((BLK, plim), jnp.int32),  # wjc_s
+            pltpu.SemaphoreType.DMA((BLK, 2)),        # semA
+            pltpu.SemaphoreType.DMA((BLK, plim)),     # semC
+            pltpu.SemaphoreType.DMA((1,)),            # semS (unused spare)
+        ],
+        interpret=interpret,
+    )(hc, fw, rc, offset, bpos, rec)
+
+
+def pallas_bpos_usrec_k2u(d: dict, fw_words, probe_limit: int, interpret: bool = False) -> dict:
+    """Drop-in for ``sshash_k2u(d, fw, jnp, mode="main",
+    probe_limit=probe_limit)`` on the COMMITTED capacity layout
+    (direct engine + bucket_inline bpos + useqrec records — the 8.1M
+    config, STATUS r4): 1+plim DMAs per query, validation + rank +
+    projection riding the record rows. Key prep and unresolved
+    bookkeeping stay in XLA, exactly as in the XLA path.
+
+    ``interpret=True`` runs the TPU interpreter (the parity-test lane);
+    compiled mode requires Mosaic, blocked on this tunnel
+    (docs/ROOFLINE.md §4)."""
+    import jax.numpy as jnp
+
+    from ..kmer import canonical_minimizer_batch, revcomp
+    from ..kphf.boophf32 import fold_hash32
+
+    m = d["meta"]
+    k, w = m.k, m.w
+    assert m.direct_t and "bpos" in d, "bpos kernel needs the bucket-inline direct layout"
+    us = d["us"]
+    assert "useqrec" in us, "bpos kernel needs the useqrec window records"
+    bound = min(m.probe_bound, int(probe_limit), d["bpos"].shape[1] - 1)
+    fw = jnp.asarray(fw_words)
+    rc = revcomp(fw, k)
+    mm, offset, _isfw, _canon = canonical_minimizer_batch(
+        jnp, fw, k, w, m.seed, ordering=getattr(m, "ordering", None),
+        hash32=m.hash32,
+    )
+    offset = offset.astype(jnp.int32)
+    hc = (fold_hash32(mm) & np.uint32(m.direct_t - 1)).astype(jnp.int32)
+    last_km = int(us["meta"].total_len - k)
+
+    n = fw.shape[0]
+    pad = (-n) % BLK
+    if pad:
+        z = lambda x: jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])  # noqa: E731
+        hc_p, fw_p, rc_p, off_p = z(hc), z(fw), z(rc), z(offset)
+    else:
+        hc_p, fw_p, rc_p, off_p = hc, fw, rc, offset
+
+    pos_o, mt_o, uid_o, ulen_o, cnt_o, nocc_o, ow_o, ow2_o = _pallas_bpos_probe(
+        d["bpos"], us["useqrec"], hc_p, fw_p, rc_p, off_p,
+        plim=bound, k=k, w=w, last_km=last_km,
+        skew_param=int(m.skew_param), interpret=interpret,
+    )
+    sl = slice(0, n)
+    n_occs = nocc_o[sl].astype(jnp.int64)
+    use_skew = (
+        (n_occs > m.skew_param)
+        if m.skew_param >= 0
+        else jnp.zeros_like(n_occs, dtype=bool)
+    )
+    out_mt = mt_o[sl].astype(jnp.uint8)
+    maybe = out_mt == jnp.uint8(3)
+    out_mt = jnp.where(maybe, jnp.zeros_like(out_mt), out_mt)
+    found = out_mt > 0
+    zero = jnp.zeros(n, dtype=jnp.int64)
+    return {
+        "unitig_id": jnp.where(found, uid_o[sl].astype(jnp.int64), zero),
+        "unitig_len": jnp.where(found, ulen_o[sl].astype(jnp.int64), zero),
+        "pos": pos_o[sl].astype(jnp.int64),
+        "mt": out_mt,
+        "use_skew": use_skew,
+        "unresolved": ((~found) & (~use_skew) & (n_occs > bound)) | maybe,
+        "occ_word": ow_o[sl],
+        "occ_word2": ow2_o[sl],
+        "occ_cnt": jnp.where(found, cnt_o[sl].astype(jnp.int64), zero),
+    }
+
+
 @functools.partial(
     __import__("jax").jit,
     static_argnames=("plim", "nw", "width", "k", "w", "last_km", "interpret"),

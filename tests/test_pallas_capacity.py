@@ -161,3 +161,78 @@ def test_pallas_capacity_switch_full_query(cap_index, monkeypatch):
         np.testing.assert_array_equal(got["main"][key], want["main"][key], key)
     np.testing.assert_array_equal(got["n_ovf"], want["n_ovf"])
     np.testing.assert_array_equal(got["n_ovf_b"], want["n_ovf_b"])
+
+
+KEYS_USREC = (
+    "unitig_id", "unitig_len", "pos", "mt", "use_skew", "unresolved",
+    "occ_word", "occ_word2", "occ_cnt",
+)
+
+
+@pytest.mark.parametrize("plim", [2, 3])
+def test_pallas_bpos_usrec_matches_xla(cap_index, plim):
+    """Round 5: the DMA-ring kernel for the COMMITTED capacity config
+    (bpos bucket-inline + useqrec records — the 8.1M layout) must match
+    sshash_k2u's bpos+usrec main phase bit-for-bit, incl. the mt==3
+    boundary sentinel surfacing as unresolved."""
+    import jax.numpy as jnp
+
+    from mazu_tpu.index.modindex import build_useqrec
+    from mazu_tpu.kphf.sshash import sshash_k2u
+    from mazu_tpu.ops.pallas_capacity import pallas_bpos_usrec_k2u
+
+    idx = cap_index
+    d = idx.k2u.device_arrays(
+        prefix_kind="grouped16", pos_kind="packed", bucket_inline=True
+    )
+    d["us"]["useqrec"] = build_useqrec(idx.u2pos, idx.k2u.unitigs)
+    work = _work(idx, seed=11)
+    want = sshash_k2u(d, work, jnp, mode="main", probe_limit=plim)
+    got = pallas_bpos_usrec_k2u(d, jnp.asarray(work), plim, interpret=True)
+    for key in KEYS_USREC:
+        np.testing.assert_array_equal(
+            np.asarray(got[key]), np.asarray(want[key]), err_msg=key
+        )
+    assert np.asarray(got["use_skew"]).any(), "no skew lanes probed"
+    if plim == 2:
+        assert np.asarray(got["unresolved"]).any(), "no unresolved lanes"
+    assert (np.asarray(got["mt"]) > 0).any(), "no main-phase hits"
+
+
+def test_pallas_bpos_switch_full_query(cap_index, monkeypatch):
+    """MAZU_PALLAS_CAPACITY=interpret now routes the bpos+useqrec layout
+    through the round-5 kernel inside get_ref_pos_compact; the full
+    two-phase result must stay identical."""
+    import jax
+    import jax.numpy as jnp
+
+    from mazu_tpu.index.modindex import build_useqrec, get_ref_pos_compact
+    from mazu_tpu.pytree import meta as make_meta
+
+    idx = cap_index
+    k2u = idx.k2u.device_arrays(
+        prefix_kind="grouped16", pos_kind="packed", bucket_inline=True
+    )
+    k2u["us"]["useqrec"] = build_useqrec(idx.u2pos, idx.k2u.unitigs)
+    arrays = jax.device_put(
+        {
+            "k2u": k2u,
+            "u2pos": idx.u2pos.device_arrays(),
+            "refs": idx.refs.device_arrays(),
+            "meta": make_meta(k=idx.k, index_type=idx.index_type),
+        }
+    )
+    us = idx.k2u.unitigs
+    kms = jnp.asarray(us.get_kmer_u64(us.kmer_start_positions())[:512])
+    mo = max(1, idx.max_occs())
+    kw = dict(merge=False, m2=512, m2b=512, probe_limit=2, probe_limit2=4)
+    want = jax.tree_util.tree_map(
+        np.asarray, get_ref_pos_compact(arrays, kms, jnp, mo, **kw)
+    )
+    monkeypatch.setenv("MAZU_PALLAS_CAPACITY", "interpret")
+    got = jax.tree_util.tree_map(
+        np.asarray, get_ref_pos_compact(arrays, kms, jnp, mo, **kw)
+    )
+    for key in ("unitig_id", "pos", "mt"):
+        np.testing.assert_array_equal(got["main"][key], want["main"][key], key)
+    np.testing.assert_array_equal(got["n_ovf"], want["n_ovf"])
