@@ -483,6 +483,23 @@ def _emit_extra_tiers(t_main):
             log(f"serve tier failed: {type(e).__name__}: {e}")
     else:
         log(f"serve tier skipped (left={left():.0f}s)")
+    # 1Gbp capacity tier (round 5, VERDICT r4 #8): emitted when the ckpt
+    # exists and the leash allows — ckpt load + placement + compile cost
+    # ~150-250s at this scale, so it usually needs MAZU_BENCH_LEASH
+    # raised; the tiers above stay the priority inside 590s.
+    ck1g = os.environ.get(
+        "MAZU_BENCH_CAPACITY_CKPT_1G",
+        os.path.join(os.path.dirname(__file__), ".ckpts", "g1_direct_w17_L2.npz"),
+    )
+    if os.path.exists(ck1g) and left() > 330:
+        try:
+            os.environ.setdefault("MAZU_BENCH_CAP_PLIM", "3")
+            os.environ.setdefault("MAZU_BENCH_CAP_PLIM2", "5")
+            _emit_capacity_tier(ck1g)
+        except Exception as e:  # noqa: BLE001
+            log(f"1Gbp capacity tier failed: {type(e).__name__}: {e}")
+    else:
+        log(f"1Gbp tier skipped (ckpt={os.path.exists(ck1g)}, left={left():.0f}s)")
 
 
 

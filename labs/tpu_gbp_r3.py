@@ -107,6 +107,10 @@ def run_prefix(
         "k2u": k2u.device_arrays(
             prefix_kind=prefix_kind, pos_kind="packed",
             bucket_inline=bool(os.environ.get("MAZU_GBP_BPOS")),
+            # round 5: paired word|rank MPHF rows — a truncated BooPHF32
+            # lookup becomes mlim gather OPS with no rank tail (drops the
+            # words/ranks arrays; see kphf/boophf32.device_arrays)
+            mphf_rows=bool(os.environ.get("MAZU_GBP_MROWS")),
         ),
         "u2pos": u2pos.device_arrays(),
         "refs": refs.device_arrays(),

@@ -153,3 +153,26 @@ def test_capacity_tier_bpos_useqrec_exact(chr7_direct):
         np.testing.assert_array_equal(
             np.where(v, a, 0), np.where(v, b, 0), err_msg=key
         )
+
+
+@pytest.mark.slow
+def test_tuned_config_real_ckpts():
+    """Round 5 (VERDICT r4 #8): on the real prebuilt ckpts the tuner must
+    pick the measured-best tier automatically — 1Gbp: capacity with
+    bpos+useqrec at plim=3/p2=5 (the 5.49M config, STATUS r4); 300Mbp:
+    speed inline2 (15.5M measured at 6.24GB, STATUS r2 scale curve) under
+    the bench chip's budget."""
+    import os as _os
+
+    from mazu_tpu.io.checkpoint import load_index
+
+    budget = int(8.9e9)  # bench chip total (memory_stats x0.97 class)
+    ck1 = ".ckpts/g1_direct_w17_L2.npz"
+    ck3 = ".ckpts/bench_capacity_300m.npz"
+    if not (_os.path.exists(ck1) and _os.path.exists(ck3)):
+        pytest.skip("real ckpts not on disk")
+    cfg1 = tuned_query_config(load_index(ck1).k2u, hbm_budget=budget)
+    assert cfg1.tier == "capacity" and cfg1.bucket_inline and cfg1.useqrec
+    assert cfg1.probe_limit == 3 and cfg1.probe_limit2 == 5, cfg1.why
+    cfg3 = tuned_query_config(load_index(ck3).k2u, hbm_budget=budget)
+    assert cfg3.tier == "speed", cfg3.why
