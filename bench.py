@@ -359,7 +359,9 @@ def _emit_capacity_tier(ck):
         f"{tree_bytes(host)/1e9:.2f} GB device"
     )
     plim = int(os.environ.get("MAZU_BENCH_CAP_PLIM", 2))
-    plim2 = int(os.environ.get("MAZU_BENCH_CAP_PLIM2", 4)) or None
+    # middle-phase depth 3 (round 5, labs/tpu_tail_r5.py): p2x3 8.96M >
+    # p2x4 7.93M at 300Mbp; the 1Gbp tier overrides to 5 via env
+    plim2 = int(os.environ.get("MAZU_BENCH_CAP_PLIM2", 3)) or None
     CH = int(os.environ.get("MAZU_BENCH_CAP_CH", 8))
     B = int(os.environ.get("MAZU_BENCH_CAP_B", 1 << 20))
     rng = np.random.default_rng(0)
@@ -371,10 +373,23 @@ def _emit_capacity_tier(ck):
     kms[flip] = revcomp(kms[flip], index.k)
 
     t0 = time.time()
+    fit = lambda c: max(1024, -(-(int(c) + 256) // 1024) * 1024)  # noqa: E731
+    m2c = None
+    if plim2 is not None:
+        # size the middle phase's padded residue from the measured count
+        # (the m_b//8 default under-fits shallow-p2 configs like the
+        # p2x3 committed default — an over_budget here would lose the
+        # whole tier to the try/except)
+        from mazu_tpu.kphf.sshash import sshash_k2u
+
+        rM = sshash_k2u(host["k2u"], kms, np, mode="main", probe_limit=plim2)
+        n_c = int(np.asarray(rM["use_skew"] | rM["unresolved"]).sum())
+        m2c = fit(n_c * 1.3)
+        log(f"capacity residue at p2={plim2}: {n_c} -> m2c={m2c}")
     o = get_ref_pos_compact(
         host, kms, np, max(1, index.max_occs()), merge=False,
         probe_limit=plim, m2=max(8192, B // 8), m2b=max(8192, B // 8),
-        defer_valid=True, probe_limit2=plim2,
+        defer_valid=True, probe_limit2=plim2, m2c=m2c,
     )
     assert not bool(o["over_budget"])
     chk0 = int(OneGraphIndexQuery.checksum(o, np))
@@ -397,11 +412,10 @@ def _emit_capacity_tier(ck):
     np.testing.assert_array_equal(mpos, upos)
     na, nbv = int(o["n_ovf"]), int(o["n_ovf_b"])
     log(f"capacity host oracle {time.time()-t0:.0f}s: chk={chk0} ovf=({na},{nbv})")
-    fit = lambda c: max(1024, -(-(int(c) + 256) // 1024) * 1024)  # noqa: E731
     og = OneGraphIndexQuery(
         index, B, n_chunks=CH, m2=fit(na * 1.3), m2b=fit(nbv * 1.15),
         probe_limit=plim, host_arrays=host, defer_valid=True,
-        probe_limit2=plim2,
+        probe_limit2=plim2, m2c=m2c,
     )
     d_kms = jax.device_put(jnp.asarray(kms))
     t0 = time.time()
