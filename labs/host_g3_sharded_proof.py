@@ -13,7 +13,11 @@ artifact, not a toy:
        misses clean, through the full sharded two-phase query.
 
 Usage:  timeout 7200 python host_g3_sharded_proof.py [ckpt] [shard_dir]
-Env:    MAZU_G3S_SAMP (default 17 -> 131072 samples), MAZU_G3S_SHARDS (8)
+Env:    MAZU_G3S_SAMP (default 17 -> 131072 samples), MAZU_G3S_SHARDS (8),
+        MAZU_G3S_BPOS/MAZU_G3S_USREC=1 (round 5: persist + query the
+        bpos+useqrec gather-op-diet layout — legal only for total_len <
+        2^31, i.e. the 1Gbp tier; 3Gbp shards keep the lean layout),
+        MAZU_G3S_PLIM (3)
 
 The same flow at fixture scale is tests/test_parallel.py
 test_compact_sharded_ckpt_*; the slow-marked test_g3_sharded_real_ckpt
@@ -54,12 +58,16 @@ def main():
     sd = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.ckpts/g3_shards"
     n_shards = int(os.environ.get("MAZU_G3S_SHARDS", 8))
 
+    bpos = os.environ.get("MAZU_G3S_BPOS") == "1"
+    usrec = os.environ.get("MAZU_G3S_USREC") == "1"
     if not os.path.isdir(sd):
         t0 = time.time()
         index = load_index(ck)
         print(f"loaded {ck} in {time.time()-t0:.0f}s", flush=True)
         t0 = time.time()
-        save_compact_sharded(sd, index, n_shards=n_shards)
+        save_compact_sharded(
+            sd, index, n_shards=n_shards, bucket_inline=bpos, useqrec=usrec
+        )
         sz = sum(
             os.path.getsize(os.path.join(sd, f)) for f in os.listdir(sd)
         )
@@ -92,7 +100,8 @@ def main():
     B = 1 << int(os.environ.get("MAZU_G3S_SAMP", 17))
     t0 = time.time()
     qf = make_compact_sharded_query_from_ckpt(
-        sd, mesh, m2=max(4096, B // 4), probe_limit=3
+        sd, mesh, m2=max(4096, B // 4),
+        probe_limit=int(os.environ.get("MAZU_G3S_PLIM", 3)),
     )
     print(f"mesh placement + query build {time.time()-t0:.0f}s", flush=True)
 

@@ -334,7 +334,7 @@ def _compact_split(
                 )[:m_b]
 
     if not merge:
-        return {
+        out = {
             "main": {
                 **{kk: r[kk] for kk in ("unitig_id", "unitig_len", "pos", "mt")},
                 **p,
@@ -350,6 +350,13 @@ def _compact_split(
             "n_ovf_b": n_b,
             "over_budget": over_budget,
         }
+        if probe_limit2 is not None:
+            # surfaced separately so scan drivers that only monitor the
+            # (n_ovf, n_ovf_b) pair can still detect residue truncation —
+            # a silently clipped m_c leaves middle-phase-unresolved lanes
+            # with unvalidated results (OneGraphIndexQuery raises on it)
+            out["over_budget_c"] = n_c > m_c
+        return out
 
     full = _merge_compact(
         d, p, r, [(outA, lanes_a, sa), (outB, lanes_b, sb)], N, max_occs, xp

@@ -86,6 +86,19 @@ class OneGraphIndexQuery:
         self.probe_limit2 = plim2
         self.m2c = M2C
 
+        def _novf(out):
+            # (n_ovf, n_ovf_b, residue-truncated?) — the third channel
+            # turns a clipped m_c into a hard failure instead of silently
+            # returning unvalidated middle-phase rows for the truncated
+            # lanes (found round 5: the tail lab's p2x3 "win" was exactly
+            # this truncation)
+            za = jnp.zeros_like(out["n_ovf"])
+            return jnp.stack([
+                out["n_ovf"],
+                out.get("n_ovf_b", za),
+                out.get("over_budget_c", za > 0).astype(out["n_ovf"].dtype),
+            ])
+
         @jax.jit
         def pass_fn(arrays, stack):
             def step(carry, chunk):
@@ -94,10 +107,7 @@ class OneGraphIndexQuery:
                     m2=M2, m2b=M2B, defer_valid=dv, mphf_level_limit=mlim,
                     probe_limit2=plim2, m2c=M2C,
                 )
-                novf = jnp.stack(
-                    [out["n_ovf"], out.get("n_ovf_b", jnp.zeros_like(out["n_ovf"]))]
-                )
-                return carry + OneGraphIndexQuery.checksum(out, jnp), novf
+                return carry + OneGraphIndexQuery.checksum(out, jnp), _novf(out)
 
             tot, novf = jax.lax.scan(step, jnp.int64(0), stack)
             return tot, jnp.max(novf, axis=0)
@@ -120,10 +130,7 @@ class OneGraphIndexQuery:
                     m2=M2, m2b=M2B, defer_valid=dv, mphf_level_limit=mlim,
                     probe_limit2=plim2, m2c=M2C,
                 )
-                novf = jnp.stack(
-                    [out["n_ovf"], out.get("n_ovf_b", jnp.zeros_like(out["n_ovf"]))]
-                )
-                return carry + OneGraphIndexQuery.checksum(out, jnp), novf
+                return carry + OneGraphIndexQuery.checksum(out, jnp), _novf(out)
 
             tot, novf = jax.lax.scan(
                 step, jnp.int64(0), jnp.arange(self.CH, dtype=jnp.int64)
@@ -183,6 +190,10 @@ class OneGraphIndexQuery:
 
         tot, worst = out
         worst = jax.device_get(worst)
+        assert int(worst[2]) == 0, (
+            "middle-phase residue capacity (m2c) exceeded — results for the "
+            "truncated lanes are unvalidated; rebuild with a larger m2c"
+        )
         if self.M2B is not None:
             return int(jax.device_get(tot)), (int(worst[0]), int(worst[1]))
         return int(jax.device_get(tot)), int(worst[0])
