@@ -359,9 +359,10 @@ def _emit_capacity_tier(ck):
         f"{tree_bytes(host)/1e9:.2f} GB device"
     )
     plim = int(os.environ.get("MAZU_BENCH_CAP_PLIM", 2))
-    # middle-phase depth 3 (round 5, labs/tpu_tail_r5.py): p2x3 8.96M >
-    # p2x4 7.93M at 300Mbp; the 1Gbp tier overrides to 5 via env
-    plim2 = int(os.environ.get("MAZU_BENCH_CAP_PLIM2", 3)) or None
+    # middle-phase depth 4 (round 5 re-measure with the m2c truncation
+    # guard: p2x3's apparent 8.96M was residue truncation, honest 6.86M;
+    # p2x4 8.0-8.1M); the 1Gbp tier overrides to 5 via env
+    plim2 = int(os.environ.get("MAZU_BENCH_CAP_PLIM2", 4)) or None
     CH = int(os.environ.get("MAZU_BENCH_CAP_CH", 8))
     B = int(os.environ.get("MAZU_BENCH_CAP_B", 1 << 20))
     rng = np.random.default_rng(0)

@@ -13,6 +13,12 @@ configs:
   T4 type-A wide proj     (on m_a lanes)
   full-query sweep        plim2 in {None,3,4,6} x m2c {default,tight}
 
+POST-MORTEM (round 5): this sweep's p2x3 "8.96M" was INVALID — the
+default m_c (m_b//8 = 12.4K) silently truncated the 22.1K-lane residue
+at p2=3; OneGraphIndexQuery now raises on that (over_budget_c channel)
+and the honest p2x3 number is 6.86M (labs/tpu_r5_session.py), so p2x4
+remains the committed 300Mbp default.
+
 Run: MAZU_GBP_CKPT=.ckpts/bench_capacity_300m.npz python labs/tpu_tail_r5.py
 """
 

@@ -207,13 +207,11 @@ def tuned_query_config(k2u, hbm_budget: int | None = None) -> QueryConfig:
             # (5.49M vs 4.34M)
             occs = int(getattr(k2u, "n_minimizer_occs", 0)) or n_kmers
             bplim = 2 if occs <= n_buckets else 3
-            # middle-phase depth measured per occupancy class (round 5,
-            # labs/tpu_tail_r5.py): shallow buckets (bplim=2, 300Mbp)
-            # want the TIGHT middle p2=3 (8.96M vs 7.93M at p2=4 — the
-            # deeper middle re-pays gather ops the padded residue would
-            # absorb anyway); deep buckets (bplim=3, 1Gbp) keep p2=5
-            # (5.49M measured best, STATUS r4)
-            bplim2 = 3 if bplim == 2 else bplim + 2
+            # middle-phase depth plim+2 (re-measured round 5 with the
+            # m2c truncation guard: p2x3's apparent 8.96M was residue
+            # truncation — honest p2x3 is 6.86M vs 8.0-8.1M at p2x4 on
+            # 300Mbp; 1Gbp p2x5 5.49M, STATUS r4)
+            bplim2 = bplim + 2
             why.append(
                 f"bucket occupancy {occs/max(n_buckets,1):.2f} -> "
                 f"probe_limit={bplim} + middle phase {bplim2}"

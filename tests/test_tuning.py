@@ -128,11 +128,7 @@ def test_capacity_tier_bpos_useqrec_exact(chr7_direct):
     cfg = tuned_query_config(idx.k2u, hbm_budget=budget)
     assert cfg.tier == "capacity", cfg.why
     assert cfg.useqrec and cfg.bucket_inline, cfg.why
-    # shallow buckets take the tight middle phase (r5 tail lab: p2x3
-    # 8.96M > p2x4 7.93M at 300Mbp); deep buckets keep plim+2
-    assert cfg.probe_limit2 == (
-        3 if cfg.probe_limit == 2 else cfg.probe_limit + 2
-    )
+    assert cfg.probe_limit2 == cfg.probe_limit + 2
 
     arrays = jax.device_put(idx.device_arrays(**cfg.arrays_kwargs()))
     assert "bpos" in arrays["k2u"] and "useqrec" in arrays["k2u"]["us"]
