@@ -1351,16 +1351,22 @@ def sshash_k2u(
         d["pos"]["inline"].shape[1]
         >= (14 if m.pos_kind not in ("inline2", "fixedcap2") else 12)
     )
+    # every carry slot derives from ``ps`` (zeros_like) so the whole
+    # state shares ps's varying-manual-axes under shard_map — fresh
+    # xp.zeros(...) slots are UNVARYING and the deep-probe fori_loop
+    # rejects the carry inside a sharded query (vma mismatch, found on
+    # the 1Gbp sharded proof; fixture meshes unroll bound<=8 and never
+    # hit the loop)
     zero = xp.zeros_like(ps)
     state = (
-        xp.zeros(xp.shape(fw), dtype=bool),  # found
+        xp.zeros_like(ps, dtype=bool),  # found
         zero,  # uid
         zero,  # ulen
         zero,  # pos
-        xp.zeros(xp.shape(fw), dtype=xp.uint8),  # mt
-        xp.zeros(xp.shape(fw), dtype=xp.uint64),  # occ_word (fused)
+        xp.zeros_like(ps, dtype=xp.uint8),  # mt
+        xp.zeros_like(ps, dtype=xp.uint64),  # occ_word (fused)
         zero,  # occ_cnt (fused; inline2 packs cnt | occ_start << 32)
-        xp.zeros(xp.shape(fw), dtype=xp.uint64),  # occ_word2 (inline2 fused)
+        xp.zeros_like(ps, dtype=xp.uint64),  # occ_word2 (inline2 fused)
     )
 
     n_pos = d["pos"]["meta"].length
