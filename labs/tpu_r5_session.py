@@ -76,6 +76,12 @@ def sweep_ckpt(ck, sweeps, CH, iters, bpos=True):
     }
     host["refs"].pop("seq", None)
     host["k2u"]["us"]["useqrec"] = build_useqrec(u2pos, unitigs)
+    if nb >= (1 << 29) and "words2" in host["k2u"]["us"]["useq"]:
+        # Gbp HBM fit: words2 (paired) serves every query-path read; the
+        # flat words copy is only the fallback branch (~0.25 GB/Gbp —
+        # the r4 5.94 GB 1Gbp config dropped it; with it the 1Gbp query
+        # graph RESOURCE_EXHAUSTs at 6.19 GB of arrays)
+        host["k2u"]["us"]["useq"].pop("words")
     log(f"device footprint {tree_bytes(host)/1e9:.2f} GB")
     arrays = jax.device_put(host)
     jax.block_until_ready(arrays)
