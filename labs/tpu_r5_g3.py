@@ -103,7 +103,12 @@ def main():
                     "MAZU_GBP_MROWS": "1", "MAZU_GBP_ITERS": "3",
                 })
             elif st == "direct":
+                # LEAN is mandatory at 3Gbp: the paired words2/wb2 copies
+                # are ~2.25 GB and the fast32 run proved the query graph
+                # needs ~1.5-2 GB of workspace headroom (STATUS r4 —
+                # 7.72 GB paired placed but RESOURCE_EXHAUSTED at query)
                 run_stage(ck_d, {
+                    "MAZU_GBP_LEAN": "1",
                     "MAZU_GBP_PLIM": "3", "MAZU_GBP_PLIM2": "5",
                     "MAZU_GBP_DEFER": "1", "MAZU_GBP_ITERS": "3",
                     "MAZU_GBP_MROWS": None,
