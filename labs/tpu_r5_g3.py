@@ -95,12 +95,18 @@ def main():
                     "MAZU_GBP_LEAN": "1", "MAZU_GBP_DEFER": "1",
                     "MAZU_GBP_MLIM": "4", "MAZU_GBP_PLIM": "2",
                     "MAZU_GBP_MROWS": None, "MAZU_GBP_ITERS": "3",
+                    "MAZU_GBP_BATCH": str(1 << 19),  # same B as mrows
                 })
             elif st == "fast32_mrows":
+                # B=512K: the 6.54 GB mrows footprint leaves ~1.5 GB of
+                # graph workspace and the 1M-lane OneGraph needs ~2 GB
+                # (RESOURCE_EXHAUSTED measured); the batch-size curve is
+                # flat at <=1M lanes (STATUS r2: 512K x CH=512 == 1M)
                 run_stage(ck_f, {
                     "MAZU_GBP_LEAN": "1", "MAZU_GBP_DEFER": "1",
                     "MAZU_GBP_MLIM": "4", "MAZU_GBP_PLIM": "2",
                     "MAZU_GBP_MROWS": "1", "MAZU_GBP_ITERS": "3",
+                    "MAZU_GBP_BATCH": str(1 << 19),
                 })
             elif st == "direct":
                 # LEAN is mandatory at 3Gbp: the paired words2/wb2 copies
@@ -117,6 +123,16 @@ def main():
                 log(f"unknown stage {st}")
         except Exception as e:  # noqa: BLE001 — later stages still run
             log(f"stage {st} FAILED: {type(e).__name__}: {e}")
+            # the traceback holds run_prefix's frame -> the device-array
+            # pytree stays referenced and the NEXT stage's placement
+            # RESOURCE_EXHAUSTs (measured: stage 2 OOM'd at 6.22 GB right
+            # after a stage-1 OOM left 6.54 GB live on device)
+            import traceback
+
+            traceback.clear_frames(e.__traceback__)
+            del e
+        gc.collect()
+        jax.clear_caches()
 
 
 if __name__ == "__main__":
